@@ -1,0 +1,276 @@
+package graft.model
+
+import graft.blocks.{Block, Blockifier}
+import graft.feats.Features
+
+/** Decoded per-document classifier output (nn_models.py:70-90). */
+final case class NewsNetOutput(
+    content: Option[String],
+    headline: Option[String],
+    author: Seq[(String, Double)],
+    breadcrumbs: Seq[(String, Double)],
+    date: Seq[(String, Double)])
+
+/** Pure-Scala fp32 inference of the reference block classifier
+  * (extractnet/models/news_net.onnx; ops recovered from the graph:
+  * css(43) -> Linear(32) -> ReLU -> Linear(6); concat with 9 base feats;
+  * bidirectional GRU hidden 16 (linear_before_reset=1, gates z,r,n);
+  * per-label heads -> logits (n_blocks, 5) in label order
+  * (content, author, headline/description, breadcrumbs/bread, date)).
+  *
+  * Weights are loaded once per JVM from the bundled resource — per-executor
+  * singleton; cheap enough (27 KB) to not need a Broadcast. */
+object NewsNet {
+
+  val LabelOrder = Vector("content", "author", "headline", "breadcrumbs", "date")
+  val BaseFeatSize = 9
+  val ClsThreshold = 0.1
+  val BinaryThreshold = 0.5
+  val EmptyHtml = "<article><p>content</p><p>blocked</p><p>404</p></article>"
+
+  private final class Weights {
+    private val t = Onnx.loadResource("/graft/models/news_net.onnx")
+    private def g(n: String) = t(n)
+    // css projection
+    val cssW0 = g("onnx::MatMul_193") // [43,32]
+    val cssB0 = g("css_proj.0.bias")  // [32]
+    val cssW1 = g("onnx::MatMul_194") // [32,6]
+    val cssB1 = g("css_proj.3.bias")  // [6]
+    // GRU: W [2,48,15], R [2,48,16], B [2,96]
+    val gruW = g("onnx::GRU_238")
+    val gruR = g("onnx::GRU_239")
+    val gruB = g("onnx::GRU_237")
+    // heads
+    val contentW = g("onnx::MatMul_240"); val contentB = g("content.bias")
+    val authorW0 = g("onnx::MatMul_241"); val authorB0 = g("author.0.bias")
+    val authorW1 = g("onnx::MatMul_242"); val authorB1 = g("author.2.bias")
+    val descW = g("onnx::MatMul_243"); val descB = g("description.bias")
+    val breadW = g("onnx::MatMul_244"); val breadB = g("bread.bias")
+    val dateW0 = g("onnx::MatMul_245"); val dateB0 = g("date.0.bias")
+    val dateW1 = g("onnx::MatMul_246"); val dateB1 = g("date.2.bias")
+  }
+
+  private lazy val W = new Weights
+
+  private val Hidden = 16
+
+  /** x[in] @ w[in,out] + b[out] (MatMul layout as stored in the graph). */
+  private def dense(x: Array[Float], w: Onnx.Tensor, b: Onnx.Tensor): Array[Float] = {
+    val in = w.dims(0); val out = w.dims(1)
+    require(x.length == in)
+    val y = new Array[Float](out)
+    var o = 0
+    while (o < out) { y(o) = b.data(o); o += 1 }
+    var i = 0
+    while (i < in) {
+      val xi = x(i)
+      if (xi != 0f) {
+        val row = i * out
+        o = 0
+        while (o < out) { y(o) += xi * w.data(row + o); o += 1 }
+      }
+      i += 1
+    }
+    y
+  }
+
+  private def relu(x: Array[Float]): Array[Float] = {
+    var i = 0
+    while (i < x.length) { if (x(i) < 0f) x(i) = 0f; i += 1 }
+    x
+  }
+
+  private def sigmoidF(x: Float): Float = (1.0 / (1.0 + math.exp(-x.toDouble))).toFloat
+  private def tanhF(x: Float): Float = math.tanh(x.toDouble).toFloat
+
+  /** One GRU direction over the sequence; returns per-step hidden states.
+    * ONNX GRU, linear_before_reset=1:
+    *   z = sig(Wz x + Rz h + bWz + bRz)
+    *   r = sig(Wr x + Rr h + bWr + bRr)
+    *   n = tanh(Wn x + bWn + r*(Rn h + bRn))
+    *   h' = (1-z)*n + z*h
+    */
+  private def gruDirection(xs: Array[Array[Float]], dir: Int, reverse: Boolean): Array[Array[Float]] = {
+    val inSize = W.gruW.dims(2)   // 15
+    val h3 = 3 * Hidden           // 48
+    val wOff = dir * h3 * inSize
+    val rOff = dir * h3 * Hidden
+    val bOff = dir * 6 * Hidden
+    val w = W.gruW.data; val r = W.gruR.data; val bias = W.gruB.data
+    val n = xs.length
+    val out = new Array[Array[Float]](n)
+    val h = new Array[Float](Hidden)
+    val gatesX = new Array[Float](h3)
+    val gatesH = new Array[Float](h3)
+    var step = 0
+    while (step < n) {
+      val t = if (reverse) n - 1 - step else step
+      val x = xs(t)
+      // W x
+      var g = 0
+      while (g < h3) {
+        var acc = w(wOff + g * inSize) * x(0)
+        var i = 1
+        while (i < inSize) { acc += w(wOff + g * inSize + i) * x(i); i += 1 }
+        gatesX(g) = acc
+        g += 1
+      }
+      // R h
+      g = 0
+      while (g < h3) {
+        var acc = 0f
+        var i = 0
+        while (i < Hidden) { acc += r(rOff + g * Hidden + i) * h(i); i += 1 }
+        gatesH(g) = acc
+        g += 1
+      }
+      val hNew = new Array[Float](Hidden)
+      var k = 0
+      while (k < Hidden) {
+        val z = sigmoidF(gatesX(k) + bias(bOff + k) + gatesH(k) + bias(bOff + 3 * Hidden + k))
+        val rr = sigmoidF(gatesX(Hidden + k) + bias(bOff + Hidden + k) + gatesH(Hidden + k) + bias(bOff + 4 * Hidden + k))
+        val nn = tanhF(gatesX(2 * Hidden + k) + bias(bOff + 2 * Hidden + k) + rr * (gatesH(2 * Hidden + k) + bias(bOff + 5 * Hidden + k)))
+        hNew(k) = (1f - z) * nn + z * h(k)
+        k += 1
+      }
+      System.arraycopy(hNew, 0, h, 0, Hidden)
+      out(t) = hNew
+      step += 1
+    }
+    out
+  }
+
+  /** Forward pass: features (n, 52) float32 -> logits (n, 5). */
+  def forward(feat: Array[Array[Float]]): Array[Array[Float]] = {
+    val n = feat.length
+    val xs = new Array[Array[Float]](n)
+    var i = 0
+    while (i < n) {
+      val base = java.util.Arrays.copyOfRange(feat(i), 0, BaseFeatSize)
+      val cssIn = java.util.Arrays.copyOfRange(feat(i), BaseFeatSize, feat(i).length)
+      val proj = dense(relu(dense(cssIn, W.cssW0, W.cssB0)), W.cssW1, W.cssB1)
+      xs(i) = base ++ proj // 15
+      i += 1
+    }
+    val fwd = gruDirection(xs, 0, reverse = false)
+    val bwd = gruDirection(xs, 1, reverse = true)
+    Array.tabulate(n) { t =>
+      val h = fwd(t) ++ bwd(t) // 32
+      val content = dense(h, W.contentW, W.contentB)(0)
+      val author = dense(relu(dense(h, W.authorW0, W.authorB0)), W.authorW1, W.authorB1)(0)
+      val desc = dense(h, W.descW, W.descB)(0)
+      val bread = dense(h, W.breadW, W.breadB)(0)
+      val date = dense(relu(dense(h, W.dateW0, W.dateB0)), W.dateW1, W.dateB1)(0)
+      Array(content, author, desc, bread, date)
+    }
+  }
+
+  /** NewsNet.preprocess (nn_models.py:31-39): production blockify; 0 blocks ->
+    * EMPTY_HTML fallback; 1-2 blocks -> [first]+blocks+[last] padding. */
+  def preprocess(html: String): (Array[Array[Float]], IndexedSeq[Block]) = {
+    var blocks = Blockifier.blockifyProduction(html)
+    if (blocks.isEmpty) blocks = Blockifier.blockifyProduction(EmptyHtml)
+    else if (blocks.length < 3) blocks = blocks.head +: blocks :+ blocks.last
+    val feat = Features.assemble(blocks).map(_.map(_.toFloat))
+    (feat, blocks)
+  }
+
+  private def softmax(logits: Array[Float]): Array[Double] = {
+    // sklearn.utils.extmath.softmax: subtract rowwise max, exp, normalize
+    var mx = Double.MinValue
+    logits.foreach(v => if (v > mx) mx = v.toDouble)
+    val e = logits.map(v => math.exp(v.toDouble - mx))
+    val s = e.sum
+    e.map(_ / s)
+  }
+
+  /** decode_output (nn_models.py:70-90). Top-k indices are produced in
+    * ascending block order before the stable score-desc sort (argpartition
+    * order is unspecified on ties; fixtures avoid logit ties). */
+  def decode(logits: Array[Array[Float]], blocks: IndexedSeq[Block], topRank: Int = 10): NewsNetOutput = {
+    val n = logits.length
+    def binary(col: Int): Option[String] = {
+      val sb = new StringBuilder
+      var first = true
+      var i = 0
+      while (i < n) {
+        if (sigmoidF(logits(i)(col)) > BinaryThreshold) {
+          if (!first) sb.append('\n')
+          sb.append(blocks(i).text)
+          first = false
+        }
+        i += 1
+      }
+      val ctx = FixEncoding(sb.toString)
+      if (ctx.isEmpty) None else Some(ctx)
+    }
+    def topk(col: Int): Seq[(String, Double)] = {
+      val colLogits = Array.tabulate(n)(i => logits(i)(col))
+      val scores = softmax(colLogits)
+      val k = math.min(topRank, n)
+      val ind = colLogits.zipWithIndex.sortBy(_._1).takeRight(k).map(_._2).sorted
+      val result = ind.toSeq.collect {
+        case i if scores(i) > ClsThreshold => (FixEncoding(blocks(i).text), scores(i))
+      }
+      result.sortBy(-_._2) // stable
+    }
+    NewsNetOutput(
+      content = binary(0),
+      headline = binary(2),
+      author = topk(1),
+      breadcrumbs = topk(3),
+      date = topk(4))
+  }
+
+  def predict(html: String, topRank: Int = 10): NewsNetOutput = {
+    val (feat, blocks) = preprocess(html)
+    decode(forward(feat), blocks, topRank)
+  }
+}
+
+/** fix_encoding (util.py:177-187): identity for clean strings; when a literal
+  * backslash-u escape is present, round-trip through Python's unicode_escape
+  * codec semantics (on the UTF-8 bytes). Malformed escapes return the input
+  * unchanged (the reference catches UnicodeDecodeError). */
+object FixEncoding {
+  def apply(text: String): String = {
+    if (text == null || !text.contains("\\u")) return text
+    try unicodeEscape(text) catch { case _: Exception => text }
+  }
+
+  private def unicodeEscape(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new StringBuilder(bytes.length)
+    var i = 0
+    val n = bytes.length
+    def ch(j: Int): Char = (bytes(j) & 0xff).toChar
+    while (i < n) {
+      val c = ch(i)
+      if (c == '\\' && i + 1 < n) {
+        ch(i + 1) match {
+          case 'u' =>
+            if (i + 5 >= n) throw new IllegalArgumentException("truncated \\u")
+            val hex = new String(bytes, i + 2, 4, "ISO-8859-1")
+            sb.append(Integer.parseInt(hex, 16).toChar); i += 6
+          case 'x' =>
+            if (i + 3 >= n) throw new IllegalArgumentException("truncated \\x")
+            val hex = new String(bytes, i + 2, 2, "ISO-8859-1")
+            sb.append(Integer.parseInt(hex, 16).toChar); i += 4
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '\'' => sb.append('\''); i += 2
+          case '"' => sb.append('"'); i += 2
+          case 'a' => sb.append(7.toChar); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'v' => sb.append(11.toChar); i += 2
+          case '0' => sb.append(0.toChar); i += 2
+          case other => sb.append('\\'); sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 } // latin-1 view of utf-8 bytes, as Python does
+    }
+    sb.toString
+  }
+}
