@@ -1,23 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: every SparkEntry query + the headline full-SF
+  * extraction throughput, one JSON line on stdout.
+  * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS control scale and parallelism. */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark
+  }
+
+  /** Full fused extraction over the synthetic transcript table at this SF:
+    * the authoritative turns/sec metric (BASELINE.md). Returns (turns, sec). */
+  def extractionRun(spark: SparkSession, sf: Double, cpus: Int): (Long, Double) = {
+    val turns = jobs.Synth.turns(spark, sf, cpus * 2)
+    val t0 = System.nanoTime()
+    val n = jobs.ExtractJob.extractTurns(spark, turns, cpus * 2)
+      .filter(col("ex.nBlocks") >= 0).count()
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = session(cpus)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    // headline metric: full-SF extraction throughput
+    val sf = SparkEntry.sfOf(sfDir)
+    val (n, secs) = extractionRun(spark, sf, cpus.toInt)
+    results("extract_full_sf") = secs
+    results("extract_turns_per_sec") = if (secs > 0) n / secs else 0.0
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // total = wall seconds only (the turns/sec entry is informational)
+    val total = results.collect { case (k, v) if k != "extract_turns_per_sec" => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,13 +1,219 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.jobs.Synth
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.Udfs
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Two query families:
+  *  - `x_*`: the extraction engine + training-data ops (blockify / GRU
+  *    extraction over the synthetic transcript table; MinHash/SimHash dedup,
+  *    ANN, language-ID/quality over documents/embeddings). Not DuckDB-
+  *    expressible → no oracle entry (driver records rows-only checks).
+  *  - `q*`: relational queries with exact DuckDB oracles. Float nondeterminism
+  *    is avoided by exact decimal sums cast back to double and by
+  *    floor-to-bigint fixed-point sums.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** sfDir like "/root/testdata/sf0.01" -> 0.01 (synth transcript scale). */
+  def sfOf(dir: String): Double = {
+    val m = java.util.regex.Pattern.compile("sf([0-9.]+)").matcher(dir)
+    if (m.find()) m.group(1).toDouble else 0.001
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full fused extraction over the synthetic transcript table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = Synth.turns(spark, 0.001, 8)
+    turns.withColumn("ex", Udfs.extractTurn(col("text")))
+      .select(col("conv_id"), col("turn_idx"), col("ex.content"), col("ex.title"))
+      .filter(col("content").isNotNull || col("title").isNotNull)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- extraction engine over the transcript table ----------
+    "x_extract_turns" -> ((s, dir) => {
+      val turns = Synth.turns(s, math.min(sfOf(dir), 0.01), 16)
+      turns.withColumn("ex", Udfs.extractTurn(col("text")))
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          col("ex.content").as("content"), col("ex.headline").as("headline"),
+          col("ex.author").as("author"), col("ex.title").as("title"),
+          col("ex.url").as("url"), col("ex.hostname").as("hostname"),
+          col("ex.sitename").as("sitename"), col("ex.date").as("date"),
+          col("ex.video").as("video"), col("ex.nBlocks").as("n_blocks"))
+    }),
+    "x_blockify" -> ((s, dir) => {
+      val turns = Synth.turns(s, math.min(sfOf(dir), 0.01), 16)
+      turns.select(col("conv_id"), col("turn_idx"),
+        Udfs.blockCount(col("text")).as("n_blocks"),
+        Udfs.blockTexts(col("text")).as("block_texts"))
+    }),
+    "x_turn_ordering" -> ((s, dir) => {
+      // stable-ordering invariant: turn_idx dense 0..n-1 per conversation
+      import org.apache.spark.sql.expressions.Window
+      val turns = Synth.turns(s, math.min(sfOf(dir), 0.01), 16)
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      turns.withColumn("rn", row_number().over(w) - 1)
+        .groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("n_turns"), max(col("turn_idx")).as("max_turn"),
+          sum(when(col("rn") === col("turn_idx"), 0).otherwise(1)).as("order_violations"))
+    }),
+    "x_author_names" -> ((s, dir) => {
+      val turns = Synth.turns(s, math.min(sfOf(dir), 0.01), 16)
+      turns.withColumn("ex", Udfs.extractTurn(col("text")))
+        .select(col("conv_id"), col("turn_idx"),
+          col("ex.rawAuthor").as("raw_author"), col("ex.author").as("author"))
+        .filter(col("author").isNotNull)
+    }),
+    // ---------------- training-data ops (documents / embeddings) -----------
+    "x_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.7)),
+    "x_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)),
+    "x_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").select("embedding").head
+        .getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(emb, q, 50)
+    }),
+    "x_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").select("embedding").head
+        .getSeq[Float](0).toArray
+      Similarity.lshTopK(emb, q, 50)
+    }),
+    "x_embed_neardup" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.92)),
+    "x_text_analysis" -> ((s, dir) =>
+      TextAnalysis.analyze(t(s, dir, "documents"))),
+    "x_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.synthMedia(s, 2000))),
+
+    // ---------------- relational queries with DuckDB oracles ---------------
+    "q1_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)").as("sum_qty"),
+          expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q2_order_priority" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("sum_total"))
+        .orderBy("o_orderpriority")),
+    "q3_cust_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+    "q4_top_event_per_user" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+    "q5_events_by_type" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("sum(cast(floor(value * 1000) as bigint))").as("value_milli_sum"))
+        .orderBy("event_type")),
+    "q6_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents")).orderBy("content_md5")),
+    "q7_doc_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+            .cast("long").as("ws_tokens_approx"))
+        .orderBy("doc_id")),
+    "q8_docs_by_lang" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(cast(n_chars as bigint))").as("total_chars"))
+        .orderBy("lang")),
+    "q9_emb_labels" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val d = t(s, dir, "documents")
+      e.join(d, e("vec_id") === d("doc_id"), "inner")
+        .groupBy(col("label"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "lang")
+    }),
+    "q10_supplier_nation" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+      val na = t(s, dir, "nation")
+      su.join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"))
+        .orderBy("n_name")
+    }))
+
+  /** DuckDB-runnable oracles for the relational family; the x_* extraction
+    * ops are not SQL-expressible -> rows-only checks. Column aliases match
+    * the Spark side exactly (driver sorts columns by name before hashing). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q3_cust_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_top_event_per_user" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q5_events_by_type" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  cast(sum(cast(floor(value * 1000) as bigint)) as bigint) AS value_milli_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q6_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, count(*) AS n_dupes,
+        |  min(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY md5(text) ORDER BY content_md5""".stripMargin,
+    "q7_doc_stats" ->
+      """SELECT doc_id, lang, length(text) AS n_chars_actual,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens_approx
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q8_docs_by_lang" ->
+      """SELECT lang, count(*) AS n_docs, cast(sum(cast(n_chars as bigint)) as bigint) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q9_emb_labels" ->
+      """SELECT label, lang, count(*) AS n
+        |FROM embeddings JOIN documents ON vec_id = doc_id
+        |GROUP BY label, lang ORDER BY label, lang""".stripMargin,
+    "q10_supplier_nation" ->
+      """SELECT n_name, count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
 }

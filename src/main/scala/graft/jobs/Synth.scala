@@ -1,0 +1,243 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+/** One row of the input transcript table (BASELINE.json input_hint):
+  * (conv_id, turn_idx, role, text, tool, ts). */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp)
+
+/** Deterministic synthetic transcript generator (FIXTURES.md): every field is
+  * a pure function of (seed=42, conv_id, turn_idx) — resume-safe and
+  * regenerable. Payload classes cycle through the constructs whose semantics
+  * are pinned by reference fixtures; the turns-per-conversation distribution
+  * is long-tailed (Zipf-ish) to exercise skew handling. */
+object Synth {
+
+  val Seed = 42L
+
+  /** splitmix64 — stable across JVMs (no String.hashCode). */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def h(conv: Long, turn: Long, salt: Long): Long =
+    mix(mix(mix(Seed + salt) ^ conv) ^ turn)
+  private def pick[T](xs: IndexedSeq[T], k: Long): T =
+    xs(((k % xs.length + xs.length) % xs.length).toInt)
+
+  /** Long-tailed turns per conversation: avg ≈ 15, tail to ~500. */
+  def turnsPerConv(c: Long): Int = {
+    val base = 1 + (mix(c * 31 + 7) & 0x7fffffffL).toInt % 17
+    val mid = if (c % 19 == 0) 60 else 0
+    val tail = if (c % 191 == 0) 500 else 0
+    base + mid + tail
+  }
+
+  // ------------------------------------------------------------- payloads
+  private val Names = Vector("Alice Chen", "Bob Marley", "Carol Danvers",
+    "David Oyelowo", "Eve Polastri", "Frank Ocean", "Grace Hopper", "Hank Pym")
+  private val CjkBylines = Vector("記者王小明／台北報導", "撰文／李大華",
+    "（林美麗／台北報導）", "【財訊快報張三丰】", "鉅亨網編輯陳小春")
+  private val Sites = Vector("Example News", "Daily Graft", "Spark Times", "Turn Post")
+  private val Domains = Vector("example.com", "dailygraft.org", "sparktimes.net", "turnpost.io")
+  private val Words = Vector("analysis", "pipeline", "cluster", "vector",
+    "window", "shuffle", "catalyst", "tungsten", "lineage", "manifest",
+    "partition", "executor", "broadcast", "watermark", "checkpoint", "batch")
+  private val Greek = Vector("δογ", "été", "报道一出", "データ", "résumé")
+
+  private def sentence(k: Long, n: Int): String =
+    (0 until n).map(i => pick(Words, h(k, i, 11))).mkString(" ") + "."
+
+  private def isoDate(k: Long): String = {
+    val y = 2015 + (h(k, 1, 13) & 0x7L).toInt
+    val m = 1 + (h(k, 2, 13) & 0xBL).toInt % 12
+    val d = 1 + (h(k, 3, 13) & 0x1fL).toInt % 28
+    f"$y%04d-$m%02d-$d%02d"
+  }
+
+  /** Full article page modeled on page_for_testing.html. */
+  private def pagePayload(c: Long, t: Long): String = {
+    val k = h(c, t, 1)
+    val title = s"${pick(Words, k).capitalize} ${pick(Words, k + 1)} report"
+    s"""<html>
+<body>
+<h1>$title</h1>
+<div id="content">
+    <b class="title">${sentence(k + 2, 6)}</b>
+    <p id="para">A paragraph with <a class="link" href="l${k % 7}.html">a link</a> and ${sentence(k + 3, 5)}
+    <p>${sentence(k + 4, 8)}
+    <blockquote>${sentence(k + 5, 5)}</blockquote>
+    <div class="image_css" id="image1"><img src="img.jpg"></div>
+    <p>${sentence(k + 6, 9)}
+    <h2>${sentence(k + 7, 4)}</h2>
+    <p>${sentence(k + 8, 7)}
+</div>
+<div class="begin_comments">
+    <div id="comment1">
+        <p>${sentence(k + 9, 4)}</p>
+        <p>${sentence(k + 10, 3)} <a href="spam.html">${sentence(k + 11, 3)}</a>
+    </div>
+</div>
+<div class="footer"><a href="f.html"><img src="f.jpg"></a>Footer text
+</div>
+</html>"""
+  }
+
+  /** Head-metadata-rich page: og tags, meta names, canonical, JSON-LD,
+    * time@datetime, license anchor (meta_rich class). */
+  private def metaRichPayload(c: Long, t: Long): String = {
+    val k = h(c, t, 2)
+    val author = pick(Names, k)
+    val site = pick(Sites, k + 1)
+    val dom = pick(Domains, k + 1)
+    val date = isoDate(k)
+    val title = s"${pick(Words, k + 2).capitalize} ${pick(Words, k + 3)} deep dive"
+    val slug = pick(Words, k + 4)
+    s"""<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="UTF-8">
+<title>$title - $site</title>
+<meta property="og:title" content="$title">
+<meta property="og:description" content="${sentence(k + 5, 10)}">
+<meta property="og:url" content="https://www.$dom/$slug/">
+<meta property="og:site_name" content="$site">
+<meta name="author" content="$author">
+<meta name="keywords" content="${pick(Words, k + 6)}, ${pick(Words, k + 7)}">
+<meta property="article:published_time" content="${date}T08:30:00Z">
+<link rel="canonical" href="https://www.$dom/$slug/">
+<script type="application/ld+json">{"@context":"https://schema.org","@type":"NewsArticle","headline":"$title","datePublished":"$date","author":[{"@type":"Person","name":"$author"}],"publisher":{"@type":"Organization","name":"$site"}}</script>
+</head>
+<body>
+<article>
+<h1 class="entry-title">$title</h1>
+<p class="byline">By $author</p>
+<time datetime="$date">$date</time>
+<p>${sentence(k + 8, 20)}</p>
+<p>${sentence(k + 9, 18)}</p>
+<p>${sentence(k + 10, 16)}</p>
+<footer><a rel="license" href="https://creativecommons.org/licenses/by-sa/4.0/">CC BY-SA</a></footer>
+</article>
+</body>
+</html>"""
+  }
+
+  private def mediaPayload(c: Long, t: Long): String = {
+    val k = h(c, t, 3)
+    val vid = s"vid${(k & 0xffff).toHexString}"
+    val mp3 = s"https://cdn.${pick(Domains, k)}/a${k % 100}.mp3"
+    s"""<html><head><title>media page</title></head><body>
+<div class="player"><audio src="$mp3"><source src="${mp3.replace(".mp3", "_hq.mp3")}"></audio></div>
+<div class="embed"><iframe id="video" width="0" height="0" src="https://www.youtube.com/embed/$vid?autoplay=0"></iframe></div>
+<p>${sentence(k + 1, 12)}</p>
+<p>${sentence(k + 2, 9)}</p>
+</body></html>"""
+  }
+
+  private def bylinePayload(c: Long, t: Long): String = {
+    val k = h(c, t, 4)
+    val by =
+      if ((k & 1) == 0) s"By ${pick(Names, k)}, ${pick(Names, k + 1)} and ${pick(Names, k + 2)}"
+      else pick(CjkBylines, k)
+    s"""<html><body><div class="article">
+<span class="author">$by</span>
+<p>${sentence(k + 3, 14)}</p>
+<p>${sentence(k + 4, 11)}</p>
+</div></body></html>"""
+  }
+
+  private def datedUrlPayload(c: Long, t: Long): String = {
+    val k = h(c, t, 5)
+    val dom = pick(Domains, k)
+    val date = isoDate(k).replace("-", "/")
+    s"""<html><head>
+<link rel="canonical" href="https://www.$dom/$date/${pick(Words, k + 1)}/">
+<title>dated page - ${pick(Sites, k)}</title>
+</head><body>
+<h1>${sentence(k + 2, 5)}</h1>
+<p>${sentence(k + 3, 13)}</p>
+<p>${sentence(k + 4, 10)}</p>
+</body></html>"""
+  }
+
+  private def unicodePayload(c: Long, t: Long): String = {
+    val k = h(c, t, 6)
+    s"""<div><div class="content ®">${pick(Greek, k)} ${sentence(k + 1, 6)}</div>
+<div><a href="s.html">${pick(Greek, k + 2)}</a></div>
+<p>${pick(Greek, k + 3)} ${sentence(k + 4, 7)}</p></div>"""
+  }
+
+  private def tinyPayload(c: Long, t: Long): String = {
+    val k = h(c, t, 7)
+    s"<html><p>${sentence(k, 4)}</p></html>"
+  }
+
+  private def blankPayload(c: Long, t: Long): String =
+    """<html><head><script>var x = 1;</script></head><body><script>render();</script></body></html>"""
+
+  private def markdownPayload(c: Long, t: Long): String = {
+    val k = h(c, t, 8)
+    s"# ${pick(Words, k).capitalize}\n\n${sentence(k + 1, 12)}\n\n- ${pick(Words, k + 2)}\n- ${pick(Words, k + 3)}"
+  }
+
+  private def toolOutputPayload(c: Long, t: Long): String = {
+    val k = h(c, t, 9)
+    s"""{"status": "ok", "rows": ${(k & 0xffffL)}, "elapsed_ms": ${(k >>> 16) & 0xfffL}, "note": "${pick(Words, k + 1)}"}"""
+  }
+
+  /** Payload class cycled deterministically per (conv, turn). */
+  def payload(c: Long, t: Long): String = {
+    val cls = ((h(c, t, 0) & 0x7fffffffL) % 12).toInt
+    cls match {
+      case 0 | 1 => pagePayload(c, t)
+      case 2 | 3 => metaRichPayload(c, t)
+      case 4 => mediaPayload(c, t)
+      case 5 => bylinePayload(c, t)
+      case 6 => datedUrlPayload(c, t)
+      case 7 => unicodePayload(c, t)
+      case 8 => tinyPayload(c, t)
+      case 9 => blankPayload(c, t)
+      case 10 => markdownPayload(c, t)
+      case 11 => toolOutputPayload(c, t)
+    }
+  }
+
+  def role(c: Long, t: Long): String = {
+    val cls = ((h(c, t, 0) & 0x7fffffffL) % 12).toInt
+    if (cls == 11) "tool"
+    else if (t == 0) "user"
+    else if ((h(c, t, 10) & 3) == 0) "user"
+    else "assistant"
+  }
+
+  def makeTurn(c: Long, t: Int): Turn = {
+    val r = role(c, t)
+    Turn(
+      conv_id = f"conv-$c%08d",
+      turn_idx = t,
+      role = r,
+      text = payload(c, t),
+      tool = if (r == "tool") "run_query" else null,
+      ts = new Timestamp(1700000000000L + c * 3600000L + t * 30000L))
+  }
+
+  /** Number of conversations for a scale factor: sf=0.1 ≈ 60k turns. */
+  def convsForSf(sf: Double): Long = math.max(4, (sf * 40000).toLong)
+
+  def turns(spark: SparkSession, sf: Double, partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    val n = convsForSf(sf)
+    spark.range(0, n, 1, partitions)
+      .flatMap(c => (0 until turnsPerConv(c)).iterator.map(t => makeTurn(c, t)))
+      .toDF()
+  }
+}

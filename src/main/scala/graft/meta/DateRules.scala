@@ -1,0 +1,90 @@
+package graft.meta
+
+import graft.dom.Node
+import java.util.regex.Pattern
+import java.time.LocalDateTime
+
+/** Deterministic subset of htmldate's find_date used by the reference
+  * (metadata.py:443-451) — documented ladder (SURVEY.md §2.6); the fixture
+  * generator emits only these constructs:
+  *   1. JSON-LD datePublished
+  *   2. <meta> date names (article:published_time, date, dc.date*, ...)
+  *   3. <time datetime=...>
+  *   4. URL date tokens
+  *   5. visible ISO-like dates (extensive mode only)
+  * Returns "yyyy-MM-dd" or null, like find_date's default format. */
+object DateRules {
+
+  private val Iso = Pattern.compile("(\\d{4})-(\\d{2})-(\\d{2})")
+  private val Slash = Pattern.compile("(\\d{4})/(\\d{1,2})/(\\d{1,2})")
+  private val MonthName = Pattern.compile(
+    "(January|February|March|April|May|June|July|August|September|October|November|December)\\s+(\\d{1,2}),?\\s+(\\d{4})")
+  private val Months = Vector("january", "february", "march", "april", "may",
+    "june", "july", "august", "september", "october", "november", "december")
+
+  private val MetaDateNames = Set("article:published_time",
+    "og:article:published_time", "datepublished", "date", "dc.date",
+    "dc.date.issued", "dcterms.date", "sailthru.date", "article.published",
+    "published-date", "publication_date", "sailthru.created")
+
+  def parseAny(s0: String): Option[String] = {
+    if (s0 == null) return None
+    val s = s0.trim
+    val m1 = Iso.matcher(s)
+    if (m1.find()) return valid(m1.group(1).toInt, m1.group(2).toInt, m1.group(3).toInt)
+    val m2 = Slash.matcher(s)
+    if (m2.find()) return valid(m2.group(1).toInt, m2.group(2).toInt, m2.group(3).toInt)
+    val m3 = MonthName.matcher(s)
+    if (m3.find())
+      return valid(m3.group(3).toInt, Months.indexOf(m3.group(1).toLowerCase) + 1, m3.group(2).toInt)
+    None
+  }
+
+  private def valid(y: Int, m: Int, d: Int): Option[String] = {
+    if (y < 1995 || y > 2039 || m < 1 || m > 12 || d < 1 || d > 31) return None
+    try Some(f"$y%04d-$m%02d-$d%02d")
+    catch { case _: Exception => None }
+  }
+
+  def findDate(tree: Node, url: String, extensiveSearch: Boolean): String = {
+    // 1. JSON-LD datePublished
+    val scripts = tree.findAll(n => n.tag == "script" &&
+      n.attr("type").exists(t => t == "application/ld+json" || t == "application/settings+json"))
+    scripts.foreach { sc =>
+      if (sc.text != null) {
+        val m = Pattern.compile("\"datePublished\"\\s*:\\s*\"([^\"]+)\"").matcher(sc.text)
+        if (m.find()) {
+          val r = parseAny(m.group(1))
+          if (r.isDefined) return r.get
+        }
+      }
+    }
+    // 2. meta tags
+    val metas = tree.findAll(_.tag == "meta")
+    metas.foreach { m =>
+      val key = m.attr("property").orElse(m.attr("name")).map(_.toLowerCase)
+      if (key.exists(MetaDateNames.contains)) {
+        val r = m.attr("content").flatMap(parseAny)
+        if (r.isDefined) return r.get
+      }
+    }
+    // 3. <time datetime>
+    tree.findAll(_.tag == "time").foreach { t =>
+      val r = t.attr("datetime").flatMap(parseAny).orElse(parseAny(t.textContent))
+      if (r.isDefined) return r.get
+    }
+    // 4. URL date
+    if (url != null) {
+      val base = LocalDateTime.of(2020, 1, 1, 0, 0)
+      val fixed = UrlUtils.validateDate(url, base)
+      if (fixed != base)
+        return f"${fixed.getYear}%04d-${fixed.getMonthValue}%02d-${fixed.getDayOfMonth}%02d"
+    }
+    // 5. visible dates (extensive mode)
+    if (extensiveSearch) {
+      val r = parseAny(tree.textContent)
+      if (r.isDefined) return r.get
+    }
+    null
+  }
+}

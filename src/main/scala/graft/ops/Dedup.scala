@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over a `documents`
+  * table (doc_id, text, ...). All are shuffle-on-key designs that hold at
+  * 100 TB: signatures are computed map-side (one pass per row), candidate
+  * generation is an equi-join on small keys (band hash / bit segment), and
+  * only candidate pairs — a tiny fraction — are verified. */
+object Dedup {
+
+  // ----------------------------------------------------------- exact dedup
+  /** Exact duplicate groups by content hash. Map-side partial aggregation;
+    * one shuffle on the 128-bit digest. */
+  def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(count(lit(1)).as("n_dupes"), min(col("doc_id")).as("keeper_doc_id"))
+
+  /** Keep one row per distinct text (the minimum doc_id wins). */
+  def exactDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col("doc_id"))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ------------------------------------------------------------- minhash
+  val MinhashPerms = 64
+  val MinhashBands = 16 // 16 bands x 4 rows
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Word-3-shingle MinHash signature (64 perms). Deterministic a/b from
+    * splitmix64 so signatures are reproducible across runs/executors. */
+  def minhashSignature(text: String): Array[Long] = {
+    val tokens = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val sig = Array.fill(MinhashPerms)(Long.MaxValue)
+    if (tokens.length < 3) {
+      // degenerate docs: hash whole-token shingles
+      tokens.zipWithIndex.foreach { case (t, _) => updateSig(sig, t.hashCode.toLong & 0xffffffffL) }
+      return sig
+    }
+    var i = 0
+    while (i + 2 < tokens.length) {
+      val shingle = tokens(i) + " " + tokens(i + 1) + " " + tokens(i + 2)
+      updateSig(sig, xx(shingle))
+      i += 1
+    }
+    sig
+  }
+
+  private def xx(s: String): Long = {
+    // FNV-1a 64 over UTF-8 — stable, allocation-free
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def updateSig(sig: Array[Long], x0: Long): Unit = {
+    val x = x0 & Long.MaxValue
+    var p = 0
+    while (p < MinhashPerms) {
+      val a = graft.jobs.Synth.mix(1000 + p) | 1L
+      val b = graft.jobs.Synth.mix(2000 + p)
+      val v = ((a * x + b) % MersennePrime) & Long.MaxValue
+      if (v < sig(p)) sig(p) = v
+      p += 1
+    }
+  }
+
+  val minhashUdf = udf((text: String) => minhashSignature(text))
+
+  /** Band hashes for LSH bucketing: MinhashBands keys per doc. */
+  val bandHashesUdf = udf((sig: Seq[Long]) => {
+    val rows = MinhashPerms / MinhashBands
+    (0 until MinhashBands).map { b =>
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < rows) { h ^= sig(b * rows + r); h *= 0x100000001b3L; r += 1 }
+      h
+    }
+  })
+
+  /** Near-duplicate candidate pairs via MinHash LSH:
+    * signature -> band buckets -> self-join within bucket -> verified
+    * estimated-Jaccard filter. Shuffles only on (band, bucket_hash). */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8, textCol: String = "text"): DataFrame = {
+    val sigs = docs.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
+    val banded = sigs
+      .withColumn("band_hash", bandHashesUdf(col("sig")))
+      .select(col("doc_id"), col("sig"), posexplode(col("band_hash")).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val estJaccard = udf((x: Seq[Long], y: Seq[Long]) =>
+      x.zip(y).count { case (u, v) => u == v }.toDouble / x.length)
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- simhash
+  /** 64-bit SimHash over token unigrams (token frequency weighted). */
+  def simhash(text: String): Long = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      .foreach(t => counts(t) = counts.getOrElse(t, 0) + 1)
+    val acc = new Array[Int](64)
+    counts.foreach { case (t, w) =>
+      val h = xx(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  val simhashUdf = udf((text: String) => simhash(text))
+
+  /** Near-dup pairs with Hamming distance <= maxDist via pigeonhole
+    * blocking: split the 64-bit hash into (maxDist+1) segments; any pair
+    * within maxDist must agree on at least one segment — join per segment. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, textCol: String = "text"): DataFrame = {
+    val nSeg = maxDist + 1
+    val segWidth = 64 / nSeg
+    val segUdf = udf((h: Long) =>
+      (0 until nSeg).map(s => (s.toLong << 32) | ((h >>> (s * segWidth)) & ((1L << segWidth) - 1))))
+    val hashed = docs.select(col("doc_id"), simhashUdf(col(textCol)).as("simhash"))
+      .withColumn("seg", explode(segUdf(col("simhash"))))
+    val a = hashed.select(col("seg"), col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val b = hashed.select(col("seg"), col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    val hamming = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
+    a.join(b, Seq("seg"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming(col("h_a"), col("h_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // -------------------------------------------------- n-gram Jaccard verify
+  /** Exact word-n-gram Jaccard for a (small) candidate pair set: joins the
+    * candidates back to texts (broadcast the candidate side at scale). */
+  val jaccardUdf = udf((a: String, b: String) => {
+    def grams(s: String): Set[String] = {
+      val t = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      if (t.length < 3) t.toSet else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val (ga, gb) = (grams(a), grams(b))
+    if (ga.isEmpty && gb.isEmpty) 1.0
+    else ga.intersect(gb).size.toDouble / ga.union(gb).size
+  })
+}

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.blocks.BlockifyError
+import graft.meta.{Authors, DateRules, Meta, MetaExtract, UrlUtils}
+import graft.model.NewsNet
+import java.sql.Timestamp
+import java.time.{LocalDate, LocalDateTime}
+
+/** Final per-turn extraction result: the reference's result dict as a fixed
+  * nullable wide struct (SURVEY.md §1.4, §2.6). One row per turn. */
+final case class Extracted(
+    content: String,
+    headline: String,
+    author: String,
+    rawAuthor: String,
+    authorConfidence: java.lang.Double,
+    date: Timestamp,
+    rawDate: String,
+    dateConfidence: java.lang.Double,
+    breadcrumbs: Seq[String],
+    title: String,
+    url: String,
+    hostname: String,
+    description: String,
+    sitename: String,
+    categories: Seq[String],
+    tags: Seq[String],
+    license: String,
+    audio: Seq[String],
+    video: String,
+    name: String,
+    ogProperties: Map[String, String],
+    nBlocks: Int,
+    error: String)
+
+/** The fused per-turn pipeline (Extractor.extract + postprocess,
+  * extractnet/pipeline.py:56-134): rule-based metadata ⊕ neural
+  * content/label extraction, merged with the reference's exact precedence
+  * (meta beats ML on key collision; last-parseable date candidate wins).
+  *
+  * Pure function of the turn text — embarrassingly parallel; the Spark layer
+  * maps it over partitions with no shuffle (SURVEY.md §3.1). */
+object Extract {
+
+  /** dateparser.parse stand-in: deterministic subset over the fixture date
+    * grammar (ISO-8601, yyyy/MM/dd, 'Month D, YYYY'); midnight timestamps. */
+  def parseDate(text: String): Option[LocalDateTime] =
+    DateRules.parseAny(text).map(s => LocalDate.parse(s).atStartOfDay())
+
+  def extract(text: String, defaultUrl: String = null, metadataMining: Boolean = true): Extracted = {
+    try {
+      // stage 2: rule-based metadata (None keys dropped at merge time)
+      val meta: Meta =
+        if (metadataMining) MetaExtract.extractMetadata(text, defaultUrl)
+        else Meta(null, null, null, null, null, null, null, null, null, null, null, null, null, null)
+
+      // stages 4-7: blockify -> featurize -> GRU -> decode
+      val (feat, blocks) = NewsNet.preprocess(text)
+      val out = NewsNet.decode(NewsNet.forward(feat), blocks)
+
+      // stage 8: postprocess (pipeline.py:92-134)
+      var rawAuthor: String = null
+      var authorConf: java.lang.Double = null
+      var mlAuthor: Seq[String] = null
+      if (out.author.nonEmpty) {
+        rawAuthor = out.author.head._1
+        authorConf = out.author.head._2
+        mlAuthor = Authors.extract(rawAuthor)
+      }
+
+      var rawDate: String = null
+      var dateConf: java.lang.Double = null
+      var mlDate: LocalDateTime = null
+      // every parseable candidate overwrites -> LAST parseable wins
+      // (pipeline.py:100-110, no break — replicated quirk)
+      out.date.foreach { case (dateText, conf) =>
+        parseDate(dateText).foreach { d =>
+          rawDate = dateText; dateConf = conf; mlDate = d
+        }
+      }
+
+      val mlContent = out.content.orNull
+      val mlHeadline = out.headline.orNull
+      val mlBreadcrumbs = out.breadcrumbs.map(_._1)
+
+      // priority_merge(results, meta): meta wins on collision for the
+      // overlapping keys (author, date); other meta keys fill their fields.
+      val authorFinal: String =
+        if (meta.author != null) meta.author
+        else if (mlAuthor != null) mlAuthor.mkString(",") // sanity: list -> ','.join
+        else null
+
+      // meta date is a find_date string; sanity check parses it and applies
+      // validate_date against the URL (util.py:220-235)
+      val urlForSanity = if (defaultUrl != null) defaultUrl else meta.url
+      var dateFinal: LocalDateTime =
+        if (meta.date != null) parseDate(meta.date).orNull
+        else mlDate
+      if (urlForSanity != null && dateFinal != null)
+        dateFinal = UrlUtils.validateDate(urlForSanity, dateFinal)
+
+      Extracted(
+        content = mlContent,
+        headline = mlHeadline,
+        author = authorFinal,
+        rawAuthor = rawAuthor,
+        authorConfidence = authorConf,
+        date = if (dateFinal == null) null else Timestamp.valueOf(dateFinal),
+        rawDate = rawDate,
+        dateConfidence = dateConf,
+        breadcrumbs = mlBreadcrumbs,
+        title = meta.title,
+        url = meta.url,
+        hostname = meta.hostname,
+        description = meta.description,
+        sitename = meta.sitename,
+        categories = meta.categories,
+        tags = meta.tags,
+        license = meta.license,
+        audio = meta.audio,
+        video = meta.video,
+        name = meta.name,
+        ogProperties = meta.ogProperties,
+        nBlocks = blocks.length,
+        error = null)
+    } catch {
+      case e: BlockifyError => failed(e.getMessage)
+      case scala.util.control.NonFatal(e) =>
+        failed(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
+    }
+  }
+
+  /** Per-row failure row (the reference would raise and kill the batch; at
+    * 100 TB we record the failure in-row + metrics instead — documented
+    * deviation, fixtures never hit it). */
+  private def failed(msg: String): Extracted =
+    Extracted(null, null, null, null, null, null, null, null, null, null,
+      null, null, null, null, null, null, null, null, null, null, null, 0, msg)
+}

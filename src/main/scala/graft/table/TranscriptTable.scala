@@ -1,0 +1,70 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-*like* table: partitioned Parquet + an atomic per-batch commit
+  * manifest (SURVEY.md §7.5). Iceberg jars are absent from this image, so
+  * snapshot semantics are realized manually:
+  *
+  *   table/
+  *     data/batch=<id>/...parquet      -- data files for one batch
+  *     _manifests/manifest-<id>.json   -- atomic commit marker (tmp+rename)
+  *
+  * A batch is visible iff its manifest exists; a crashed batch leaves only
+  * orphan data files that a re-run overwrites. Re-running a committed batch
+  * is a no-op (idempotent resume). A real Iceberg catalog can implement the
+  * same interface unchanged. */
+object TranscriptTable {
+
+  def manifestDir(table: String): Path = Paths.get(table, "_manifests")
+  def dataDir(table: String, batchId: String): String = s"$table/data/batch=$batchId"
+
+  def committedBatches(table: String): Seq[String] = {
+    val dir = manifestDir(table)
+    if (!Files.exists(dir)) return Seq.empty
+    Files.list(dir).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("manifest-").stripSuffix(".json"))
+      .toSeq.sorted
+  }
+
+  def isCommitted(table: String, batchId: String): Boolean =
+    Files.exists(manifestDir(table).resolve(s"manifest-$batchId.json"))
+
+  /** Write one batch then commit it atomically. `manifestExtra` carries the
+    * batch lineage summary into the manifest for audit. */
+  def writeBatch(df: DataFrame, table: String, batchId: String,
+      manifestExtra: Map[String, String] = Map.empty): Unit = {
+    if (isCommitted(table, batchId)) return // idempotent resume
+    val target = dataDir(table, batchId)
+    df.write.mode(SaveMode.Overwrite).parquet(target)
+    val mdir = manifestDir(table)
+    Files.createDirectories(mdir)
+    val files = Files.list(Paths.get(target)).iterator.asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val json = {
+      val extras = manifestExtra.map { case (k, v) => s"""  "$k": "$v"""" }
+      val fileList = files.map(f => s"""    "$f"""").mkString(",\n")
+      (Seq(
+        s"""  "batch_id": "$batchId"""",
+        s"""  "n_files": ${files.length}""",
+        s"""  "files": [\n$fileList\n  ]""") ++ extras).mkString("{\n", ",\n", "\n}\n")
+    }
+    val tmp = mdir.resolve(s".manifest-$batchId.json.tmp")
+    Files.write(tmp, json.getBytes(UTF_8))
+    // atomic visibility flip
+    Files.move(tmp, mdir.resolve(s"manifest-$batchId.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read all committed batches (snapshot view). */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val batches = committedBatches(table)
+    require(batches.nonEmpty, s"no committed batches in $table")
+    spark.read.parquet(batches.map(b => dataDir(table, b)): _*)
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.meta._
+import org.scalatest.funsuite.AnyFunSuite
+import java.time.LocalDateTime
+
+/** Ported goldens: test_metadata.py (URL dates + meta extraction smoke),
+  * test_author_tagger.py (13 pinned bylines), test_audio.py, test_video.py,
+  * test_lcs.py, test_util.py. */
+class MetaSpec extends AnyFunSuite {
+
+  def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/extractnet-fixtures/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  // ---- test_metadata.py::test_date_validate_from_url (11 literals)
+  test("URL date validation golden") {
+    val defaultDate = LocalDateTime.of(2022, 1, 1, 12, 11, 10)
+    val cases = Seq(
+      ("http://rssfeeds.usatoday.com/~/718271584/0/usatodaycomsports-topstories~New-body-camera-footage-shows-Hope-Solos-DWI-arrest-from-March/", (2022, 1, 1)),
+      ("http://rssfeeds.pnj.com/~/718260410/0/pensacola/news~Anglers-and-pedestrians-delighted-that-Palafox-Pier-has-reopened-in-Pensacola-PHOTOS/", (2022, 1, 1)),
+      ("https://www.msn.com/en-gb/news/newsbirmingham/man-taken-to-hospital-with-burns-after-lithium-battery-explodes-in-great-barr-house/ar-AA12JUmH", (2022, 1, 1)),
+      ("https://www.washingtontimes.com/news/2022/oct/27/lucianne-goldberg-bill-clinton-impeachment-figure-/", (2022, 10, 27)),
+      ("https://www.azcentral.com/picture-gallery/news/local/arizona/2017/10/18/remembering-arizona-leaders-who-have-died/106769086/", (2017, 10, 18)),
+      ("https://www.cnn.com/2017/01/23/politics/cdc-climate-conference-canceled-trump-administration/index.html", (2017, 1, 23)),
+      ("https://www.cnn.com/2017/05/29/tennis/french-open-tennis-djokovic-agassi-nadal/index.html", (2017, 5, 29)),
+      ("https://dfw.cbslocal.com/2015/01/police-officers-give-sick-boy-a-b-day-surprise/", (2015, 1, 1)),
+      ("https://www.cnn.com/2022/2/29/politics/cdc-climate-conference-canceled-trump-administration/index.html", (2022, 2, 28)),
+      ("http://www.apnewsarchive.com/2015/Even-70-years-later-Allied-firebombing-of-Dresden-still-fresh-in-survivor-s-mind/id-1862c9192bdc46289e303f2c443eb13b", (2015, 1, 1)),
+      ("http://www.china.org.cn/world/Off_the_Wire/2022-10/08/content_78455811.htm", (2022, 10, 8)))
+    cases.foreach { case (url, (y, m, d)) =>
+      val fixed = UrlUtils.validateDate(url, defaultDate)
+      assert((fixed.getYear, fixed.getMonthValue, fixed.getDayOfMonth) == ((y, m, d)), url)
+    }
+  }
+
+  // ---- test_metadata.py::test_meta_extraction
+  test("meta extraction on video_example_yt") {
+    val results = MetaExtract.extractMetadata(fixture("video_example_yt.html"))
+    assert(results.title != null)
+    assert(results.author != null)
+    assert(results.video != null)
+  }
+
+  // ---- test_video.py
+  test("video: googletagmanager not extracted") {
+    val r = Video.getAdvanceFields(fixture("video_example_false.html"))
+    assert(r.video == null)
+  }
+
+  test("video: yt embed normalized to watch url") {
+    val r = Video.getAdvanceFields(fixture("video_example_yt.html"))
+    assert(r.video == "https://www.youtube.com/watch?v=test_example")
+  }
+
+  // ---- test_audio.py
+  test("audio example extracts audio urls") {
+    val r = Video.getAdvanceFields(fixture("audio_example.html"))
+    assert(r.audio != null && r.audio.nonEmpty)
+  }
+
+  // ---- test_author_tagger.py (13 pinned bylines)
+  test("author extraction pinned examples") {
+    val examples = Seq(
+      ("By BASSEM MROUE, SARAH EL DEEB and ZEINA KARAM", Seq("BASSEM MROUE", "SARAH EL DEEB", "ZEINA KARAM")),
+      ("Bassem Mroue, Sarah El Deeb And Zeina Karam", Seq("Bassem Mroue", "Sarah El Deeb", "Zeina Karam")),
+      ("蘇銘翰 圖片來源／Toyota", Seq("蘇銘翰")),
+      ("Christophe Franken (avec Y. T.)", Seq("Christophe Franken")),
+      ("Mohammad Arief Hidayat,Ahmad Farhan Faris", Seq("Mohammad Arief Hidayat", "Ahmad Farhan Faris")),
+      ("Corentin Pennarguear, correspondant à New York", Seq("Corentin Pennarguear")),
+      ("Resya Kania, PhD Candidate in Social Policy,), University of Birmingham", Seq("Resya Kania")),
+      ("Galen Emanuele | Shift Yes", Seq("Galen Emanuele")),
+      ("撰文／莊正賢", Seq("莊正賢")),
+      ("鉅亨網編輯江泰傑", Seq("江泰傑")),
+      ("（林媛玲／台北報導）", Seq("林媛玲")),
+      ("聯合報 / 記者潘乃欣／台北即時報導", Seq("潘乃欣")),
+      ("【財訊快報陳孟朔】", Seq("陳孟朔")))
+    examples.foreach { case (text, expected) =>
+      assert(Authors.extract(text) == expected, s"input: $text")
+    }
+  }
+
+  // ---- test_lcs.py
+  test("lcs check_inclusion") {
+    val inc = Lcs.checkInclusion(
+      Vector("some", "words", "here", "the", "football"),
+      Vector("he", "said", "words", "kick", "the", "football"))
+    assert(inc == Seq(false, true, false, true, true))
+  }
+
+  // ---- test_util.py::test_evaluation_metrics
+  test("evaluation metrics bow and list") {
+    val predicted = "skiing sparkling soft snow in soft sun".split(" ").toSeq
+    val actual = "soft snow in soft sun soft turns turns".split(" ").toSeq
+    def f1(p: Double, r: Double) = 2 * p * r / (p + r)
+    val (p1, r1, f11) = TextUtils.evaluationMetrics(predicted, actual)
+    assert(math.abs(p1 - 4.0 / 6.0) < 1e-12 && math.abs(r1 - 4.0 / 5.0) < 1e-12)
+    assert(math.abs(f11 - f1(4.0 / 6.0, 4.0 / 5.0)) < 1e-12)
+    val (p2, r2, f12) = TextUtils.evaluationMetrics(predicted, actual, bow = false)
+    assert(math.abs(p2 - 5.0 / 7.0) < 1e-12 && math.abs(r2 - 5.0 / 8.0) < 1e-12)
+    assert(math.abs(f12 - f1(5.0 / 7.0, 5.0 / 8.0)) < 1e-12)
+  }
+
+  // ---- normalize_authors behavior checks
+  test("normalize_authors basics") {
+    assert(TextUtils.normalizeAuthors(null, "John Smith") == "John Smith")
+    assert(TextUtils.normalizeAuthors(null, "by John Smith") == "John Smith")
+    assert(TextUtils.normalizeAuthors(null, "john smith") == "John Smith")
+    assert(TextUtils.normalizeAuthors("Jane Doe", "John Smith") == "Jane Doe; John Smith")
+    assert(TextUtils.normalizeAuthors(null, "http://example.com/author") == null)
+    assert(TextUtils.normalizeAuthors(null, "@johnsmith") == null)
+  }
+
+  test("trim and line processing") {
+    assert(TextUtils.trim("  hello   world  ") == "hello world")
+    assert(TextUtils.lineProcessing("   ") == null)
+    assert(TextUtils.lineProcessing("a&nbsp;b") == "a b")
+  }
+
+  test("extract domain") {
+    assert(UrlUtils.extractDomain("https://www.example.com/path") == "example.com")
+    assert(UrlUtils.extractDomain("https://news.bbc.co.uk/x") == "bbc.co.uk")
+    assert(UrlUtils.extractDomain("http://www.china.org.cn/a") == "china.org.cn")
+    assert(UrlUtils.extractDomain("not a url") == null)
+  }
+
+  test("url normalizer") {
+    val p = UrlUtils.urlIsValid("HTTP://Example.COM:80//a//b?z=2&a=1").get
+    assert(UrlUtils.urlNormalizer(p) == "http://example.com/a/b?a=1&z=2")
+  }
+}
