@@ -39,7 +39,9 @@ object Bench {
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      // noop sink: forces full evaluation of every column (a bare count()
+      // would let Catalyst prune the extraction UDFs away)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       results(name) = (System.nanoTime() - t0) / 1e9
     }

@@ -287,6 +287,18 @@ object Blockifier {
       doTagcount: Boolean = false,
       wordCharFilter: Boolean = true): Vector[Block] = {
     val tree = HtmlParser.parse(html)
+    blockifyTree(tree, starters, doCss, doReadability, doTagcount, wordCharFilter)
+  }
+
+  /** Walk an already-parsed tree (lets one parse feed blockify + metadata;
+    * behavior-neutral fusion, SURVEY.md §4.1). */
+  def blockifyTree(
+      tree: graft.dom.Node,
+      starters: Set[String],
+      doCss: Boolean,
+      doReadability: Boolean,
+      doTagcount: Boolean,
+      wordCharFilter: Boolean): Vector[Block] = {
     if (tree == null) throw new BlockifyError("Could not blockify HTML")
     val w = new Walker(starters, doCss, doReadability, doTagcount)
     w.recurse(tree)
@@ -299,8 +311,80 @@ object Blockifier {
     if (wordCharFilter) out.filter(b => ReText.matcher(b.text).find()) else out
   }
 
+  def blockifyProductionTree(tree: graft.dom.Node): Vector[Block] =
+    blockifyTree(tree, ExtractnetStarters, doCss = true, doReadability = true,
+      doTagcount = true, wordCharFilter = false)
+
   private val ReText = java.util.regex.Pattern.compile(
     "[\\w&&[^_]]", java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  // ------------------------------------------------------- bytes ingest
+  /** UTF-8 decode with surrogate-escape for invalid bytes (byte b ->
+    * U+DC00|b), mirroring how lxml surfaces bad bytes: text nodes containing
+    * them raise UnicodeDecodeError (we DROP those text nodes, pinned by
+    * test_blocks.py::test_text_from_subtree_decode_error and
+    * test_kohlschuetter.py::test_invalid_bytes), while attribute values
+    * recover the byte as U+00XX (test_invalid_bytes css golden). */
+  def decodeSurrogate(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    val n = bytes.length
+    def cont(j: Int): Boolean = j < n && (bytes(j) & 0xc0) == 0x80
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      if (b < 0x80) { sb.append(b.toChar); i += 1 }
+      else if ((b & 0xe0) == 0xc0 && cont(i + 1) && b >= 0xc2) {
+        sb.append((((b & 0x1f) << 6) | (bytes(i + 1) & 0x3f)).toChar); i += 2
+      } else if ((b & 0xf0) == 0xe0 && cont(i + 1) && cont(i + 2)) {
+        val cp = ((b & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+        if (cp >= 0x800 && !(cp >= 0xd800 && cp <= 0xdfff)) { sb.append(cp.toChar); i += 3 }
+        else { sb.append((0xdc00 | b).toChar); i += 1 }
+      } else if ((b & 0xf8) == 0xf0 && b <= 0xf4 && cont(i + 1) && cont(i + 2) && cont(i + 3)) {
+        val cp = ((b & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+        if (cp >= 0x10000 && cp <= 0x10ffff) { sb.append(new String(Character.toChars(cp))); i += 4 }
+        else { sb.append((0xdc00 | b).toChar); i += 1 }
+      } else { sb.append((0xdc00 | b).toChar); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def hasEscape(s: String): Boolean =
+    s != null && s.exists(c => c >= 0xdc80 && c <= 0xdcff)
+  private def mapEscapes(s: String): String =
+    if (!hasEscape(s)) s else s.map(c => if (c >= 0xdc80 && c <= 0xdcff) (c & 0xff).toChar else c)
+
+  /** Bytes ingest: guess/honor encoding, decode, then blockify with the
+    * invalid-byte semantics above. */
+  def blockifyBytes(
+      bytes: Array[Byte],
+      encoding: String = null,
+      starters: Set[String] = DragnetStarters,
+      doCss: Boolean = true,
+      doReadability: Boolean = false,
+      doTagcount: Boolean = false,
+      wordCharFilter: Boolean = true): Vector[Block] = {
+    val enc = if (encoding != null) encoding else guessEncoding(bytes)
+    val decoded = enc.toLowerCase.replace("-", "").replace("_", "") match {
+      case "utf8" => decodeSurrogate(bytes)
+      case other =>
+        try new String(bytes, java.nio.charset.Charset.forName(enc))
+        catch { case _: Exception => decodeSurrogate(bytes) }
+    }
+    val tree = HtmlParser.parse(decoded)
+    if (tree == null) throw new BlockifyError("Could not blockify HTML")
+    // lxml semantics: invalid bytes in text -> UnicodeDecodeError -> text
+    // dropped; in attribute values -> byte recovered as U+00XX
+    tree.descendantsAndSelf.foreach { n =>
+      if (hasEscape(n.text)) n.text = null
+      if (hasEscape(n.tail)) n.tail = null
+      n.attrs = n.attrs.map { case (k, v) => (k, mapEscapes(v)) }
+    }
+    val w = new Walker(starters, doCss, doReadability, doTagcount)
+    w.recurse(tree)
+    val out = w.finish().toVector
+    if (wordCharFilter) out.filter(b => ReText.matcher(b.text).find()) else out
+  }
 
   /** Production blockifier (nn_models.py:32): literal extractnet starter set,
     * CSS + readability + tagcount all on. */

@@ -22,6 +22,8 @@ object DateRules {
   private val Months = Vector("january", "february", "march", "april", "may",
     "june", "july", "august", "september", "october", "november", "december")
 
+  private val DatePublished = Pattern.compile("\"datePublished\"\\s*:\\s*\"([^\"]+)\"")
+
   private val MetaDateNames = Set("article:published_time",
     "og:article:published_time", "datepublished", "date", "dc.date",
     "dc.date.issued", "dcterms.date", "sailthru.date", "article.published",
@@ -52,7 +54,7 @@ object DateRules {
       n.attr("type").exists(t => t == "application/ld+json" || t == "application/settings+json"))
     scripts.foreach { sc =>
       if (sc.text != null) {
-        val m = Pattern.compile("\"datePublished\"\\s*:\\s*\"([^\"]+)\"").matcher(sc.text)
+        val m = DatePublished.matcher(sc.text)
         if (m.find()) {
           val r = parseAny(m.group(1))
           if (r.isDefined) return r.get

@@ -365,15 +365,21 @@ object MetaExtract {
       filecontent: String,
       defaultUrl: String = null,
       fastmode: Boolean = false,
-      authorBlacklist: Set[String] = BlacklistAuthor): Meta = {
-    val tree = HtmlParser.parse(filecontent)
+      authorBlacklist: Set[String] = BlacklistAuthor): Meta =
+    extractMetadata(HtmlParser.parse(filecontent), filecontent, defaultUrl,
+      fastmode, authorBlacklist)
+
+  /** Shared-parse variant: caller supplies the parsed tree (one parse per
+    * turn feeds blockify + metadata + advance fields). */
+  def extractMetadata(tree: Node, filecontent: String, defaultUrl: String,
+      fastmode: Boolean, authorBlacklist: Set[String]): Meta = {
     if (tree == null) return Meta(null, null, null, null, null, null, null,
       null, null, null, null, null, null, null)
 
     val md = examineMeta(tree)
 
     // advance fields
-    val adv = Video.getAdvanceFields(filecontent)
+    val adv = Video.getAdvanceFields(tree, filecontent)
     md("audio") = adv.audio
     md("video") = adv.video
 

@@ -23,8 +23,12 @@ object Video {
         (!want.contains(' ') && v.split("\\s+").contains(want))
     }
 
-  def getAdvanceFields(rawHtml: String): AdvanceFields = {
-    val tree = HtmlParser.parse(rawHtml)
+  def getAdvanceFields(rawHtml: String): AdvanceFields =
+    getAdvanceFields(HtmlParser.parse(rawHtml), rawHtml)
+
+  /** Shared-parse variant (the reference re-parses with bs4; one parse is
+    * behavior-neutral — same DOM, same ladder). */
+  def getAdvanceFields(tree: Node, rawHtml: String): AdvanceFields = {
     if (tree == null) return AdvanceFields(null, null, null)
 
     // ---- audio

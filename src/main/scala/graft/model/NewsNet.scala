@@ -165,11 +165,21 @@ object NewsNet {
     }
   }
 
+  /** EMPTY_HTML fallback blocks are constant — computed once per JVM. */
+  private lazy val emptyHtmlBlocks: Vector[Block] = Blockifier.blockifyProduction(EmptyHtml)
+
   /** NewsNet.preprocess (nn_models.py:31-39): production blockify; 0 blocks ->
     * EMPTY_HTML fallback; 1-2 blocks -> [first]+blocks+[last] padding. */
-  def preprocess(html: String): (Array[Array[Float]], IndexedSeq[Block]) = {
-    var blocks = Blockifier.blockifyProduction(html)
-    if (blocks.isEmpty) blocks = Blockifier.blockifyProduction(EmptyHtml)
+  def preprocess(html: String): (Array[Array[Float]], IndexedSeq[Block]) =
+    preprocessBlocks(Blockifier.blockifyProduction(html))
+
+  /** Same, over a shared parsed tree (one parse per turn in the fused path). */
+  def preprocessTree(tree: graft.dom.Node): (Array[Array[Float]], IndexedSeq[Block]) =
+    preprocessBlocks(Blockifier.blockifyProductionTree(tree))
+
+  private def preprocessBlocks(blocks0: Vector[Block]): (Array[Array[Float]], IndexedSeq[Block]) = {
+    var blocks = blocks0
+    if (blocks.isEmpty) blocks = emptyHtmlBlocks
     else if (blocks.length < 3) blocks = blocks.head +: blocks :+ blocks.last
     val feat = Features.assemble(blocks).map(_.map(_.toFloat))
     (feat, blocks)

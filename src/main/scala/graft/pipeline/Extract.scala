@@ -49,13 +49,20 @@ object Extract {
 
   def extract(text: String, defaultUrl: String = null, metadataMining: Boolean = true): Extracted = {
     try {
+      // ONE parse per turn, shared by metadata + blockifier (the reference
+      // parses three times: lxml twice + bs4; behavior-neutral fusion,
+      // SURVEY.md §4.1)
+      val tree = graft.dom.HtmlParser.parse(text)
+
       // stage 2: rule-based metadata (None keys dropped at merge time)
       val meta: Meta =
-        if (metadataMining) MetaExtract.extractMetadata(text, defaultUrl)
+        if (metadataMining)
+          MetaExtract.extractMetadata(tree, text, defaultUrl, false, MetaExtract.BlacklistAuthor)
         else Meta(null, null, null, null, null, null, null, null, null, null, null, null, null, null)
 
       // stages 4-7: blockify -> featurize -> GRU -> decode
-      val (feat, blocks) = NewsNet.preprocess(text)
+      if (tree == null) throw new BlockifyError("Could not blockify HTML")
+      val (feat, blocks) = NewsNet.preprocessTree(tree)
       val out = NewsNet.decode(NewsNet.forward(feat), blocks)
 
       // stage 8: postprocess (pipeline.py:92-134)

@@ -1,0 +1,133 @@
+package graft
+
+import graft.blocks.Blockifier
+import graft.meta.TextUtils
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Tier-3 property-based invariants (SURVEY.md §5.2) + bytes-ingest goldens
+  * from the reference bytes tests. Deterministic seeds (no scalatestplus
+  * bridge in the offline cache — a minimal forAll is inlined). */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 60)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val arbString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr, Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf('<', '>', '&', '"', '\'', 'a', ' ', '\n', 'δ', '报')).map(_.mkString))
+
+  // ---- bytes ingest goldens (test_kohlschuetter.py)
+  test("bytes: class attr with multibyte utf-8 char") {
+    val s = ("<div CLASS=' class1 ®'>text in div\n" +
+      "<h1 id=\"HEADER\">header</h1>\n</div>").getBytes("UTF-8")
+    val blocks = Blockifier.blockifyBytes(s, "utf-8")
+    assert(blocks.map(_.text) == Seq("text in div", "header"))
+    assert(blocks.map(_.cssId) == Seq("", "header"))
+    assert(blocks.map(_.cssClass) == Seq("class1 ®", ""))
+  }
+
+  test("bytes: invalid utf-8 drops text node, recovers attr byte") {
+    val s = Array.concat(
+      "<div CLASS='".getBytes("UTF-8"), Array(0x80.toByte),
+      "'>text in div</div><p>invalid bytes ".getBytes("UTF-8"),
+      Array(0x80.toByte), "</p>".getBytes("UTF-8"))
+    val blocks = Blockifier.blockifyBytes(s, "utf-8")
+    assert(blocks.map(_.text) == Seq("text in div"))
+    assert(blocks.map(_.cssClass) == Seq(""))
+  }
+
+  test("bytes: encoding guess drives decode") {
+    val s = "<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?><html><p>café</p></html>"
+      .getBytes("ISO-8859-1")
+    val blocks = Blockifier.blockifyBytes(s)
+    assert(blocks.map(_.text) == Seq("café"))
+  }
+
+  // ---- generators
+  private val word = Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(8))
+  private val textGen = Gen.listOfN(6, word).map(_.mkString(" "))
+  private val tagGen = Gen.oneOf("div", "p", "span", "b", "i", "h1", "table", "li", "em")
+
+  private val htmlGen: Gen[String] = for {
+    n <- Gen.choose(1, 8)
+    parts <- Gen.listOfN(n, for {
+      t <- tagGen
+      txt <- textGen
+    } yield s"<$t>$txt</$t>")
+  } yield "<html><body>" + parts.mkString("\n") + "</body></html>"
+
+  test("blockify is deterministic / idempotent") {
+    forAll(htmlGen) { html =>
+      val a = Blockifier.blockifyProduction(html)
+      val b = Blockifier.blockifyProduction(html)
+      assert(a == b)
+    }
+  }
+
+  test("block text tokens are a sub-multiset of document tokens") {
+    forAll(htmlGen) { html =>
+      val docTokens = html.replaceAll("<[^>]*>", " ").split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val blockTokens = Blockifier.blockifyProduction(html)
+        .flatMap(_.text.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      blockTokens.foreach { case (tok, c) =>
+        assert(docTokens.getOrElse(tok, 0) >= c, s"token $tok")
+      }
+    }
+  }
+
+  test("no empty blocks; counters non-negative") {
+    forAll(htmlGen) { html =>
+      val blocks = Blockifier.blockifyProduction(html)
+      blocks.foreach { b =>
+        assert(b.text.trim.nonEmpty)
+        assert(b.tagcount >= 0 && b.tagcountSinceLastBlock >= 0 && b.anchorCount >= 0)
+        assert(b.linkDensity >= 0 && b.textDensity >= 0)
+      }
+    }
+  }
+
+  test("trim is idempotent") {
+    forAll(arbString) { s =>
+      val t = TextUtils.trim(s)
+      assert(TextUtils.trim(t) == t)
+    }
+  }
+
+  test("extraction never throws on arbitrary strings") {
+    forAll(arbString, 25) { s =>
+      val r = graft.pipeline.Extract.extract(s)
+      assert(r != null)
+    }
+  }
+
+  test("minhash est-jaccard self-similarity is 1") {
+    forAll(textGen) { t =>
+      val text = t + " " + t + " " + t // ensure >= 3 tokens
+      val s1 = graft.ops.Dedup.minhashSignature(text)
+      val s2 = graft.ops.Dedup.minhashSignature(text)
+      assert(s1.sameElements(s2))
+    }
+  }
+
+  test("simhash of identical texts identical; hamming small for near-identical") {
+    val base = "the quick brown fox jumps over the lazy dog again and again with many words"
+    val near = base + " extra"
+    val d = java.lang.Long.bitCount(graft.ops.Dedup.simhash(base) ^ graft.ops.Dedup.simhash(near))
+    assert(d <= 16)
+    assert(graft.ops.Dedup.simhash(base) == graft.ops.Dedup.simhash(base))
+  }
+
+  test("langid spot checks") {
+    import graft.ops.TextAnalysis.langId
+    assert(langId("the cat sat on the mat and this is fine") == "en")
+    assert(langId("le chat est dans la maison et il est content") == "fr")
+    assert(langId("这是一个中文句子希望可以被识别出来") == "zh")
+    assert(langId("") == "und")
+  }
+}
