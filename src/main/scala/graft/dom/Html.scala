@@ -37,12 +37,42 @@ final class Node(val tag: String) {
     sb.toString
   }
 
-  /** Pre-order iterator over this node and all descendant elements. */
-  def descendantsAndSelf: Iterator[Node] =
-    Iterator.single(this) ++ children.iterator.flatMap(_.descendantsAndSelf)
+  /** Pre-order traversal over this node and all descendants (explicit stack
+    * — iterator concatenation was the hottest allocation site at 32 threads). */
+  def foreachNode(f: Node => Unit): Unit = {
+    var stack = List(this)
+    while (stack.nonEmpty) {
+      val n = stack.head
+      stack = stack.tail
+      f(n)
+      var i = n.children.length - 1
+      while (i >= 0) { stack = n.children(i) :: stack; i -= 1 }
+    }
+  }
 
-  def find(pred: Node => Boolean): Option[Node] = descendantsAndSelf.find(pred)
-  def findAll(pred: Node => Boolean): Seq[Node] = descendantsAndSelf.filter(pred).toSeq
+  def descendantsAndSelf: Iterator[Node] = {
+    val buf = new ArrayBuffer[Node]
+    foreachNode(buf += _)
+    buf.iterator
+  }
+
+  def find(pred: Node => Boolean): Option[Node] = {
+    var stack = List(this)
+    while (stack.nonEmpty) {
+      val n = stack.head
+      stack = stack.tail
+      if (pred(n)) return Some(n)
+      var i = n.children.length - 1
+      while (i >= 0) { stack = n.children(i) :: stack; i -= 1 }
+    }
+    None
+  }
+
+  def findAll(pred: Node => Boolean): Seq[Node] = {
+    val buf = new ArrayBuffer[Node]
+    foreachNode(n => if (pred(n)) buf += n)
+    buf.toSeq
+  }
 }
 
 object HtmlParser {

@@ -208,3 +208,21 @@ object Features {
     Array.tabulate(blocks.length)(i => k(i) ++ w(i) ++ Array(r(i)) ++ c(i))
   }
 }
+
+/** StandardizedFeature equivalent (features/standardized.py): (x-μ)/σ per
+  * column with a fitted scaler — training-time only in the reference;
+  * provided as a plain column op for the operator inventory. */
+object Standardize {
+  def fit(rows: Array[Array[Double]]): (Array[Double], Array[Double]) = {
+    val d = rows.head.length
+    val mean = new Array[Double](d)
+    val std = new Array[Double](d)
+    rows.foreach(r => (0 until d).foreach(j => mean(j) += r(j)))
+    (0 until d).foreach(j => mean(j) /= rows.length)
+    rows.foreach(r => (0 until d).foreach(j => std(j) += (r(j) - mean(j)) * (r(j) - mean(j))))
+    (0 until d).foreach(j => std(j) = math.sqrt(std(j) / rows.length))
+    (mean, std)
+  }
+  def transform(rows: Array[Array[Double]], mean: Array[Double], std: Array[Double]): Array[Array[Double]] =
+    rows.map(_.zipWithIndex.map { case (v, j) => if (std(j) == 0) 0.0 else (v - mean(j)) / std(j) })
+}

@@ -17,34 +17,62 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
 
+  /** Pure map-stage scaling (no salt shuffle): isolates CPU scaling from
+    * local-disk shuffle throughput. */
+  def runNoShuffle(cores: Int, sf: Double): (Long, Double) = {
+    import org.apache.spark.sql.functions.col
+    val spark = session(cores)
+    try {
+      import spark.implicits._
+      def job(s: Double) = {
+        val n = Synth.convsForSf(s)
+        spark.range(0, n, 1, cores * 2)
+          .flatMap(c => (0 until Synth.turnsPerConv(c)).iterator.map(t => Synth.makeTurn(c, t)))
+          .map(t => graft.pipeline.Extract.extract(t.text).nBlocks.toLong)
+          .agg(org.apache.spark.sql.functions.sum("value")).head
+      }
+      job(math.min(sf / 10, 0.01)) // warmup
+      val t0 = System.nanoTime()
+      job(sf)
+      val n = Synth.turns(spark, sf, cores * 2).count()
+      val secs = (System.nanoTime() - t0) / 1e9 // count() cost negligible vs extract
+      (n, secs)
+    } finally spark.stop()
+  }
+
+  /** Warmup (JIT + codegen) then measure, inside ONE session. */
   def run(cores: Int, sf: Double): (Long, Double) = {
     val spark = session(cores)
     try {
-      val turns = Synth.turns(spark, sf, cores * 2)
+      // generous warmup: C2 needs thousands of per-turn iterations per thread
+      ExtractJob.extractTurns(spark,
+        Synth.turns(spark, math.max(0.02, sf / 5), cores * 4), cores * 4).count()
+      // 4 tasks per core: short tail, straggler-resistant
+      val turns = Synth.turns(spark, sf, cores * 4)
       val t0 = System.nanoTime()
-      val n = ExtractJob.extractTurns(spark, turns, cores * 2).count()
+      val n = ExtractJob.extractTurns(spark, turns, cores * 4).count()
       (n, (System.nanoTime() - t0) / 1e9)
     } finally spark.stop()
   }
 
+  /** One measurement per JVM (repeated in-JVM sessions pollute the JIT code
+    * cache / metaspace with stale codegen classes and skew timings badly —
+    * observed 4x variance). Orchestrate N vs 4N via two invocations:
+    *   runMain graft.jobs.ScalingBench <sf> <cores>
+    * Each does an in-JVM warmup at small scale first (JIT), then measures. */
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.map(_.toDouble).getOrElse(0.1)
-    val nCores = if (args.length > 1) args(1).toInt else 8
-    val bigCores = nCores * 4
-
-    // JIT warmup (small)
-    run(4, math.min(sf / 10, 0.01))
-
-    val (n1, t1) = run(nCores, sf)
-    val tp1 = n1 / t1
-    val (n2, t2) = run(bigCores, sf)
-    val tp2 = n2 / t2
-    val eff = tp2 / (4.0 * tp1)
-    println(f"""{"sf":$sf,"n_turns":$n1,"cores_n":$nCores,"secs_n":$t1%.1f,"tps_n":$tp1%.1f,"cores_4n":$bigCores,"secs_4n":$t2%.1f,"tps_4n":$tp2%.1f,"efficiency":$eff%.3f}""")
+    val cores = if (args.length > 1) args(1).toInt else 8
+    val noShuffle = args.length > 2 && args(2) == "noshuffle"
+    val (n, t) = if (noShuffle) runNoShuffle(cores, sf) else run(cores, sf)
+    val tp = n / t
+    println(f"""{"sf":$sf,"cores":$cores,"noshuffle":$noShuffle,"n_turns":$n,"secs":$t%.2f,"tps":$tp%.1f}""")
   }
 }

@@ -37,3 +37,29 @@ object Lcs {
     ret.reverse.toSeq
   }
 }
+
+/** Damerau-Levenshtein distance (util.py:25-68; unused by the reference
+  * pipeline, ported for the evaluation-operator inventory). */
+object EditDistance {
+  def dameraulevenshtein[T](seq1: IndexedSeq[T], seq2: IndexedSeq[T]): Int = {
+    val m = seq1.length; val n = seq2.length
+    if (m == 0) return n
+    if (n == 0) return m
+    var twoAgo: Array[Int] = null
+    var oneAgo: Array[Int] = null
+    var thisRow: Array[Int] = (1 to n).toArray :+ 0
+    for (x <- 0 until m) {
+      twoAgo = oneAgo; oneAgo = thisRow
+      thisRow = Array.fill(n)(0) :+ (x + 1)
+      for (y <- 0 until n) {
+        val del = oneAgo(y) + 1
+        val add = thisRow((y - 1 + n + 1) % (n + 1)) + 1
+        val sub = oneAgo((y - 1 + n + 1) % (n + 1)) + (if (seq1(x) != seq2(y)) 1 else 0)
+        thisRow(y) = math.min(math.min(del, add), sub)
+        if (x > 0 && y > 0 && seq1(x) == seq2(y - 1) && seq1(x - 1) == seq2(y) && seq1(x) != seq2(y))
+          thisRow(y) = math.min(thisRow(y), twoAgo((y - 2 + n + 1) % (n + 1)) + 1)
+      }
+    }
+    thisRow(n - 1)
+  }
+}

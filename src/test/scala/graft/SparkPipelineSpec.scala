@@ -117,6 +117,48 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmrf(out)
   }
 
+  test("catalyst plan quality: pruning, pushdown, broadcast join") {
+    val dir = "/root/testdata/sf0.001"
+    // column pruning reaches the parquet scan
+    val q7 = SparkEntry.queries("q7_doc_stats")(spark, dir)
+    val q7plan = q7.queryExecution.executedPlan.toString
+    assert(q7plan.contains("ReadSchema"), q7plan.take(800))
+    assert(!q7plan.substring(q7plan.indexOf("ReadSchema")).contains("n_chars"),
+      "n_chars must be pruned from the scan:\n" + q7plan.take(800))
+    // predicate pushdown
+    val filtered = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") === 42L).select("l_quantity")
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]"),
+      "filter must push to parquet:\n" + fplan.take(800))
+    // broadcast join strategy picked for small dim
+    val q3plan = SparkEntry.queries("q3_cust_orders")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q3plan.contains("BroadcastHashJoin"), q3plan.take(800))
+    // extraction job shuffles exactly where designed: one exchange for the
+    // salt repartition in the map stage
+    val turns = Synth.turns(spark, 0.001, 4)
+    val explan = ExtractJob.extractTurns(spark, turns, 8)
+      .queryExecution.executedPlan.toString
+    assert(explan.contains("Exchange hashpartitioning(xxhash64"),
+      "salt shuffle must hash on xxhash64(conv_id, turn_idx)")
+  }
+
+  test("set ops: anti-join fixture diff finds no drift") {
+    // the Tier-2 fixture-diff primitive (SURVEY.md §2.9 set ops): extracted
+    // output vs golden join on (conv_id, turn_idx) -> left_anti must be empty
+    val turns = Synth.turns(spark, 0.001, 4).limit(200).cache()
+    val out = ExtractJob.extractTurns(spark, turns, 4)
+      .select(col("conv_id"), col("turn_idx"),
+        coalesce(col("ex.content"), lit("")).as("content")) // equi-join null semantics
+    val golden = out.collect() // golden := current output (self-diff)
+    val goldenDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(golden.toSeq), out.schema)
+    val drift = out.join(broadcast(goldenDf), Seq("conv_id", "turn_idx", "content"), "left_anti")
+    assert(drift.count() == 0)
+    turns.unpersist()
+  }
+
   test("frozen extraction goldens (drift guard)") {
     // Golden digests frozen from the validated implementation (round 1).
     // If a refactor changes ANY extracted content/title for these pinned
