@@ -226,3 +226,46 @@ object Standardize {
   def transform(rows: Array[Array[Double]], mean: Array[Double], std: Array[Double]): Array[Array[Double]] =
     rows.map(_.zipWithIndex.map { case (v, j) => if (std(j) == 0) 0.0 else (v - mean(j)) / std(j) })
 }
+
+/** ClusteredWeningerFeatures equivalent (features/weninger.py:49-107):
+  * KMeans(4) over the per-document Weninger matrix, the cluster nearest the
+  * origin snapped to (0,0); predict content=1 for any non-zero cluster.
+  * Deterministic k-means++-free init (points sorted by norm, spread picks)
+  * — training-support operator, not in the production inference path. */
+object ClusteredWeninger {
+  def fitPredict(blocks: IndexedSeq[graft.blocks.Block], k: Int = 4, maxIter: Int = 50): Array[Int] = {
+    val x = Features.weninger(blocks)
+    val n = x.length
+    if (n == 0) return Array.empty
+    val sorted = x.sortBy(p => p(0) * p(0) + p(1) * p(1))
+    var centers = Array.tabulate(math.min(k, n))(i => sorted(i * (n - 1) / math.max(1, math.min(k, n) - 1)).clone())
+    var iter = 0
+    var moved = true
+    val assign = new Array[Int](n)
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          val dx = x(i)(0) - centers(c)(0); val dy = x(i)(1) - centers(c)(1)
+          val d = dx * dx + dy * dy
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      centers = Array.tabulate(centers.length) { c =>
+        val members = (0 until n).filter(assign(_) == c)
+        if (members.isEmpty) centers(c)
+        else Array(members.map(x(_)(0)).sum / members.size, members.map(x(_)(1)).sum / members.size)
+      }
+      iter += 1
+    }
+    // cluster closest to origin -> 0 (not-content); others -> 1
+    val zero = centers.zipWithIndex.minBy { case (c, _) => c(0) * c(0) + c(1) * c(1) }._2
+    assign.map(a => if (a == zero) 0 else 1)
+  }
+}

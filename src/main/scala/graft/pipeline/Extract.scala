@@ -31,7 +31,8 @@ final case class Extracted(
     name: String,
     ogProperties: Map[String, String],
     nBlocks: Int,
-    error: String)
+    error: String,
+    extras: Map[String, String] = Map.empty)
 
 /** The fused per-turn pipeline (Extractor.extract + postprocess,
   * extractnet/pipeline.py:56-134): rule-based metadata ⊕ neural
@@ -42,12 +43,30 @@ final case class Extracted(
   * maps it over partitions with no shuffle (SURVEY.md §3.1). */
 object Extract {
 
+  /** User extension hooks, mirroring the reference's callback lists
+    * (pipeline.py:17-31, README.md:116-149): `metaPostprocess` runs on the
+    * raw text after metadata mining (earlier-stage-wins on key collision);
+    * `postprocess` runs on (text, merged result) at the end (existing keys
+    * win). Extra keys land in the `extras` map column — outside the
+    * per-turn equality contract, like the reference's dynamic keys. */
+  final case class Hooks(
+      metaPostprocess: Seq[String => Map[String, String]] = Seq.empty,
+      postprocess: Seq[(String, Extracted) => Map[String, String]] = Seq.empty)
+
+  val NoHooks: Hooks = Hooks()
+
   /** dateparser.parse stand-in: deterministic subset over the fixture date
     * grammar (ISO-8601, yyyy/MM/dd, 'Month D, YYYY'); midnight timestamps. */
   def parseDate(text: String): Option[LocalDateTime] =
     DateRules.parseAny(text).map(s => LocalDate.parse(s).atStartOfDay())
 
-  def extract(text: String, defaultUrl: String = null, metadataMining: Boolean = true): Extracted = {
+  def extract(text: String): Extracted = extract(text, null, true, NoHooks)
+
+  def extract(text: String, defaultUrl: String): Extracted =
+    extract(text, defaultUrl, true, NoHooks)
+
+  def extract(text: String, defaultUrl: String, metadataMining: Boolean,
+      hooks: Hooks): Extracted = {
     try {
       // ONE parse per turn, shared by metadata + blockifier (the reference
       // parses three times: lxml twice + bs4; behavior-neutral fusion,
@@ -106,7 +125,14 @@ object Extract {
       if (urlForSanity != null && dateFinal != null)
         dateFinal = UrlUtils.validateDate(urlForSanity, dateFinal)
 
-      Extracted(
+      // user hooks: meta callbacks earlier-stage-wins, post callbacks
+      // existing-keys-win (priority_merge direction, pipeline.py:68-71,123-126)
+      var extras = Map.empty[String, String]
+      hooks.metaPostprocess.foreach { h =>
+        h(text).foreach { case (k, v) => if (!extras.contains(k)) extras += k -> v }
+      }
+
+      val base = Extracted(
         content = mlContent,
         headline = mlHeadline,
         author = authorFinal,
@@ -129,7 +155,15 @@ object Extract {
         name = meta.name,
         ogProperties = meta.ogProperties,
         nBlocks = blocks.length,
-        error = null)
+        error = null,
+        extras = extras)
+      if (hooks.postprocess.isEmpty) base
+      else {
+        hooks.postprocess.foreach { h =>
+          h(text, base).foreach { case (k, v) => if (!extras.contains(k)) extras += k -> v }
+        }
+        base.copy(extras = extras)
+      }
     } catch {
       case e: BlockifyError => failed(e.getMessage)
       case scala.util.control.NonFatal(e) =>
@@ -142,5 +176,6 @@ object Extract {
     * deviation, fixtures never hit it). */
   private def failed(msg: String): Extracted =
     Extracted(null, null, null, null, null, null, null, null, null, null,
-      null, null, null, null, null, null, null, null, null, null, null, 0, msg)
+      null, null, null, null, null, null, null, null, null, null, null, 0, msg,
+      Map.empty)
 }

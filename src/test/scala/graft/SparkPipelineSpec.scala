@@ -159,6 +159,39 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     turns.unpersist()
   }
 
+  test("frozen per-turn digests over the full sf0.001 table") {
+    // Tier-2 per-turn text-equality oracle (FIXTURES.md §3.2): one digest per
+    // turn over every extracted text field, frozen at round 1. Any semantic
+    // drift in parser/features/model/meta rules fails here turn-by-turn.
+    val turns = Synth.turns(spark, 0.001, 4).collect()
+      .sortBy(r => (r.getString(0), r.getInt(1)))
+    val lines = turns.map { r =>
+      val ex = Extract.extract(r.getAs[String]("text"))
+      val payload = Seq(ex.content, ex.headline, ex.author, ex.rawAuthor,
+        ex.title, ex.url, ex.hostname, ex.sitename, ex.description,
+        String.valueOf(ex.date), ex.video,
+        Option(ex.breadcrumbs).map(_.mkString(";")).orNull,
+        Option(ex.categories).map(_.mkString(";")).orNull,
+        ex.nBlocks.toString).map(String.valueOf).mkString("")
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(payload.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString
+      s"${r.getString(0)}\t${r.getInt(1)}\t$d"
+    }
+    val goldenPath = Paths.get("src/test/resources/turn_digests_sf0001.tsv")
+    if (!Files.exists(goldenPath)) {
+      Files.write(goldenPath, lines.mkString("\n").getBytes("UTF-8"))
+      info(s"frozen ${lines.length} per-turn digests")
+    } else {
+      val frozen = new String(Files.readAllBytes(goldenPath), "UTF-8").split("\n")
+      assert(lines.length == frozen.length)
+      var bad = 0
+      lines.zip(frozen).foreach { case (a, b) => if (a != b) { bad += 1
+        if (bad <= 3) info(s"drift: $a vs $b") } }
+      assert(bad == 0, s"$bad/${lines.length} turns drifted from frozen goldens")
+    }
+  }
+
   test("frozen extraction goldens (drift guard)") {
     // Golden digests frozen from the validated implementation (round 1).
     // If a refactor changes ANY extracted content/title for these pinned
