@@ -90,7 +90,7 @@ object SparkEntry {
       Similarity.lshTopK(emb, q, 50)
     }),
     "x_embed_neardup" -> ((s, dir) =>
-      Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.92)),
+      Similarity.cosineTopPairs(t(s, dir, "embeddings"), k = 100)),
     "x_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"))),
     "x_media_features" -> ((s, dir) =>

@@ -318,6 +318,13 @@ object Blockifier {
   private val ReText = java.util.regex.Pattern.compile(
     "[\\w&&[^_]]", java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
+  private val ReTokenizer = java.util.regex.Pattern.compile(
+    "[\\W_]+", java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** simple_tokenizer (blocks.pyx:45-46): unicode [\W_]+ split, no empties. */
+  def simpleTokenizer(x: String): Seq[String] =
+    ReTokenizer.split(x, -1).toSeq.filter(_.nonEmpty)
+
   // ------------------------------------------------------- bytes ingest
   /** UTF-8 decode with surrogate-escape for invalid bytes (byte b ->
     * U+DC00|b), mirroring how lxml surfaces bad bytes: text nodes containing

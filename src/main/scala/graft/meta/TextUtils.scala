@@ -180,3 +180,23 @@ object TextUtils {
     (p, r, f1)
   }
 }
+
+/** merge_results (util.py:190-203): concat-style merge — unused by the
+  * reference pipeline, ported for inventory completeness. Values are either
+  * a single string or a list of strings. */
+object MergeResults {
+  def merge(r1: scala.collection.mutable.LinkedHashMap[String, Any],
+      r2: collection.Map[String, Any]): scala.collection.mutable.LinkedHashMap[String, Any] = {
+    r2.foreach { case (k, v2) =>
+      (r1.get(k), v2) match {
+        case (None, _) => r1(k) = v2
+        case (Some(a: String), b: String) => r1(k) = Seq(a, b)
+        case (Some(a: String), b: Seq[_]) => r1(k) = b ++ Seq(a)
+        case (Some(a: Seq[_]), b: String) => r1(k) = a ++ Seq(b)
+        case (Some(a: Seq[_]), b: Seq[_]) => r1(k) = a ++ b
+        case _ =>
+      }
+    }
+    r1
+  }
+}

@@ -79,6 +79,13 @@ object Similarity {
       .select("vec_id", "srp_bucket", "cosine")
   }
 
+  /** Top-k most-similar pairs within SRP buckets — always non-empty,
+    * diagnostic-friendly form of near-dup detection. */
+  def cosineTopPairs(embeddings: DataFrame, k: Int, nBits: Int = 10): DataFrame =
+    cosinePairs(embeddings, threshold = -1.0, nBits)
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(k)
+
   /** Embedding-cosine near-duplicate pairs within SRP buckets (the
     * embedding-space analogue of MinHash LSH dedup). */
   def cosinePairs(embeddings: DataFrame, threshold: Double = 0.95, nBits: Int = 10): DataFrame = {
