@@ -83,6 +83,22 @@ object Blockifier {
     out
   }
 
+  /** UTF-8 byte length without materializing the byte array (hot path:
+    * weninger + readability need only the length). */
+  def utf8Length(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x80) n += 1
+      else if (c < 0x800) n += 2
+      else if (Character.isHighSurrogate(c)) { n += 4; i += 1 }
+      else n += 3
+      i += 1
+    }
+    n
+  }
+
   private def isWordByte(b: Byte): Boolean = {
     val c = b.toInt & 0xff
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')

@@ -50,27 +50,33 @@ final class Node(val tag: String) {
     }
   }
 
-  def descendantsAndSelf: Iterator[Node] = {
-    val buf = new ArrayBuffer[Node]
-    foreachNode(buf += _)
-    buf.iterator
+  /** Flattened pre-order subtree, cached: the metadata rule chain scans the
+    * root ~20x per document (tree STRUCTURE is immutable after parse; only
+    * text/attr values may be rewritten, which the cache tolerates). */
+  private var flatCache: Array[Node] = null
+  def flattened: Array[Node] = {
+    if (flatCache == null) {
+      val buf = new ArrayBuffer[Node]
+      foreachNode(buf += _)
+      flatCache = buf.toArray
+    }
+    flatCache
   }
 
+  def descendantsAndSelf: Iterator[Node] = flattened.iterator
+
   def find(pred: Node => Boolean): Option[Node] = {
-    var stack = List(this)
-    while (stack.nonEmpty) {
-      val n = stack.head
-      stack = stack.tail
-      if (pred(n)) return Some(n)
-      var i = n.children.length - 1
-      while (i >= 0) { stack = n.children(i) :: stack; i -= 1 }
-    }
+    val f = flattened
+    var i = 0
+    while (i < f.length) { if (pred(f(i))) return Some(f(i)); i += 1 }
     None
   }
 
   def findAll(pred: Node => Boolean): Seq[Node] = {
+    val f = flattened
     val buf = new ArrayBuffer[Node]
-    foreachNode(n => if (pred(n)) buf += n)
+    var i = 0
+    while (i < f.length) { if (pred(f(i))) buf += f(i); i += 1 }
     buf.toSeq
   }
 }

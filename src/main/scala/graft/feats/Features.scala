@@ -84,7 +84,7 @@ object Features {
 
   /** content-to-tag ratio: UTF-8 byte length of text / max(tagcount, 1). */
   def weninger(blocks: IndexedSeq[Block], sigma: Double = 1.0): Array[Array[Double]] =
-    sxSdx(blocks.map(b => b.text.getBytes(UTF_8).length.toDouble / math.max(b.tagcount, 1.0)).toArray, sigma)
+    sxSdx(blocks.map(b => graft.blocks.Blockifier.utf8Length(b.text).toDouble / math.max(b.tagcount, 1.0)).toArray, sigma)
 
   // --------------------------------------------------------- readability
   /** Literal port of _readability_features (features/_readability.cc:12-123),
@@ -100,7 +100,7 @@ object Features {
     var k = 0
     while (k < n) {
       val b = blocks(k)
-      val textLen = b.text.getBytes(UTF_8).length.toDouble
+      val textLen = graft.blocks.Blockifier.utf8Length(b.text).toDouble
       b.classWeights.foreach { case (id, w) => scores(id) = w.toDouble }
       if (b.ancestors.nonEmpty) {
         b.ancestors.foreach { a =>
