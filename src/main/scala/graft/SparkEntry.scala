@@ -95,6 +95,10 @@ object SparkEntry {
       TextAnalysis.analyze(t(s, dir, "documents"))),
     "x_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.synthMedia(s, 2000))),
+    "x_token_count_native" -> ((s, dir) =>
+      // native codegen'd Catalyst expression (no UDF boxing)
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.WsTokenCount.ws_token_count(col("text")).as("ws_tokens"))),
 
     // ---------------- relational queries with DuckDB oracles ---------------
     "q1_pricing" -> ((s, dir) =>

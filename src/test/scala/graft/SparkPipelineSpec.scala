@@ -144,6 +144,35 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "salt shuffle must hash on xxhash64(conv_id, turn_idx)")
   }
 
+  test("custom catalyst expression: ws_token_count codegen matches udf") {
+    import graft.ops.WsTokenCount
+    WsTokenCount.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaExpr = docs.selectExpr("doc_id", "ws_token_count(text) as n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaScala = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split("[ \t\n\r\f]+").count(_.nonEmpty)).toMap
+    assert(viaExpr == viaScala)
+    // codegen actually happens (not fallback): plan contains the project
+    val plan = docs.selectExpr("ws_token_count(text)").queryExecution.executedPlan.toString
+    assert(plan.contains("ws_token_count") || plan.contains("WsTokenCount"))
+  }
+
+  test("typed lineage aggregator merges across partitions") {
+    import graft.ops.LineageAgg
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val rowEnc: Encoder[LineageAgg.LineageRow] = Encoders.product
+    val rows = (0 until 1000).map(i =>
+      LineageAgg.LineageRow(s"c${i % 7}", i, if (i % 3 == 0) null else s"content$i"))
+    val ds1 = spark.createDataset(rows)(rowEnc).repartition(1)
+    val ds8 = spark.createDataset(rows)(rowEnc).repartition(8)
+    val a1 = ds1.select(LineageAgg.aggregator.toColumn).head
+    val a8 = ds8.select(LineageAgg.aggregator.toColumn).head
+    assert(a1 == a8, "digest must be partitioning-independent")
+    assert(a1.nTurns == 1000 && a1.nContent == rows.count(_.content != null))
+  }
+
   test("set ops: anti-join fixture diff finds no drift") {
     // the Tier-2 fixture-diff primitive (SURVEY.md §2.9 set ops): extracted
     // output vs golden join on (conv_id, turn_idx) -> left_anti must be empty
