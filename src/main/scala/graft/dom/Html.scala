@@ -104,6 +104,11 @@ object HtmlParser {
 
   private val Headings = Set("h1", "h2", "h3", "h4", "h5", "h6")
 
+  /** Max open elements (browser engines cap around 512); beyond it, start
+    * tags behave as void elements. Keeps walker recursion bounded on
+    * adversarial documents at 100 TB scale. */
+  val MaxDepth = 512
+
   /** Parse an HTML document with recovery; returns the root element
     * (an <html> node, implied if absent) or null when the document has no
     * element content at all (mirrors lxml returning None). */
@@ -385,7 +390,10 @@ object HtmlParser {
       e.attrs = attrs
       val p = cur
       if (p == null) { ensureBody(); body.addChild(e) } else p.addChild(e)
-      if (Void.contains(name) || selfClose) {
+      if (Void.contains(name) || selfClose || stack.length >= MaxDepth) {
+        // depth cap (browser-like ~512 open elements): deeper start tags are
+        // treated as void so adversarial nesting can't overflow the walker's
+        // recursion at scale; content/tails still land in document order
         lastClosed = e
       } else {
         stack += e

@@ -129,4 +129,31 @@ class MetaSpec extends AnyFunSuite {
     val p = UrlUtils.urlIsValid("HTTP://Example.COM:80//a//b?z=2&a=1").get
     assert(UrlUtils.urlNormalizer(p) == "http://example.com/a/b?a=1&z=2")
   }
+
+  // ---- dragnet evaluation corpus: block_corrected goldens
+  private def checkBlockCorrected(htmlName: String, correctedName: String, goldenName: String): Unit = {
+    val labels = EvalCorpus.labelBlocks(fixture(htmlName), fixture(s"Corrected/$correctedName"))
+    val golden = fixture(s"block_corrected/$goldenName").split("\n").toSeq
+      .filter(_.nonEmpty)
+    assert(labels.length == golden.length,
+      s"$htmlName: ${labels.length} blocks vs ${golden.length} golden lines")
+    labels.zip(golden).zipWithIndex.foreach { case ((l, g), i) =>
+      val parts = g.split("\t", -1)
+      assert(math.abs(l.fracContent - parts(0).toDouble) < 1e-9, s"$htmlName block $i frac_content")
+      assert(math.abs(l.fracComment - parts(1).toDouble) < 1e-9, s"$htmlName block $i frac_comment")
+      assert(l.blockTokens.mkString(" ") == parts(2), s"$htmlName block $i text")
+      assert(l.contentTokens.mkString(" ") == parts(3), s"$htmlName block $i content tokens")
+      assert(l.commentTokens.mkString(" ") == parts(4), s"$htmlName block $i comment tokens")
+    }
+  }
+
+  test("block_corrected golden: page_comments") {
+    checkBlockCorrected("page_comments.html", "page_comments.html.corrected.txt",
+      "page_comments_expected.block_corrected.txt")
+  }
+
+  test("block_corrected golden: page_no_comments") {
+    checkBlockCorrected("page_no_comments.html", "page_no_comments.html.corrected.txt",
+      "page_no_comments_expected.block_corrected.txt")
+  }
 }

@@ -130,4 +130,20 @@ class PropertySpec extends AnyFunSuite {
     assert(langId("这是一个中文句子希望可以被识别出来") == "zh")
     assert(langId("") == "und")
   }
+
+  test("adversarial depth: 100k nested divs cannot overflow the stack") {
+    val sb = new java.lang.StringBuilder
+    (0 until 100000).foreach(_ => sb.append("<div>"))
+    sb.append("deep text")
+    val r = graft.pipeline.Extract.extract(sb.toString)
+    assert(r.error == null && r.nBlocks >= 1)
+  }
+
+  test("huge flat document extracts without error") {
+    val sb = new java.lang.StringBuilder("<html><body>")
+    (0 until 20000).foreach(i => sb.append(s"<p>paragraph number $i with some words</p>"))
+    sb.append("</body></html>")
+    val r = graft.pipeline.Extract.extract(sb.toString)
+    assert(r.error == null && r.nBlocks >= 19999)
+  }
 }
