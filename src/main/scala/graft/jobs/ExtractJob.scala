@@ -92,11 +92,12 @@ object ExtractJob {
           .repartitionByRange(math.max(1, parts / 4), col("conv_id"), col("turn_idx"))
           .sortWithinPartitions("conv_id", "turn_idx")
           .cache()
-        val lin = lineage(ordered, batchId).collect()
+        val linDf = lineage(ordered, batchId)
+        val lin = linDf.collect()
         val linStr = lin.sortBy(_.getAs[Int]("conv_bucket")).map(r =>
           s"${r.getAs[Int]("conv_bucket")}:${r.getAs[Long]("n_turns")}:${r.getAs[Long]("content_digest")}")
           .mkString(";")
-        TranscriptTable.writeBatch(ordered, outTable, batchId,
+        TranscriptTable.writeBatchWithLineage(ordered, linDf, outTable, batchId,
           Map("lineage" -> linStr,
               "n_turns" -> lin.map(_.getAs[Long]("n_turns")).sum.toString))
         ordered.unpersist()

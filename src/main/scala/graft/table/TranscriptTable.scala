@@ -62,9 +62,43 @@ object TranscriptTable {
   }
 
   /** Read all committed batches (snapshot view). */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    val batches = committedBatches(table)
+  def read(spark: SparkSession, table: String): DataFrame =
+    readAsOf(spark, table, null)
+
+  /** Time-travel-ish read: only batches committed up to `asOfBatch`
+    * (inclusive, lexicographic batch-id order — ids are zero-padded). */
+  def readAsOf(spark: SparkSession, table: String, asOfBatch: String): DataFrame = {
+    val all = committedBatches(table)
+    val batches = if (asOfBatch == null) all else all.filter(_ <= asOfBatch)
     require(batches.nonEmpty, s"no committed batches in $table")
     spark.read.parquet(batches.map(b => dataDir(table, b)): _*)
   }
+
+  def lineageDir(table: String, batchId: String): String =
+    s"$table/_lineage/batch=$batchId"
+
+  /** Lineage rows of all committed batches (written by writeBatchWithLineage). */
+  def readLineage(spark: SparkSession, table: String): DataFrame = {
+    val batches = committedBatches(table)
+      .filter(b => Files.exists(Paths.get(lineageDir(table, b))))
+    require(batches.nonEmpty, s"no lineage in $table")
+    spark.read.parquet(batches.map(b => lineageDir(table, b)): _*)
+  }
+
+  /** Write data + lineage rows, then commit both under one manifest. */
+  def writeBatchWithLineage(df: DataFrame, lineage: DataFrame, table: String,
+      batchId: String, manifestExtra: Map[String, String] = Map.empty): Unit = {
+    if (isCommitted(table, batchId)) return
+    lineage.write.mode(SaveMode.Overwrite).parquet(lineageDir(table, batchId))
+    writeBatch(df, table, batchId, manifestExtra)
+  }
+
+  /** Row count from manifests alone — no data scan (monitoring at scale). */
+  def committedRowCount(table: String): Long =
+    committedBatches(table).map { b =>
+      val json = new String(Files.readAllBytes(
+        manifestDir(table).resolve(s"manifest-$b.json")), UTF_8)
+      val m = java.util.regex.Pattern.compile("\"n_turns\": \"(\\d+)\"").matcher(json)
+      if (m.find()) m.group(1).toLong else 0L
+    }.sum
 }

@@ -114,6 +114,18 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val manifest = new String(Files.readAllBytes(
       TranscriptTable.manifestDir(out).resolve("manifest-b000.json")), "UTF-8")
     assert(manifest.contains("\"lineage\"") && manifest.contains("\"n_turns\""))
+
+    // lineage rows table: per (batch, conv_bucket) counts sum to the total
+    val lin = TranscriptTable.readLineage(spark, out)
+    assert(lin.columns.toSet == Set("conv_bucket", "n_turns", "n_blocks",
+      "n_content_nonnull", "n_errors", "content_digest", "batch_id"))
+    assert(lin.agg(sum("n_turns")).head.getLong(0) == n1)
+    assert(lin.agg(sum("n_errors")).head.getLong(0) == 0)
+
+    // manifest-only row count (no scan) and as-of snapshot read
+    assert(TranscriptTable.committedRowCount(out) == n1)
+    val asOf = TranscriptTable.readAsOf(spark, out, "b001").count()
+    assert(asOf > 0 && asOf < n1)
     rmrf(out)
   }
 
