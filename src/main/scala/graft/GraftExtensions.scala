@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes the engine's native Catalyst
+  * functions available in any session via
+  * `spark.sql.extensions=graft.GraftExtensions` (the (c)-tier extension
+  * route from the build brief — registered rules/strategies would go here
+  * too if an operator ever outgrows the expression/API level). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[ops.WsTokenCount].getName, "ws_token_count"),
+      (exprs: Seq[Expression]) => ops.WsTokenCount(exprs.head)))
+  }
+}

@@ -281,7 +281,8 @@ object MetaExtract {
   def extractSitename(tree: Node): String = {
     val titleEl = tree.findAll(_.tag == "head").flatMap(_.findAll(_.tag == "title")).headOption
     titleEl.flatMap(el => Option(el.text)).flatMap { t =>
-      val m = Pattern.compile("^.*?[-|]\\s+(.*)$", Pattern.DOTALL).matcher(t)
+      // Python re.search without DOTALL: '.' excludes newlines
+      val m = Pattern.compile("^.*?[-|]\\s+(.*)$").matcher(t)
       if (m.find() && m.start == 0) Some(m.group(1)) else None
     }.orNull
   }

@@ -57,13 +57,16 @@ object Dedup {
     h
   }
 
+  private val PermA: Array[Long] =
+    Array.tabulate(MinhashPerms)(p => graft.jobs.Synth.mix(1000 + p) | 1L)
+  private val PermB: Array[Long] =
+    Array.tabulate(MinhashPerms)(p => graft.jobs.Synth.mix(2000 + p))
+
   private def updateSig(sig: Array[Long], x0: Long): Unit = {
     val x = x0 & Long.MaxValue
     var p = 0
     while (p < MinhashPerms) {
-      val a = graft.jobs.Synth.mix(1000 + p) | 1L
-      val b = graft.jobs.Synth.mix(2000 + p)
-      val v = ((a * x + b) % MersennePrime) & Long.MaxValue
+      val v = ((PermA(p) * x + PermB(p)) % MersennePrime) & Long.MaxValue
       if (v < sig(p)) sig(p) = v
       p += 1
     }

@@ -171,6 +171,33 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ws_token_count") || plan.contains("WsTokenCount"))
   }
 
+  test("salting balances the skewed long-tail conversation across tasks") {
+    // north rule: one 500-turn conversation must not pin a single task.
+    // After the salt shuffle, per-partition row counts should be near-uniform.
+    val turns = Synth.turns(spark, 0.001, 4)
+    val parts = 16
+    val sizes = turns
+      .repartition(parts, xxhash64(col("conv_id"), col("turn_idx")))
+      .groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length == parts)
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(sizes.max < mean * 1.5 && sizes.min > mean * 0.5,
+      s"salted partitions skewed: ${sizes.mkString(",")}")
+    // contrast: partitioning by conv_id alone leaves a fat partition
+    val unsalted = turns.repartition(parts, col("conv_id"))
+      .groupBy(spark_partition_id()).count().collect().map(_.getLong(1))
+    assert(unsalted.max > sizes.max, "salt should strictly improve balance")
+  }
+
+  test("spark session extensions register native functions") {
+    // GraftExtensions is wired via spark.sql.extensions on real clusters;
+    // here we invoke it against the session's extension injection directly
+    val sql = "SELECT ws_token_count('a b  c') AS n"
+    graft.ops.WsTokenCount.register(spark)
+    assert(spark.sql(sql).head.getInt(0) == 3)
+  }
+
   test("typed lineage aggregator merges across partitions") {
     import graft.ops.LineageAgg
     import org.apache.spark.sql.{Encoder, Encoders}
@@ -194,7 +221,7 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         coalesce(col("ex.content"), lit("")).as("content")) // equi-join null semantics
     val golden = out.collect() // golden := current output (self-diff)
     val goldenDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(golden.toSeq), out.schema)
+      java.util.Arrays.asList(golden: _*), out.schema)
     val drift = out.join(broadcast(goldenDf), Seq("conv_id", "turn_idx", "content"), "left_anti")
     assert(drift.count() == 0)
     turns.unpersist()
