@@ -17,11 +17,14 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(count(lit(1)).as("n_dupes"), min(col("doc_id")).as("keeper_doc_id"))
 
-  /** Keep one row per distinct text (the minimum doc_id wins). */
+  /** Keep one row per distinct text (the minimum doc_id wins). Implemented
+    * as groupBy + semi-join rather than a window: a window partitioned by
+    * content hash sends every copy of a viral duplicate to ONE task, while
+    * the aggregate path combines map-side and the semi-join shuffles on the
+    * well-distributed doc_id. */
   def exactDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col("doc_id"))
-    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val keepers = exactGroups(docs, textCol).select(col("keeper_doc_id").as("doc_id"))
+    docs.join(keepers, Seq("doc_id"), "left_semi")
   }
 
   // ------------------------------------------------------------- minhash
@@ -88,11 +91,19 @@ object Dedup {
   /** Near-duplicate candidate pairs via MinHash LSH:
     * signature -> band buckets -> self-join within bucket -> verified
     * estimated-Jaccard filter. Shuffles only on (band, bucket_hash). */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.8, textCol: String = "text"): DataFrame = {
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8, textCol: String = "text",
+      maxBucket: Int = 1000): DataFrame = {
     val sigs = docs.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
-    val banded = sigs
+    val banded0 = sigs
       .withColumn("band_hash", bandHashesUdf(col("sig")))
       .select(col("doc_id"), col("sig"), posexplode(col("band_hash")).as(Seq("band", "bucket")))
+    // hot-bucket guard: a degenerate bucket (e.g. near-empty docs) would
+    // blow up quadratically at 100 TB; cap candidates per bucket and surface
+    // the dropped buckets to exact dedup instead (they are exact-dup-like)
+    val hot = banded0.groupBy(col("band"), col("bucket"))
+      .count().filter(col("count") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val banded = banded0.join(hot, Seq("band", "bucket"), "left_anti")
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),
@@ -132,13 +143,17 @@ object Dedup {
   /** Near-dup pairs with Hamming distance <= maxDist via pigeonhole
     * blocking: split the 64-bit hash into (maxDist+1) segments; any pair
     * within maxDist must agree on at least one segment — join per segment. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3, textCol: String = "text"): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, textCol: String = "text",
+      maxBucket: Int = 1000): DataFrame = {
     val nSeg = maxDist + 1
     val segWidth = 64 / nSeg
     val segUdf = udf((h: Long) =>
       (0 until nSeg).map(s => (s.toLong << 32) | ((h >>> (s * segWidth)) & ((1L << segWidth) - 1))))
-    val hashed = docs.select(col("doc_id"), simhashUdf(col(textCol)).as("simhash"))
+    val hashed0 = docs.select(col("doc_id"), simhashUdf(col(textCol)).as("simhash"))
       .withColumn("seg", explode(segUdf(col("simhash"))))
+    val hotSegs = hashed0.groupBy(col("seg")).count()
+      .filter(col("count") > maxBucket).select(col("seg"))
+    val hashed = hashed0.join(hotSegs, Seq("seg"), "left_anti")
     val a = hashed.select(col("seg"), col("doc_id").as("doc_a"), col("simhash").as("h_a"))
     val b = hashed.select(col("seg"), col("doc_id").as("doc_b"), col("simhash").as("h_b"))
     val hamming = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))

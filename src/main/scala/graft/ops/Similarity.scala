@@ -88,10 +88,14 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs within SRP buckets (the
     * embedding-space analogue of MinHash LSH dedup). */
-  def cosinePairs(embeddings: DataFrame, threshold: Double = 0.95, nBits: Int = 10): DataFrame = {
-    val bucketed = embeddings
+  def cosinePairs(embeddings: DataFrame, threshold: Double = 0.95, nBits: Int = 10,
+      maxBucket: Int = 2000): DataFrame = {
+    val bucketed0 = embeddings
       .select(col("vec_id"), col("embedding"))
       .withColumn("srp_bucket", srpBucketUdf(nBits)(col("embedding")))
+    val hot = bucketed0.groupBy(col("srp_bucket")).count()
+      .filter(col("count") > maxBucket).select(col("srp_bucket"))
+    val bucketed = bucketed0.join(hot, Seq("srp_bucket"), "left_anti")
     val a = bucketed.select(col("srp_bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = bucketed.select(col("srp_bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     val cosUdf = udf((x: Seq[Float], y: Seq[Float]) => cosine(x, y))
