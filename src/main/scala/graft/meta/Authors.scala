@@ -95,6 +95,10 @@ object Authors {
       .filter(seg => seg.exists(_.isLetter))
       .filterNot(seg => seg.headOption.exists(_.isLower))
       .filterNot(seg => seg.toLowerCase.split("[^a-z]+").exists(DescriptorWords.contains))
+      // name-shaped only: the CRF would reject long phrases and markup-ish
+      // text; a person name is short and free of structural characters
+      .filter(seg => seg.length <= 40 && seg.split("\\s+").length <= 4)
+      .filterNot(seg => seg.exists(c => "{}\"#<>=[]()@:;".contains(c)))
       .toSeq
   }
 
