@@ -1,0 +1,127 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Correctness of the training-data-pipeline operators on controlled data:
+  * planted near-duplicates must be found, distinct docs must not pair,
+  * LSH ANN must agree with brute force on the probed region. */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)): _*), schema)
+  }
+
+  private def sentence(seed: Long, n: Int): String =
+    (0 until n).map(i => "w" + graft.jobs.Synth.mix(seed * 1000 + i).toHexString.take(4)).mkString(" ")
+
+  test("minhash LSH finds planted near-duplicates and no false pairs") {
+    val base = sentence(1, 120)
+    val nearDup = base.split(" ").toSeq.patch(40, Seq("changed", "words"), 2).mkString(" ")
+    val docs = docsDf(Seq(
+      (1L, base), (2L, nearDup),
+      (3L, sentence(3, 120)), (4L, sentence(4, 120)), (5L, sentence(5, 120))))
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("exact dedup keeps min doc_id per distinct text") {
+    val docs = docsDf(Seq((5L, "same text"), (2L, "same text"), (9L, "same text"),
+      (7L, "other text"), (8L, "third text")))
+    val kept = Dedup.exactDedup(docs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 7L, 8L))
+    val groups = Dedup.exactGroups(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet // (n_dupes, keeper)
+    assert(groups == Set((3L, 2L), (1L, 7L), (1L, 8L)))
+  }
+
+  test("simhash pairs planted near-dup within hamming bound") {
+    val base = sentence(11, 200)
+    val nearDup = base + " tiny change"
+    val docs = docsDf(Seq((1L, base), (2L, nearDup), (3L, sentence(13, 200))))
+    val pairs = Dedup.simhashPairs(docs, maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard verification discriminates") {
+    val base = sentence(21, 100)
+    val near = base.split(" ").toSeq.patch(10, Seq("x"), 1).mkString(" ")
+    val docs = docsDf(Seq((1L, base)))
+    val j = docs.select(Dedup.jaccardUdf(lit(base), lit(near)).as("j")).head.getDouble(0)
+    assert(j > 0.8)
+    val j2 = docs.select(Dedup.jaccardUdf(lit(base), lit(sentence(99, 100))).as("j")).head.getDouble(0)
+    assert(j2 < 0.05)
+  }
+
+  test("lsh ann agrees with brute force inside the probed buckets") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.orderBy("vec_id").select("embedding").head.getSeq[Float](0).toArray
+    val brute = Similarity.bruteForceTopK(emb, q, 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 2-bit multi-probe: on (near-)random embeddings LSH recall tracks the
+    // probed bucket fraction; real embedding manifolds concentrate far more
+    val lsh = Similarity.lshTopK(emb, q, 20, nBits = 8, probeHamming = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    // every LSH hit must carry the exact brute-force cosine (same scoring)
+    lsh.foreach { case (id, cos) =>
+      brute.get(id).foreach(b => assert(math.abs(b - cos) < 1e-12))
+    }
+    // the query vector itself (cosine 1.0) lives in the query's own bucket
+    assert(lsh.nonEmpty && math.abs(lsh.head._2 - 1.0) < 1e-9)
+    // recall of LSH vs brute force is imperfect by design but must be real
+    val recall = lsh.count(h => brute.contains(h._1)).toDouble / brute.size
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
+  test("quality score ranks clean text above noise") {
+    val clean = "The quick brown fox jumps over the lazy dog and this is a fine sentence with many common words in it."
+    val noise = "$$$@@@ 88219 !!%%^^ zzzzzzzzzzzzzzzzzzzzzz 00 11 22 33 ### &&&"
+    val qc = TextAnalysis.qualityFeatures(clean)._7
+    val qn = TextAnalysis.qualityFeatures(noise)._7
+    assert(qc > qn + 0.2, s"clean=$qc noise=$qn")
+  }
+
+  test("token counts: ws vs bpe estimate ordering") {
+    val t = "hello world, this is tokenization"
+    assert(TextAnalysis.wsTokenCount(t) == 5)
+    assert(TextAnalysis.bpeTokenEstimate(t) >= 5)
+    assert(TextAnalysis.bpeTokenEstimate("internationalization") > 1)
+  }
+
+  test("fingerprint ignores case/punct but not order") {
+    import TextAnalysis.fingerprint
+    assert(fingerprint("Hello, World!") == fingerprint("hello world"))
+    assert(fingerprint("a b c") != fingerprint("c b a"))
+  }
+
+  test("multimodal feature extraction is deterministic over binary payloads") {
+    val m = Multimodal.synthMedia(spark, 50)
+    val f1 = Multimodal.extractFeatures(m).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(m).orderBy("media_id").collect()
+    assert(f1.sameElements(f2))
+    assert(f1.length == 50)
+    assert(f1.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
+  }
+}
