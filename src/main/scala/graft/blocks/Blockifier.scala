@@ -301,9 +301,13 @@ object Blockifier {
       doCss: Boolean = true,
       doReadability: Boolean = false,
       doTagcount: Boolean = false,
-      wordCharFilter: Boolean = true): Vector[Block] = {
+      wordCharFilter: Boolean = true,
+      parseCallback: graft.dom.Node => Unit = null): Vector[Block] = {
     val tree = HtmlParser.parse(html)
-    blockifyTree(tree, starters, doCss, doReadability, doTagcount, wordCharFilter)
+    val out = blockifyTree(tree, starters, doCss, doReadability, doTagcount, wordCharFilter)
+    // parse_callback hook (blocks.pyx:857-858): called with the parsed tree
+    if (parseCallback != null && tree != null) parseCallback(tree)
+    out
   }
 
   /** Walk an already-parsed tree (lets one parse feed blockify + metadata;

@@ -245,4 +245,15 @@ class BlockifierSpec extends AnyFunSuite {
     val blocks = Blockifier.blockify(s)
     assert(blockTokens(blocks) == Seq(Seq("WILL", "THIS", "PASS", "THE", "TEST", "??")))
   }
+
+  test("parse callback receives the parsed tree (test_callback port)") {
+    val s = """<div>some text <i>in italic</i> and something else
+                    <pre> <div>skip this</div> </pre>
+                    <b>bold stuff</b> after the script
+               </div>"""
+    var divCount = -1
+    Blockifier.blockify(s, parseCallback =
+      tree => divCount = tree.findAll(_.tag == "div").length)
+    assert(divCount == 2)
+  }
 }
