@@ -89,6 +89,12 @@ object SparkEntry {
         .getSeq[Float](0).toArray
       Similarity.lshTopK(emb, q, 50)
     }),
+    "x_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").select("embedding").head
+        .getSeq[Float](0).toArray
+      Similarity.ivfTopK(emb, q, 50)
+    }),
     "x_embed_neardup" -> ((s, dir) =>
       Similarity.cosineTopPairs(t(s, dir, "embeddings"), k = 100)),
     "x_text_analysis" -> ((s, dir) =>

@@ -79,6 +79,77 @@ object Similarity {
       .select("vec_id", "srp_bucket", "cosine")
   }
 
+  // ------------------------------------------------------------------ IVF
+  /** Train IVF centroids on a driver-side sample (deterministic k-means,
+    * sample bounded — the standard IVF recipe: coarse quantizer is tiny,
+    * the big table is only ever map-scanned). */
+  def trainIvfCentroids(embeddings: DataFrame, k: Int, sampleSize: Int = 4096): Array[Array[Double]] = {
+    val sample = embeddings.orderBy("vec_id").limit(sampleSize)
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty)
+    val dim = sample.head.length
+    // deterministic init: spread picks over norm-sorted sample
+    val sorted = sample.sortBy(v => v.map(x => x * x).sum)
+    var centers = Array.tabulate(math.min(k, sample.length))(i =>
+      sorted(i * (sample.length - 1) / math.max(1, math.min(k, sample.length) - 1)).clone())
+    var iter = 0
+    while (iter < 20) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Int](centers.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centers)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centers = centers.indices.map { c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      iter += 1
+    }
+    centers
+  }
+
+  private def nearestCentroid(v: Array[Double], centers: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { val t = v(j) - centers(c)(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF ANN: assign every vector to its nearest centroid map-side (the
+    * centroid table rides the closure — KB-sized), probe the `nProbe`
+    * centroids closest to the query. At rest the table is partitioned by
+    * `ivf_cell` so the scan prunes to probed cells. */
+  def ivfTopK(embeddings: DataFrame, query: Array[Float], k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centers = trainIvfCentroids(embeddings, nCells)
+    val qd = query.map(_.toDouble)
+    val probeCells = centers.indices.sortBy { c =>
+      var d = 0.0
+      var j = 0
+      while (j < qd.length) { val t = qd(j) - centers(c)(j); d += t * t; j += 1 }
+      d
+    }.take(nProbe).toSet
+    val cellUdf = udf((v: Seq[Float]) => nearestCentroid(v.map(_.toDouble).toArray, centers))
+    val q = query
+    val cosUdf = udf((v: Seq[Float]) => cosine(v, q.toSeq))
+    embeddings
+      .withColumn("ivf_cell", cellUdf(col("embedding")))
+      .filter(col("ivf_cell").isin(probeCells.toSeq: _*))
+      .withColumn("cosine", cosUdf(col("embedding")))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id", "ivf_cell", "cosine")
+  }
+
   /** Top-k most-similar pairs within SRP buckets — always non-empty,
     * diagnostic-friendly form of near-dup detection. */
   def cosineTopPairs(embeddings: DataFrame, k: Int, nBits: Int = 10): DataFrame =

@@ -124,4 +124,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f1.length == 50)
     assert(f1.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
   }
+
+  test("ivf ann: query's own cell always probed; scores exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.orderBy("vec_id").select("embedding").head.getSeq[Float](0).toArray
+    val hits = graft.ops.Similarity.ivfTopK(emb, q, 20, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(hits.nonEmpty)
+    assert(math.abs(hits.head._2 - 1.0) < 1e-9, "query vector must rank first")
+    // deterministic across invocations
+    val hits2 = graft.ops.Similarity.ivfTopK(emb, q, 20, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(hits.toSeq == hits2.toSeq)
+  }
 }
