@@ -194,9 +194,65 @@ object Synth {
     s"""{"status": "ok", "rows": ${(k & 0xffffL)}, "elapsed_ms": ${(k >>> 16) & 0xfffL}, "note": "${pick(Words, k + 1)}"}"""
   }
 
+  /** All five og:* incl. og:author — exercises the examine_meta OpenGraph
+    * short-circuit (the only path where og_properties survives). */
+  private def ogFullPayload(c: Long, t: Long): String = {
+    val k = h(c, t, 12)
+    val dom = pick(Domains, k)
+    s"""<html><head>
+<meta property="og:title" content="${pick(Words, k).capitalize} og story">
+<meta property="og:author" content="${pick(Names, k + 1)}">
+<meta property="og:url" content="https://www.$dom/${pick(Words, k + 2)}/">
+<meta property="og:description" content="${sentence(k + 3, 9)}">
+<meta property="og:site_name" content="${pick(Sites, k + 4)}">
+<meta property="og:image" content="https://www.$dom/i.jpg">
+</head><body>
+<h1>${pick(Words, k).capitalize} og story</h1>
+<p>${sentence(k + 5, 15)}</p>
+<p>${sentence(k + 6, 12)}</p>
+</body></html>"""
+  }
+
+  /** Category/tag xpath containers + article:section fallback. */
+  private def catstagsPayload(c: Long, t: Long): String = {
+    val k = h(c, t, 13)
+    val cat1 = pick(Words, k)
+    val cat2 = pick(Words, k + 1)
+    val tag1 = pick(Words, k + 2)
+    s"""<html><head><title>tagged page</title>
+<meta property="article:section" content="${pick(Words, k + 3)}">
+</head><body>
+<h1>tagged ${sentence(k + 4, 3)}</h1>
+<div class="post-info">
+  <a href="/category/$cat1/">${cat1.capitalize}</a>
+  <a href="/category/$cat2/">${cat2.capitalize}</a>
+</div>
+<div class="tags"><a href="/tags/$tag1/">$tag1</a></div>
+<p>${sentence(k + 5, 14)}</p>
+</body></html>"""
+  }
+
+  /** Footer CC-text license fallback (strict TEXT_LICENSE_REGEX path) +
+    * itemprop metas + twitter backup sitename + x-default alternate. */
+  private def licenseItempropPayload(c: Long, t: Long): String = {
+    val k = h(c, t, 14)
+    val dom = pick(Domains, k)
+    s"""<html><head><title>itemprop page</title>
+<meta content="${pick(Names, k + 1)}" itemprop="author">
+<meta content="${sentence(k + 2, 8)}" itemprop="description">
+<meta content="${pick(Words, k + 3).capitalize} itemprop headline" itemprop="headline">
+<meta name="twitter:site" content="@${pick(Words, k + 4)}">
+<link rel="alternate" hreflang="x-default" href="https://www.$dom/${pick(Words, k + 5)}/">
+</head><body>
+<h1>${pick(Words, k + 3).capitalize} itemprop headline</h1>
+<p>${sentence(k + 6, 16)}</p>
+<div class="footer"><a href="https://example.org/about">cc by-nc-sa 3.0</a></div>
+</body></html>"""
+  }
+
   /** Payload class cycled deterministically per (conv, turn). */
   def payload(c: Long, t: Long): String = {
-    val cls = ((h(c, t, 0) & 0x7fffffffL) % 12).toInt
+    val cls = ((h(c, t, 0) & 0x7fffffffL) % 15).toInt
     cls match {
       case 0 | 1 => pagePayload(c, t)
       case 2 | 3 => metaRichPayload(c, t)
@@ -208,11 +264,14 @@ object Synth {
       case 9 => blankPayload(c, t)
       case 10 => markdownPayload(c, t)
       case 11 => toolOutputPayload(c, t)
+      case 12 => ogFullPayload(c, t)
+      case 13 => catstagsPayload(c, t)
+      case 14 => licenseItempropPayload(c, t)
     }
   }
 
   def role(c: Long, t: Long): String = {
-    val cls = ((h(c, t, 0) & 0x7fffffffL) % 12).toInt
+    val cls = ((h(c, t, 0) & 0x7fffffffL) % 15).toInt
     if (cls == 11) "tool"
     else if (t == 0) "user"
     else if ((h(c, t, 10) & 3) == 0) "user"
