@@ -250,9 +250,16 @@ object Synth {
 </body></html>"""
   }
 
+  /** Verbatim reference fixture as a turn payload (FIXTURES.md §2: payload
+    * classes include verbatim reference fixture documents). */
+  private lazy val pageForTesting: String = {
+    val in = getClass.getResourceAsStream("/graft/fixtures/page_for_testing.html")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
   /** Payload class cycled deterministically per (conv, turn). */
   def payload(c: Long, t: Long): String = {
-    val cls = ((h(c, t, 0) & 0x7fffffffL) % 15).toInt
+    val cls = ((h(c, t, 0) & 0x7fffffffL) % 16).toInt
     cls match {
       case 0 | 1 => pagePayload(c, t)
       case 2 | 3 => metaRichPayload(c, t)
@@ -267,11 +274,12 @@ object Synth {
       case 12 => ogFullPayload(c, t)
       case 13 => catstagsPayload(c, t)
       case 14 => licenseItempropPayload(c, t)
+      case 15 => pageForTesting
     }
   }
 
   def role(c: Long, t: Long): String = {
-    val cls = ((h(c, t, 0) & 0x7fffffffL) % 15).toInt
+    val cls = ((h(c, t, 0) & 0x7fffffffL) % 16).toInt
     if (cls == 11) "tool"
     else if (t == 0) "user"
     else if ((h(c, t, 10) & 3) == 0) "user"
