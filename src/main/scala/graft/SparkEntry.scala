@@ -99,6 +99,15 @@ object SparkEntry {
       Similarity.cosineTopPairs(t(s, dir, "embeddings"), k = 100)),
     "x_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"))),
+    "x_langid_eval" -> ((s, dir) => {
+      // predicted-vs-labeled language confusion (labels in this harness
+      // table are synthetic; the query shape is the real evaluation op)
+      val d = t(s, dir, "documents")
+      d.withColumn("lang_pred", TextAnalysis.langIdUdf(col("text")))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
     "x_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.synthMedia(s, 2000))),
     "x_token_count_native" -> ((s, dir) =>

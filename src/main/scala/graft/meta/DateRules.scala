@@ -19,6 +19,9 @@ object DateRules {
   private val Slash = Pattern.compile("(\\d{4})/(\\d{1,2})/(\\d{1,2})")
   private val MonthName = Pattern.compile(
     "(January|February|March|April|May|June|July|August|September|October|November|December)\\s+(\\d{1,2}),?\\s+(\\d{4})")
+  private val DayMonthName = Pattern.compile(
+    "(\\d{1,2})\\.?\\s+(January|February|March|April|May|June|July|August|September|October|November|December)\\s+(\\d{4})")
+  private val Dotted = Pattern.compile("(\\d{1,2})\\.(\\d{1,2})\\.(\\d{4})")
   private val Months = Vector("january", "february", "march", "april", "may",
     "june", "july", "august", "september", "october", "november", "december")
 
@@ -39,6 +42,12 @@ object DateRules {
     val m3 = MonthName.matcher(s)
     if (m3.find())
       return valid(m3.group(3).toInt, Months.indexOf(m3.group(1).toLowerCase) + 1, m3.group(2).toInt)
+    val m4 = DayMonthName.matcher(s)
+    if (m4.find())
+      return valid(m4.group(3).toInt, Months.indexOf(m4.group(2).toLowerCase) + 1, m4.group(1).toInt)
+    val m5 = Dotted.matcher(s)
+    if (m5.find())
+      return valid(m5.group(3).toInt, m5.group(2).toInt, m5.group(1).toInt)
     None
   }
 
