@@ -257,9 +257,20 @@ object Synth {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  /** PDF turn payload (north rule "PDF/layout parse"): deterministic
+    * one-page PDF carried in the string column via Latin-1. */
+  private def pdfPayload(c: Long, t: Long): String = {
+    val k = h(c, t, 15)
+    val lines = Seq(
+      s"${pick(Words, k).capitalize} ${pick(Words, k + 1)} quarterly report",
+      sentence(k + 2, 10),
+      sentence(k + 3, 8))
+    new String(graft.dom.PdfText.synthPdf(lines), "ISO-8859-1")
+  }
+
   /** Payload class cycled deterministically per (conv, turn). */
   def payload(c: Long, t: Long): String = {
-    val cls = ((h(c, t, 0) & 0x7fffffffL) % 16).toInt
+    val cls = ((h(c, t, 0) & 0x7fffffffL) % 17).toInt
     cls match {
       case 0 | 1 => pagePayload(c, t)
       case 2 | 3 => metaRichPayload(c, t)
@@ -275,11 +286,12 @@ object Synth {
       case 13 => catstagsPayload(c, t)
       case 14 => licenseItempropPayload(c, t)
       case 15 => pageForTesting
+      case 16 => pdfPayload(c, t)
     }
   }
 
   def role(c: Long, t: Long): String = {
-    val cls = ((h(c, t, 0) & 0x7fffffffL) % 16).toInt
+    val cls = ((h(c, t, 0) & 0x7fffffffL) % 17).toInt
     if (cls == 11) "tool"
     else if (t == 0) "user"
     else if ((h(c, t, 10) & 3) == 0) "user"

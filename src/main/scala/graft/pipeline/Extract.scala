@@ -68,15 +68,22 @@ object Extract {
   def extract(text: String, defaultUrl: String, metadataMining: Boolean,
       hooks: Hooks): Extracted = {
     try {
+      // PDF payloads (north rule: "PDF/layout parse"): extract the text
+      // layer first, then run the normal pipeline over it as plain text
+      val effectiveText =
+        if (text != null && text.startsWith("%PDF-"))
+          graft.dom.PdfText.extract(text.getBytes("ISO-8859-1")).getOrElse(text)
+        else text
+
       // ONE parse per turn, shared by metadata + blockifier (the reference
       // parses three times: lxml twice + bs4; behavior-neutral fusion,
       // SURVEY.md §4.1)
-      val tree = graft.dom.HtmlParser.parse(text)
+      val tree = graft.dom.HtmlParser.parse(effectiveText)
 
       // stage 2: rule-based metadata (None keys dropped at merge time)
       val meta: Meta =
         if (metadataMining)
-          MetaExtract.extractMetadata(tree, text, defaultUrl, false, MetaExtract.BlacklistAuthor)
+          MetaExtract.extractMetadata(tree, effectiveText, defaultUrl, false, MetaExtract.BlacklistAuthor)
         else Meta(null, null, null, null, null, null, null, null, null, null, null, null, null, null)
 
       // stages 4-7: blockify -> featurize -> GRU -> decode

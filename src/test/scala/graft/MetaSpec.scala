@@ -156,4 +156,10 @@ class MetaSpec extends AnyFunSuite {
     checkBlockCorrected("page_no_comments.html", "page_no_comments.html.corrected.txt",
       "page_no_comments_expected.block_corrected.txt")
   }
+
+  test("block_corrected golden: blank_label (zero blocks)") {
+    val labels = EvalCorpus.labelBlocks(fixture("blank_label.html"),
+      fixture("Corrected/blank_label.corrected.txt"))
+    assert(labels.isEmpty) // script-only page yields no blocks; golden empty
+  }
 }
