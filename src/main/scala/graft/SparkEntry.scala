@@ -185,6 +185,59 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_suppliers"))
         .orderBy("n_name")
+    }),
+    "q11_part_brands" -> ((s, dir) =>
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          expr("cast(sum(cast(p_size as bigint)) as bigint)").as("total_size"))
+        .orderBy("p_brand")),
+    "q12_monthly_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("order_month")),
+    "q13_sessionize" -> ((s, dir) => {
+      // session = run of a user's events with gaps <= 30 min (window lag)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_s", lag(unix_timestamp(col("ts")), 1).over(w))
+        .withColumn("is_start",
+          when(col("prev_s").isNull ||
+            unix_timestamp(col("ts")) - col("prev_s") > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("is_start")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+    "q14_top_customers" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(10)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))),
+    "q15_customer_activity" -> ((s, dir) => {
+      // semi/anti join: customers with vs without orders
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+      val spark = s
+      import spark.implicits._
+      Seq((withO, withoutO)).toDF("with_orders", "without_orders")
+    }),
+    "q16_event_deltas" -> ((s, dir) => {
+      // lag-based per-event value delta, fixed-point, summed by type
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("vm", expr("cast(floor(value * 1000) as bigint)"))
+        .withColumn("delta", col("vm") - lag(col("vm"), 1).over(w))
+        .filter(col("delta").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("delta")).cast("long").as("delta_sum"))
+        .orderBy("event_type")
     }))
 
   /** DuckDB-runnable oracles for the relational family; the x_* extraction
@@ -234,5 +287,40 @@ object SparkEntry {
     "q10_supplier_nation" ->
       """SELECT n_name, count(*) AS n_suppliers
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q11_part_brands" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |  cast(sum(cast(p_size as bigint)) as bigint) AS total_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q12_monthly_orders" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin,
+    "q13_sessionize" ->
+      """SELECT user_id,
+        |  cast(sum(is_start) as bigint) AS n_sessions, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_s IS NULL OR cast(epoch(ts) as bigint) - prev_s > 1800
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(cast(epoch(ts) as bigint)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+        |    FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q14_top_customers" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
+    "q15_customer_activity" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS with_orders,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS without_orders""".stripMargin,
+    "q16_event_deltas" ->
+      """SELECT event_type, count(*) AS n, cast(sum(delta) as bigint) AS delta_sum
+        |FROM (
+        |  SELECT event_type,
+        |    vm - lag(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |  FROM (SELECT user_id, event_type, event_id, ts,
+        |        cast(floor(value * 1000) as bigint) AS vm FROM events))
+        |WHERE delta IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
