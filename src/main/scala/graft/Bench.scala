@@ -37,6 +37,12 @@ object Bench {
     val spark = session(cpus)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    // untimed warmup: session/codegen/parquet-reader startup should not be
+    // billed to whichever query happens to run first
+    spark.range(100000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case _: Throwable => }
+
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every column (a bare count()
