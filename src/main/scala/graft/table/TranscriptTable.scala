@@ -25,11 +25,13 @@ object TranscriptTable {
   def committedBatches(table: String): Seq[String] = {
     val dir = manifestDir(table)
     if (!Files.exists(dir)) return Seq.empty
-    Files.list(dir).iterator.asScala
+    val stream = Files.list(dir)
+    try stream.iterator.asScala
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
       .map(n => n.stripPrefix("manifest-").stripSuffix(".json"))
       .toSeq.sorted
+    finally stream.close()
   }
 
   def isCommitted(table: String, batchId: String): Boolean =
@@ -44,8 +46,12 @@ object TranscriptTable {
     df.write.mode(SaveMode.Overwrite).parquet(target)
     val mdir = manifestDir(table)
     Files.createDirectories(mdir)
-    val files = Files.list(Paths.get(target)).iterator.asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val files = {
+      val stream = Files.list(Paths.get(target))
+      try stream.iterator.asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      finally stream.close()
+    }
     val json = {
       val extras = manifestExtra.map { case (k, v) => s"""  "$k": "$v"""" }
       val fileList = files.map(f => s"""    "$f"""").mkString(",\n")
