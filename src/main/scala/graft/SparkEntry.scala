@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.jobs.Synth
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AnnIndex, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.Udfs
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -50,10 +50,19 @@ object SparkEntry {
           col("ex.video").as("video"), col("ex.nBlocks").as("n_blocks"))
     }),
     "x_blockify" -> ((s, dir) => {
+      // scalar columns only: the external checker lexsorts+hashes every
+      // column, and an array<string> breaks pandas' sort. The block texts
+      // are folded into a deterministic digest instead (the raw array form
+      // is exercised by BlockifierSpec / the frozen per-turn digests).
       val turns = Synth.turns(s, math.min(sfOf(dir), 0.01), 16)
-      turns.select(col("conv_id"), col("turn_idx"),
-        Udfs.blockCount(col("text")).as("n_blocks"),
-        Udfs.blockTexts(col("text")).as("block_texts"))
+      // single blockify pass: CollapseProject keeps the non-cheap UDF in
+      // its own Project (3 references), so `bt` is evaluated once per row;
+      // the \\u0001 joiner keeps block boundaries inside the digest
+      turns.withColumn("bt", Udfs.blockTexts(col("text")))
+        .select(col("conv_id"), col("turn_idx"),
+          size(col("bt")).as("n_blocks"),
+          xxhash64(concat_ws("\u0001", col("bt"))).as("blocks_digest"),
+          length(concat_ws("\u0001", col("bt"))).cast("long").as("blocks_chars"))
     }),
     "x_turn_ordering" -> ((s, dir) => {
       // stable-ordering invariant: turn_idx dense 0..n-1 per conversation
@@ -78,10 +87,18 @@ object SparkEntry {
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)),
     "x_ann_brute" -> ((s, dir) => {
+      // oracle-checkable form: integer rank + 6-decimal cosine (engines
+      // differ by ~1 ulp in fp64 accumulation; rank gaps are >=8e-6 on this
+      // data so both columns are stable across engines)
+      import org.apache.spark.sql.expressions.Window
       val emb = t(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").select("embedding").head
         .getSeq[Float](0).toArray
+      val w = Window.orderBy(col("cosine").desc, col("vec_id")) // 50 rows
       Similarity.bruteForceTopK(emb, q, 50)
+        .withColumn("rank", row_number().over(w))
+        .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
+        .orderBy("rank")
     }),
     "x_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -95,8 +112,44 @@ object SparkEntry {
         .getSeq[Float](0).toArray
       Similarity.ivfTopK(emb, q, 50)
     }),
+    "x_ann_index_probe" -> ((s, dir) => {
+      // the persisted-index path: build once (partitioned by srp_bucket),
+      // probe with partition pruning — must agree with x_ann_lsh
+      val emb = t(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").select("embedding").head
+        .getSeq[Float](0).toArray
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_lsh_sf${sfOf(dir)}"
+      AnnIndex.buildLsh(emb, idx, nBits = 8)
+      AnnIndex.probeLsh(s, idx, q, 50)
+    }),
     "x_embed_neardup" -> ((s, dir) =>
       Similarity.cosineTopPairs(t(s, dir, "embeddings"), k = 100)),
+    "x_jaccard_pairs" -> ((s, dir) => {
+      // exact 3-gram Jaccard over consecutive doc pairs: linear-size,
+      // DuckDB-oracled verification of the n-gram/Jaccard kernel that
+      // minhashPairs uses to verify its candidates
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      val b = d.select((col("doc_id") - 1).as("doc_a"),
+        col("doc_id").as("doc_b"), col("text").as("text_b"))
+      a.join(b, Seq("doc_a"))
+        .withColumn("js", Dedup.jaccardStatsUdf(col("text_a"), col("text_b")))
+        .select(col("doc_a"), col("doc_b"),
+          col("js._1").as("g_a"), col("js._2").as("g_b"),
+          col("js._3").as("g_inter"), col("js._4").as("g_union"),
+          col("js._5").as("jaccard"))
+        .orderBy("doc_a")
+    }),
+    "x_quality_counts" -> ((s, dir) =>
+      // integer-exact quality signals with a DuckDB oracle (the double
+      // ratios live in x_text_analysis; ints hash identically)
+      t(s, dir, "documents")
+        .withColumn("qc", TextAnalysis.qualityCountsUdf(col("text")))
+        .select(col("doc_id"),
+          col("qc._1").as("n_tokens"), col("qc._2").as("n_stopwords"),
+          col("qc._3").as("n_punct"), col("qc._4").as("n_digit"),
+          col("qc._5").as("n_upper"))
+        .orderBy("doc_id")),
     "x_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"))),
     "x_langid_eval" -> ((s, dir) => {
@@ -113,7 +166,8 @@ object SparkEntry {
     "x_token_count_native" -> ((s, dir) =>
       // native codegen'd Catalyst expression (no UDF boxing)
       t(s, dir, "documents").select(col("doc_id"),
-        graft.ops.WsTokenCount.ws_token_count(col("text")).as("ws_tokens"))),
+        graft.ops.WsTokenCount.ws_token_count(col("text")).as("ws_tokens"))
+        .orderBy("doc_id")),
 
     // ---------------- relational queries with DuckDB oracles ---------------
     "q1_pricing" -> ((s, dir) =>
@@ -244,6 +298,49 @@ object SparkEntry {
     * ops are not SQL-expressible -> rows-only checks. Column aliases match
     * the Spark side exactly (driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
+    // ---- extraction/ops family oracles (integer-exact or rank-stable) ----
+    "x_token_count_native" ->
+      """SELECT doc_id,
+        |  cast(len(list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'),
+        |    x -> x <> '')) as int) AS ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_quality_counts" ->
+      """SELECT doc_id,
+        |  cast(len(list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'), x -> x <> '')) as int) AS n_tokens,
+        |  cast(len(list_filter(string_split_regex(lower(text), '\W+'),
+        |    x -> list_contains(['the','and','of','to','in','is','that','for','with','was','are','this'], x))) as int) AS n_stopwords,
+        |  cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \t\n\r\x0B\f]', '', 'g')) as int) AS n_punct,
+        |  cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) as int) AS n_digit,
+        |  cast(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) as int) AS n_upper
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN t
+        |    ELSE list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+        |  FROM toks)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  cast(len(a.grams) as bigint) AS g_a,
+        |  cast(len(b.grams) as bigint) AS g_b,
+        |  cast(len(list_intersect(a.grams, b.grams)) as bigint) AS g_inter,
+        |  cast(len(list_distinct(list_concat(a.grams, b.grams))) as bigint) AS g_union,
+        |  cast(len(list_intersect(a.grams, b.grams)) as double)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    "x_ann_brute" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+        |c AS (SELECT vec_id,
+        |        list_cosine_similarity(cast(embedding AS DOUBLE[]), cast(qv AS DOUBLE[])) AS cos
+        |      FROM embeddings, q)
+        |SELECT vec_id,
+        |  cast(row_number() OVER (ORDER BY cos DESC, vec_id) as int) AS rank,
+        |  round(cos, 6) AS cosine_r6
+        |FROM c ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin,
+    // ---------------------- relational family oracles ----------------------
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,

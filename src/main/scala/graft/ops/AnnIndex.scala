@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index: the 100 TB path for similarity search.
+  *
+  * `lshTopK`/`ivfTopK` in [[Similarity]] are the ad-hoc forms — they scan the
+  * whole embeddings table per query. An index materializes the bucket
+  * assignment ONCE as a parquet table **partitioned by the bucket column**,
+  * so a probe's `WHERE srp_bucket IN (...)` / `ivf_cell IN (...)` prunes to
+  * the matching partition directories at planning time: the scan reads only
+  * probed buckets (verified by the PartitionFilters line in the probe plan
+  * and by AnnIndexSpec counting scanned files). At 10^12 vectors a probe
+  * touches probes/2^nBits (resp. nProbe/nCells) of the data instead of all
+  * of it, and build cost is one pass + one partitioned write.
+  *
+  * Layout:
+  *   dir/srp_bucket=<b>/...parquet   (LSH)   or   dir/ivf_cell=<c>/...
+  *   dir/_graft_meta/                one-row parquet: kind + params
+  *   dir/_graft_centroids/           IVF only: (cell, centroid)
+  * Underscore-prefixed dirs are invisible to the data read. */
+object AnnIndex {
+
+  // ------------------------------------------------------------------- LSH
+  def buildLsh(embeddings: DataFrame, dir: String, nBits: Int = 8): Unit = {
+    val spark = embeddings.sparkSession
+    embeddings
+      .withColumn("srp_bucket", Similarity.srpBucketUdf(nBits)(col("embedding")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("srp_bucket")
+      .parquet(dir)
+    writeMeta(spark, dir, kind = "lsh", param = nBits)
+  }
+
+  def probeLsh(spark: SparkSession, dir: String, query: Array[Float], k: Int,
+      probeHamming: Int = 1): DataFrame = {
+    val (kind, nBits) = readMeta(spark, dir)
+    require(kind == "lsh", s"$dir is a $kind index, not lsh")
+    val qBucket = Similarity.srpBucket(query.toSeq, nBits)
+    val probes = (0 until (1 << nBits))
+      .filter(b => java.lang.Integer.bitCount(b ^ qBucket) <= probeHamming)
+    val q = query
+    val cosUdf = udf((v: Seq[Float]) => Similarity.cosine(v, q.toSeq))
+    spark.read.parquet(dir)
+      .filter(col("srp_bucket").isin(probes: _*)) // partition-pruned scan
+      .withColumn("cosine", cosUdf(col("embedding")))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id", "srp_bucket", "cosine")
+  }
+
+  // ------------------------------------------------------------------- IVF
+  def buildIvf(embeddings: DataFrame, dir: String, nCells: Int = 16): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centers = Similarity.trainIvfCentroids(embeddings, nCells)
+    val cellUdf = udf((v: Seq[Float]) =>
+      Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, centers))
+    embeddings
+      .withColumn("ivf_cell", cellUdf(col("embedding")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("ivf_cell")
+      .parquet(dir)
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_graft_centroids")
+    writeMeta(spark, dir, kind = "ivf", param = nCells)
+  }
+
+  def probeIvf(spark: SparkSession, dir: String, query: Array[Float], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val (kind, _) = readMeta(spark, dir)
+    require(kind == "ivf", s"$dir is a $kind index, not ivf")
+    val centers = spark.read.parquet(s"$dir/_graft_centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val qd = query.map(_.toDouble)
+    val probeCells = centers.indices.sortBy { c =>
+      var d = 0.0; var j = 0
+      while (j < qd.length) { val t = qd(j) - centers(c)(j); d += t * t; j += 1 }
+      d
+    }.take(nProbe)
+    val q = query
+    val cosUdf = udf((v: Seq[Float]) => Similarity.cosine(v, q.toSeq))
+    spark.read.parquet(dir)
+      .filter(col("ivf_cell").isin(probeCells: _*)) // partition-pruned scan
+      .withColumn("cosine", cosUdf(col("embedding")))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id", "ivf_cell", "cosine")
+  }
+
+  // ------------------------------------------------------------------ meta
+  private def writeMeta(spark: SparkSession, dir: String, kind: String, param: Int): Unit = {
+    import spark.implicits._
+    Seq((kind, param)).toDF("kind", "param")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_graft_meta")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): (String, Int) = {
+    val r = spark.read.parquet(s"$dir/_graft_meta").head
+    (r.getString(0), r.getInt(1))
+  }
+}

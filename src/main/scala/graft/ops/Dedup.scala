@@ -88,15 +88,29 @@ object Dedup {
     }
   })
 
-  /** Near-duplicate candidate pairs via MinHash LSH:
-    * signature -> band buckets -> self-join within bucket -> verified
-    * estimated-Jaccard filter. Shuffles only on (band, bucket_hash). */
+  /** Near-duplicate pairs via MinHash LSH, exact-verified:
+    * signature -> band buckets -> self-join within bucket (doc ids only) ->
+    * estimated-Jaccard filter from signatures -> exact 3-gram Jaccard on the
+    * surviving pairs. Shuffles on (band, bucket_hash) then on doc_id.
+    *
+    * Plan shape (the 100 TB contract):
+    *  - the 64-perm signature UDF runs EXACTLY ONCE per document: `sigs` is
+    *    materialized behind a barrier (localCheckpoint) so the self-join's
+    *    two branches and the estimate join all read the computed table
+    *    instead of re-deriving the UDF from the raw scan (Catalyst would
+    *    otherwise expand it 4-6x across the self-join branches);
+    *  - the exploded band join carries only (band, bucket, doc_id) — the
+    *    64-long signatures do NOT ride through the join; estimates come from
+    *    re-joining the candidate ids to the narrow sigs table;
+    *  - texts are only touched again for the tiny surviving pair set.
+    * In a cluster deployment the barrier can equivalently be a temp parquet
+    * table of (doc_id, sig) — same single-evaluation guarantee. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8, textCol: String = "text",
       maxBucket: Int = 1000): DataFrame = {
     val sigs = docs.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
+      .localCheckpoint()
     val banded0 = sigs
-      .withColumn("band_hash", bandHashesUdf(col("sig")))
-      .select(col("doc_id"), col("sig"), posexplode(col("band_hash")).as(Seq("band", "bucket")))
+      .select(col("doc_id"), posexplode(bandHashesUdf(col("sig"))).as(Seq("band", "bucket")))
     // hot-bucket guard: a degenerate bucket (e.g. near-empty docs) would
     // blow up quadratically at 100 TB; cap candidates per bucket and surface
     // the dropped buckets to exact dedup instead (they are exact-dup-like)
@@ -104,17 +118,27 @@ object Dedup {
       .count().filter(col("count") > maxBucket)
       .select(col("band"), col("bucket"))
     val banded = banded0.join(hot, Seq("band", "bucket"), "left_anti")
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
     val estJaccard = udf((x: Seq[Long], y: Seq[Long]) =>
       x.zip(y).count { case (u, v) => u == v }.toDouble / x.length)
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .distinct()
+    val est = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    // exact verification: join the few survivors back to the texts
+    est
+      .join(docs.select(col("doc_id").as("doc_a"), col(textCol).as("text_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col(textCol).as("text_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        jaccardUdf(col("text_a"), col("text_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   // -------------------------------------------------------------- simhash
@@ -149,8 +173,11 @@ object Dedup {
     val segWidth = 64 / nSeg
     val segUdf = udf((h: Long) =>
       (0 until nSeg).map(s => (s.toLong << 32) | ((h >>> (s * segWidth)) & ((1L << segWidth) - 1))))
-    val hashed0 = docs.select(col("doc_id"), simhashUdf(col(textCol)).as("simhash"))
-      .withColumn("seg", explode(segUdf(col("simhash"))))
+    // barrier: one simhash evaluation per doc (the self-join below would
+    // otherwise re-derive the UDF on both branches); (doc_id, long) is tiny
+    val hashes = docs.select(col("doc_id"), simhashUdf(col(textCol)).as("simhash"))
+      .localCheckpoint()
+    val hashed0 = hashes.withColumn("seg", explode(segUdf(col("simhash"))))
     val hotSegs = hashed0.groupBy(col("seg")).count()
       .filter(col("count") > maxBucket).select(col("seg"))
     val hashed = hashed0.join(hotSegs, Seq("seg"), "left_anti")
@@ -167,13 +194,25 @@ object Dedup {
   // -------------------------------------------------- n-gram Jaccard verify
   /** Exact word-n-gram Jaccard for a (small) candidate pair set: joins the
     * candidates back to texts (broadcast the candidate side at scale). */
+  private[ops] def grams3(s: String): Set[String] = {
+    val t = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (t.length < 3) t.toSet else t.sliding(3).map(_.mkString(" ")).toSet
+  }
+
   val jaccardUdf = udf((a: String, b: String) => {
-    def grams(s: String): Set[String] = {
-      val t = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
-      if (t.length < 3) t.toSet else t.sliding(3).map(_.mkString(" ")).toSet
-    }
-    val (ga, gb) = (grams(a), grams(b))
+    val (ga, gb) = (grams3(a), grams3(b))
     if (ga.isEmpty && gb.isEmpty) 1.0
     else ga.intersect(gb).size.toDouble / ga.union(gb).size
+  })
+
+  /** Integer-exact Jaccard stats for oracle-checkable verification:
+    * (|grams(a)|, |grams(b)|, |∩|, |∪|, jaccard). Integer counts hash
+    * exactly across engines; the double is the same int/int division. */
+  val jaccardStatsUdf = udf((a: String, b: String) => {
+    val (ga, gb) = (grams3(a), grams3(b))
+    val inter = ga.intersect(gb).size
+    val uni = ga.union(gb).size
+    val j = if (uni == 0) 1.0 else inter.toDouble / uni
+    (ga.size.toLong, gb.size.toLong, inter.toLong, uni.toLong, j)
   })
 }

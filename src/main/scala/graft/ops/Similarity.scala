@@ -36,21 +36,31 @@ object Similarity {
       .select("vec_id", "cosine")
   }
 
-  /** Deterministic sign-random-projection bucket id (nBits hyperplanes whose
-    * coefficients come from splitmix64 — reproducible across executors). */
+  /** Hyperplane coefficient matrix for sign-random-projection, derived
+    * deterministically from splitmix64 (reproducible across executors) and
+    * computed ONCE per JVM per (nBits, dim) — the per-row cost of srpBucket
+    * is then just nBits dot products, no hash mixing in the row loop. */
+  private val srpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  def srpProjection(nBits: Int, dim: Int): Array[Array[Double]] =
+    srpCache.computeIfAbsent((nBits, dim), { case (nb, d) =>
+      Array.tabulate(nb, d) { (b, i) =>
+        val r = graft.jobs.Synth.mix(b * 100003L + i)
+        (r >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+    })
+
+  /** Deterministic sign-random-projection bucket id (nBits hyperplanes). */
   def srpBucket(v: Seq[Float], nBits: Int): Int = {
+    val proj = srpProjection(nBits, v.length)
     var bucket = 0
     var b = 0
     while (b < nBits) {
+      val row = proj(b)
       var acc = 0.0
       var i = 0
-      while (i < v.length) {
-        // pseudo-gaussian via two uniform mixes
-        val r = graft.jobs.Synth.mix(b * 100003L + i)
-        val u = (r >>> 11).toDouble / (1L << 53).toDouble - 0.5
-        acc += v(i) * u
-        i += 1
-      }
+      while (i < v.length) { acc += v(i) * row(i); i += 1 }
       if (acc > 0) bucket |= (1 << b)
       b += 1
     }
@@ -82,9 +92,14 @@ object Similarity {
   // ------------------------------------------------------------------ IVF
   /** Train IVF centroids on a driver-side sample (deterministic k-means,
     * sample bounded — the standard IVF recipe: coarse quantizer is tiny,
-    * the big table is only ever map-scanned). */
+    * the big table is only ever map-scanned). The sample is the first
+    * `sampleSize` rows by xxhash64(vec_id) — a seeded pseudo-random pick
+    * that is insertion-order-independent (clustered inserts don't skew the
+    * centroids) and needs no count(): TakeOrdered, one scan. */
   def trainIvfCentroids(embeddings: DataFrame, k: Int, sampleSize: Int = 4096): Array[Array[Double]] = {
-    val sample = embeddings.orderBy("vec_id").limit(sampleSize)
+    val sample = embeddings
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
       .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty)
     val dim = sample.head.length
@@ -110,6 +125,10 @@ object Similarity {
     }
     centers
   }
+
+  /** Index of the closest centroid (squared-L2) — shared with AnnIndex. */
+  private[ops] def nearestCentroidOf(v: Array[Double], centers: Array[Array[Double]]): Int =
+    nearestCentroid(v, centers)
 
   private def nearestCentroid(v: Array[Double], centers: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue

@@ -90,6 +90,28 @@ object TextAnalysis {
 
   val qualityUdf = udf((text: String) => qualityFeatures(text))
 
+  /** Integer-exact quality signals (oracle-checkable: integer counts hash
+    * identically across engines, unlike the double ratios above):
+    * (ws tokens, en-stopword hits, punct chars, digit chars, upper chars). */
+  def qualityCounts(text: String): (Int, Int, Int, Int, Int) = {
+    if (text == null || text.isEmpty) return (0, 0, 0, 0, 0)
+    var punct = 0; var digit = 0; var upper = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isDigit(c)) digit += 1
+      else if (Character.isUpperCase(c)) upper += 1
+      else if (!Character.isLetter(c) && !Character.isWhitespace(c)) punct += 1
+      i += 1
+    }
+    val nTokens = text.split("\\s+").count(_.nonEmpty)
+    val sw = Stopwords("en")
+    val nStop = text.toLowerCase.split("\\W+").count(t => t.nonEmpty && sw.contains(t))
+    (nTokens, nStop, punct, digit, upper)
+  }
+
+  val qualityCountsUdf = udf((text: String) => qualityCounts(text))
+
   // --------------------------------------------------------- token counting
   /** Whitespace token count. */
   def wsTokenCount(text: String): Int =

@@ -28,15 +28,17 @@ case class WsTokenCount(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val inTok = ctx.freshName("inTok")
       val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      val ws = ctx.freshName("ws")
       s"""
          |byte[] $bytes = $c.getBytes();
          |int $n = 0;
          |boolean $inTok = false;
          |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  byte b = $bytes[$i];
-         |  boolean ws = b == 32 || b == 9 || b == 10 || b == 13 || b == 12 || b == 11;
-         |  if (!ws && !$inTok) { $n++; $inTok = true; }
-         |  else if (ws) { $inTok = false; }
+         |  byte $b = $bytes[$i];
+         |  boolean $ws = $b == 32 || $b == 9 || $b == 10 || $b == 13 || $b == 12 || $b == 11;
+         |  if (!$ws && !$inTok) { $n++; $inTok = true; }
+         |  else if ($ws) { $inTok = false; }
          |}
          |${ev.value} = $n;
        """.stripMargin

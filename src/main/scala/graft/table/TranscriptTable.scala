@@ -37,6 +37,19 @@ object TranscriptTable {
   def isCommitted(table: String, batchId: String): Boolean =
     Files.exists(manifestDir(table).resolve(s"manifest-$batchId.json"))
 
+  /** JSON string literal with full escaping (quotes, backslashes, control
+    * chars) — manifest values such as lineage summaries must never be able
+    * to corrupt the manifest that committedRowCount/audit readers parse. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+
   /** Write one batch then commit it atomically. `manifestExtra` carries the
     * batch lineage summary into the manifest for audit. */
   def writeBatch(df: DataFrame, table: String, batchId: String,
@@ -53,10 +66,11 @@ object TranscriptTable {
       finally stream.close()
     }
     val json = {
-      val extras = manifestExtra.map { case (k, v) => s"""  "$k": "$v"""" }
-      val fileList = files.map(f => s"""    "$f"""").mkString(",\n")
+      val extras = manifestExtra.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"  ${jstr(k)}: ${jstr(v)}" }
+      val fileList = files.map(f => s"    ${jstr(f)}").mkString(",\n")
       (Seq(
-        s"""  "batch_id": "$batchId"""",
+        s"""  "batch_id": ${jstr(batchId)}""",
         s"""  "n_files": ${files.length}""",
         s"""  "files": [\n$fileList\n  ]""") ++ extras).mkString("{\n", ",\n", "\n}\n")
     }

@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.{AnnIndex, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The persisted ANN index must (a) agree exactly with the ad-hoc
+  * lshTopK/ivfTopK scan forms, and (b) prove partition pruning: the probe's
+  * scan must carry the bucket predicate as a PartitionFilter and touch only
+  * the probed bucket directories — the property that makes it an index at
+  * 100 TB rather than a full scan per query. */
+class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val tmp = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private def queryVec = emb.orderBy("vec_id").select("embedding").head
+    .getSeq[Float](0).toArray
+
+  test("lsh index probe agrees exactly with the ad-hoc lshTopK scan") {
+    val dir = s"$tmp/lsh"
+    AnnIndex.buildLsh(emb, dir, nBits = 8)
+    val q = queryVec
+    val probe = AnnIndex.probeLsh(spark, dir, q, 50).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val adhoc = Similarity.lshTopK(emb, q, 50, nBits = 8, probeHamming = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(probe == adhoc)
+    assert(probe.nonEmpty && math.abs(probe.head._3 - 1.0) < 1e-9)
+  }
+
+  test("lsh probe plan prunes partitions: bucket predicate is a PartitionFilter") {
+    val dir = s"$tmp/lsh2"
+    AnnIndex.buildLsh(emb, dir, nBits = 8)
+    val probe = AnnIndex.probeLsh(spark, dir, queryVec, 10)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("srp_bucket"), pf)
+    // the scan must list only probed bucket directories, not all of them
+    val allBuckets = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("srp_bucket="))
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount }
+    assert(scanned.isDefined)
+    assert(scanned.get < allBuckets,
+      s"probe scanned ${scanned.get} of $allBuckets buckets — no pruning")
+    // nBits=8, probeHamming=1 → at most 9 of the populated buckets
+    assert(scanned.get <= 9, s"scanned=${scanned.get}")
+  }
+
+  test("ivf index probe agrees exactly with the ad-hoc ivfTopK scan") {
+    val dir = s"$tmp/ivf"
+    AnnIndex.buildIvf(emb, dir, nCells = 16)
+    val q = queryVec
+    val probe = AnnIndex.probeIvf(spark, dir, q, 20, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val adhoc = Similarity.ivfTopK(emb, q, 20, nCells = 16, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(probe == adhoc)
+  }
+
+  test("ivf probe prunes to nProbe cells") {
+    val dir = s"$tmp/ivf2"
+    AnnIndex.buildIvf(emb, dir, nCells = 16)
+    val probe = AnnIndex.probeIvf(spark, dir, queryVec, 10, nProbe = 4)
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount }
+    assert(scanned.isDefined && scanned.get <= 4, s"scanned=$scanned")
+  }
+
+  test("index rebuild is deterministic (same bucket assignment)") {
+    val d1 = s"$tmp/det1"; val d2 = s"$tmp/det2"
+    AnnIndex.buildLsh(emb, d1, nBits = 8)
+    AnnIndex.buildLsh(emb, d2, nBits = 8)
+    val b1 = spark.read.parquet(d1).groupBy("srp_bucket").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val b2 = spark.read.parquet(d2).groupBy("srp_bucket").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(b1 == b2 && b1.nonEmpty)
+  }
+}
