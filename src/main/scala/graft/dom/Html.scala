@@ -451,6 +451,10 @@ object Entities {
   private val named: Map[String, String] = {
     val basic = Map(
       "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+      // NBSP is the real U+00A0 char (NOT ascii space — it renders blank
+      // here): byte-level blockifier keeps it inside tokens, unicode-\s
+      // metadata trim collapses it; both match lxml/html.unescape. Pinned
+      // by BlockifierSpec "nbsp decodes to U+00A0...".
       "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
       "trade" -> "™", "hellip" -> "…", "mdash" -> "—",
       "ndash" -> "–", "lsquo" -> "‘", "rsquo" -> "’",

@@ -91,16 +91,22 @@ object ExtractJob {
         val ordered = extracted.toDF()
           .repartitionByRange(math.max(1, parts / 4), col("conv_id"), col("turn_idx"))
           .sortWithinPartitions("conv_id", "turn_idx")
-          .cache()
-        val linDf = lineage(ordered, batchId)
-        val lin = linDf.collect()
+        // scale-safe lineage: stage the data files first (extraction runs
+        // exactly once, streamed straight to parquet — no whole-batch cache,
+        // which at 100 TB would double I/O), then derive lineage by
+        // re-scanning the just-written files. That scan is columnar and
+        // narrow (5 scalar columns + ex.content), a tiny fraction of the
+        // written bytes. The batch stays invisible until commit.
+        TranscriptTable.writeData(ordered, outTable, batchId)
+        val written = spark.read.parquet(TranscriptTable.dataDir(outTable, batchId))
+        val linDf = lineage(written, batchId)
+        val lin = linDf.collect() // <= Buckets rows
         val linStr = lin.sortBy(_.getAs[Int]("conv_bucket")).map(r =>
           s"${r.getAs[Int]("conv_bucket")}:${r.getAs[Long]("n_turns")}:${r.getAs[Long]("content_digest")}")
           .mkString(";")
-        TranscriptTable.writeBatchWithLineage(ordered, linDf, outTable, batchId,
+        TranscriptTable.commitWithLineage(linDf, outTable, batchId,
           Map("lineage" -> linStr,
               "n_turns" -> lin.map(_.getAs[Long]("n_turns")).sum.toString))
-        ordered.unpersist()
       }
     }
   }

@@ -143,10 +143,14 @@ object Synth {
 </body></html>"""
   }
 
+  private val BylinePrefixes = Vector("By", "Par", "Door", "Von")
+
   private def bylinePayload(c: Long, t: Long): String = {
     val k = h(c, t, 4)
     val by =
-      if ((k & 1) == 0) s"By ${pick(Names, k)}, ${pick(Names, k + 1)} and ${pick(Names, k + 2)}"
+      if ((k & 1) == 0)
+        // multilingual byline markers (en/fr/nl/de) — Authors.LeadingBy grammar
+        s"${pick(BylinePrefixes, k >>> 3)} ${pick(Names, k)}, ${pick(Names, k + 1)} and ${pick(Names, k + 2)}"
       else pick(CjkBylines, k)
     s"""<html><body><div class="article">
 <span class="author">$by</span>
@@ -155,15 +159,43 @@ object Synth {
 </div></body></html>"""
   }
 
+  private val Dows = Vector("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+  private val Mons = Vector("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+  /** "Tue, 03 Jun 2008 09:05:07 GMT" from "2008-06-03". */
+  private def rfc1123(iso: String): String = {
+    val d = java.time.LocalDate.parse(iso)
+    f"${Dows(d.getDayOfWeek.getValue - 1)}, ${d.getDayOfMonth}%02d ${Mons(d.getMonthValue - 1)} ${d.getYear} 09:05:07 GMT"
+  }
+
+  /** "03.06.2008" from "2008-06-03". */
+  private def dotted(iso: String): String = {
+    val d = java.time.LocalDate.parse(iso)
+    f"${d.getDayOfMonth}%02d.${d.getMonthValue}%02d.${d.getYear}"
+  }
+
   private def datedUrlPayload(c: Long, t: Long): String = {
     val k = h(c, t, 5)
     val dom = pick(Domains, k)
     val date = isoDate(k).replace("-", "/")
+    // variants 0/1: the date arrives ONLY as a visible <time> element
+    // (RFC-1123 / dd.MM.yyyy) and the canonical URL is undated — findDate
+    // step 3 must parse the text form (a URL date would override it by the
+    // pinned validate_date quirk, so it is removed in these variants)
+    val variant = ((k >>> 7) & 3L).toInt
+    val timeEl = variant match {
+      case 0 => s"\n<time>${rfc1123(isoDate(k + 9))}</time>"
+      case 1 => s"\n<time>${dotted(isoDate(k + 9))}</time>"
+      case _ => ""
+    }
+    val path = if (variant <= 1) pick(Words, k + 1)
+      else s"$date/${pick(Words, k + 1)}"
     s"""<html><head>
-<link rel="canonical" href="https://www.$dom/$date/${pick(Words, k + 1)}/">
+<link rel="canonical" href="https://www.$dom/$path/">
 <title>dated page - ${pick(Sites, k)}</title>
 </head><body>
-<h1>${sentence(k + 2, 5)}</h1>
+<h1>${sentence(k + 2, 5)}</h1>$timeEl
 <p>${sentence(k + 3, 13)}</p>
 <p>${sentence(k + 4, 10)}</p>
 </body></html>"""

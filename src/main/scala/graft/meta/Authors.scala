@@ -76,7 +76,10 @@ object Authors {
 
   // -- EN path
   private val Parenthetical = Pattern.compile("\\([^)]*\\)")
-  private val LeadingBy = Pattern.compile("^\\s*by\\s+", Pattern.CASE_INSENSITIVE)
+  // multilingual byline markers the reference CRF learned implicitly:
+  // en "By", fr "Par", nl "Door", de "Von"
+  private val LeadingBy = Pattern.compile(
+    "^\\s*(?:by|par|door|von)\\s+", Pattern.CASE_INSENSITIVE)
   private val SplitSep = Pattern.compile(",|\\s+[Aa]nd\\s+")
   private val DescriptorWords: Set[String] = Set(
     "phd", "candidate", "university", "college", "institute", "department",

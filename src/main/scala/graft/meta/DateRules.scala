@@ -24,6 +24,16 @@ object DateRules {
   private val Dotted = Pattern.compile("(\\d{1,2})\\.(\\d{1,2})\\.(\\d{4})")
   private val Months = Vector("january", "february", "march", "april", "may",
     "june", "july", "august", "september", "october", "november", "december")
+  // abbreviated month names ("Jun 3, 2008", "03 Jun 2008", RFC-1123's
+  // "Tue, 03 Jun 2008 ..."): one notch of the dateparser grammar the
+  // reference reaches through dateparser.parse (pipeline.py:104)
+  private val AbbrNames = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+  private val AbbrMonthFirst = Pattern.compile(
+    "(" + AbbrNames + ")[a-z]*\\.?\\s+(\\d{1,2}),?\\s+(\\d{4})")
+  private val AbbrDayFirst = Pattern.compile(
+    "(\\d{1,2})\\.?\\s+(" + AbbrNames + ")[a-z]*\\.?\\s+(\\d{4})")
+  private def monthOfAbbr(s: String): Int =
+    Months.indexWhere(_.startsWith(s.toLowerCase.take(3))) + 1
 
   private val DatePublished = Pattern.compile("\"datePublished\"\\s*:\\s*\"([^\"]+)\"")
 
@@ -45,6 +55,14 @@ object DateRules {
     val m4 = DayMonthName.matcher(s)
     if (m4.find())
       return valid(m4.group(3).toInt, Months.indexOf(m4.group(2).toLowerCase) + 1, m4.group(1).toInt)
+    // abbreviated forms (incl. RFC-1123: the weekday prefix is skipped by
+    // find() and the day-first body matches "03 Jun 2008")
+    val m4b = AbbrDayFirst.matcher(s)
+    if (m4b.find())
+      return valid(m4b.group(3).toInt, monthOfAbbr(m4b.group(2)), m4b.group(1).toInt)
+    val m4c = AbbrMonthFirst.matcher(s)
+    if (m4c.find())
+      return valid(m4c.group(3).toInt, monthOfAbbr(m4c.group(1)), m4c.group(2).toInt)
     val m5 = Dotted.matcher(s)
     if (m5.find())
       return valid(m5.group(3).toInt, m5.group(2).toInt, m5.group(1).toInt)

@@ -55,8 +55,21 @@ object TranscriptTable {
   def writeBatch(df: DataFrame, table: String, batchId: String,
       manifestExtra: Map[String, String] = Map.empty): Unit = {
     if (isCommitted(table, batchId)) return // idempotent resume
+    writeData(df, table, batchId)
+    commit(table, batchId, manifestExtra)
+  }
+
+  /** Stage the data files of one batch WITHOUT committing: the batch stays
+    * invisible (no manifest) until [[commit]] flips it. Lets callers derive
+    * lineage/metrics by re-scanning the just-written parquet — a narrow
+    * columnar read — instead of caching the whole in-flight batch. */
+  def writeData(df: DataFrame, table: String, batchId: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir(table, batchId))
+
+  /** Atomically publish a staged batch (manifest tmp+rename). */
+  def commit(table: String, batchId: String,
+      manifestExtra: Map[String, String] = Map.empty): Unit = {
     val target = dataDir(table, batchId)
-    df.write.mode(SaveMode.Overwrite).parquet(target)
     val mdir = manifestDir(table)
     Files.createDirectories(mdir)
     val files = {
@@ -109,8 +122,16 @@ object TranscriptTable {
   def writeBatchWithLineage(df: DataFrame, lineage: DataFrame, table: String,
       batchId: String, manifestExtra: Map[String, String] = Map.empty): Unit = {
     if (isCommitted(table, batchId)) return
+    writeData(df, table, batchId)
+    commitWithLineage(lineage, table, batchId, manifestExtra)
+  }
+
+  /** Write lineage rows for a staged batch, then commit it. */
+  def commitWithLineage(lineage: DataFrame, table: String, batchId: String,
+      manifestExtra: Map[String, String] = Map.empty): Unit = {
+    if (isCommitted(table, batchId)) return
     lineage.write.mode(SaveMode.Overwrite).parquet(lineageDir(table, batchId))
-    writeBatch(df, table, batchId, manifestExtra)
+    commit(table, batchId, manifestExtra)
   }
 
   /** Row count from manifests alone — no data scan (monitoring at scale). */

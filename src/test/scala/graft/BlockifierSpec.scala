@@ -256,4 +256,26 @@ class BlockifierSpec extends AnyFunSuite {
       tree => divCount = tree.findAll(_.tag == "div").length)
     assert(divCount == 2)
   }
+
+  // ---- &nbsp; golden: the parser must emit U+00A0 (as lxml does), the
+  // blockifier's byte-level tokenizer must keep it INSIDE tokens, and an
+  // nbsp-only element must stay a non-empty block (reference keeps it:
+  // NBSP is not ASCII whitespace at the bytes level).
+  test("nbsp decodes to U+00A0 and stays inside blockifier tokens") {
+    assert(graft.dom.Entities.decode("&nbsp;") == "\u00a0")
+    assert(graft.dom.Entities.decode("&#160;") == "\u00a0")
+    assert(graft.dom.Entities.decode("&#xa0;") == "\u00a0")
+    val html = "<html><body><div>left&nbsp;right more words here</div>" +
+      "<div>&nbsp;</div><div>plain text block two</div></body></html>"
+    val blocks = Blockifier.blockifyProduction(html)
+    // nbsp joins left/right into ONE token (not split at the nbsp)
+    val b0 = blocks.head.text
+    assert(b0.contains("left\u00a0right"), b0)
+    // the nbsp-only div is kept as a (non-empty) block by the extractnet
+    // config (no word-char filter): 3 blocks total
+    assert(blocks.length == 3, blocks.map(_.text).toString)
+    assert(blocks(1).text == "\u00a0", s"[${blocks(1).text}]")
+    // metadata-path trim collapses NBSP like Python str.split()
+    assert(graft.meta.TextUtils.trim("a\u00a0b") == "a b")
+  }
 }

@@ -162,4 +162,44 @@ class MetaSpec extends AnyFunSuite {
       fixture("Corrected/blank_label.corrected.txt"))
     assert(labels.isEmpty) // script-only page yields no blocks; golden empty
   }
+
+  test("date grammar: RFC-1123, abbreviated months, dotted") {
+    import graft.meta.DateRules.parseAny
+    assert(parseAny("Tue, 03 Jun 2008 09:05:07 GMT") == Some("2008-06-03"))
+    assert(parseAny("3 Jun 2008") == Some("2008-06-03"))
+    assert(parseAny("Jun 3, 2008") == Some("2008-06-03"))
+    assert(parseAny("Sept. 14, 2021") == Some("2021-09-14"))
+    assert(parseAny("03.06.2008") == Some("2008-06-03"))
+    assert(parseAny("no date here") == None)
+    // full-name forms must still take precedence and work
+    assert(parseAny("June 3, 2008") == Some("2008-06-03"))
+    assert(parseAny("2008-06-03T10:00:00Z") == Some("2008-06-03"))
+  }
+
+  test("multilingual byline prefixes: Par/Door/Von stripped like By") {
+    assert(Authors.extract("By Alice Chen") == Seq("Alice Chen"))
+    assert(Authors.extract("Par Alice Chen") == Seq("Alice Chen"))
+    assert(Authors.extract("Door Bob Marley") == Seq("Bob Marley"))
+    assert(Authors.extract("Von Carol Danvers") == Seq("Carol Danvers"))
+    // prefix only strips at the start, names keep interior particles
+    assert(Authors.extract("By Ludwig von Beethoven") == Seq("Ludwig von Beethoven"))
+  }
+
+  test("time-element text dates parse; URL date overrides when present") {
+    // no URL date -> the visible RFC-1123 time text is the date source
+    val noUrlDate = "<html><head>" +
+      "<link rel=\"canonical\" href=\"https://www.example.com/story/\">" +
+      "<title>t</title></head><body><h1>h</h1>" +
+      "<time>Tue, 03 Jun 2008 09:05:07 GMT</time><p>body text here</p></body></html>"
+    val ex = graft.pipeline.Extract.extract(noUrlDate)
+    assert(String.valueOf(ex.date).startsWith("2008-06-03"), String.valueOf(ex.date))
+    // dotted form
+    val dotted = noUrlDate.replace("Tue, 03 Jun 2008 09:05:07 GMT", "04.07.2011")
+    assert(String.valueOf(graft.pipeline.Extract.extract(dotted).date)
+      .startsWith("2011-07-04"))
+    // pinned validate_date quirk: a dated URL overrides the parsed date
+    val withUrlDate = noUrlDate.replace("example.com/story/", "example.com/2020/01/05/x/")
+    assert(String.valueOf(graft.pipeline.Extract.extract(withUrlDate).date)
+      .startsWith("2020-01-05"))
+  }
 }
