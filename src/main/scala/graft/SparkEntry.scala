@@ -140,6 +140,20 @@ object SparkEntry {
           col("js._5").as("jaccard"))
         .orderBy("doc_a")
     }),
+    "x_neardup_recall" -> ((s, dir) => {
+      // end-to-end MinHash LSH recall oracle: over a contiguous id range
+      // (kept small so DuckDB's O(n^2) exact ground truth stays cheap),
+      // the banded-LSH + exact-verify pipeline must emit EXACTLY the pairs
+      // with true 3-gram Jaccard >= 0.7. The planted near-dups in this
+      // range sit at J >= 0.9, where the 16x4 band config misses with
+      // p < 1e-7 per pair — and the data is deterministic, so local green
+      // means driver green. Verifies candidate generation, not just the
+      // Jaccard kernel (which x_jaccard_pairs covers).
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      Dedup.minhashPairs(d, threshold = 0.7)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
     "x_quality_counts" -> ((s, dir) =>
       // integer-exact quality signals with a DuckDB oracle (the double
       // ratios live in x_text_analysis; ints hash identically)
@@ -331,6 +345,21 @@ object SparkEntry {
         |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+    "x_neardup_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 1000),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN t
+        |    ELSE list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+        |  FROM toks)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    cast(len(list_intersect(a.grams, b.grams)) as double)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
     "x_ann_brute" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
         |c AS (SELECT vec_id,

@@ -145,13 +145,32 @@ object Synth {
 
   private val BylinePrefixes = Vector("By", "Par", "Door", "Von")
 
+  // lowercase accents only: their mojibake second byte lands in latin-1's
+  // printable 0xA0-0xBF band; uppercase accents (Å, Ó) would mojibake into
+  // C1 control chars whose survival through HTML text nodes is not a
+  // contract worth pinning here (FixEncoding unit tests cover them)
+  private val AccentedNames = Vector(
+    "José García", "Zoë Müller", "André Côté", "François Biarnès",
+    "Renée Fournier", "Seán Brennan")
+
+  /** UTF-8 bytes mis-decoded as latin-1 — the classic mojibake shape that
+    * fix_encoding (FixEncoding) must repair downstream. */
+  private def mojibake(s: String): String =
+    new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+
   private def bylinePayload(c: Long, t: Long): String = {
     val k = h(c, t, 4)
     val by =
-      if ((k & 1) == 0)
-        // multilingual byline markers (en/fr/nl/de) — Authors.LeadingBy grammar
-        s"${pick(BylinePrefixes, k >>> 3)} ${pick(Names, k)}, ${pick(Names, k + 1)} and ${pick(Names, k + 2)}"
-      else pick(CjkBylines, k)
+      if ((k & 1) == 0) {
+        if (((k >>> 4) & 7L) == 0L)
+          // mojibake sub-variant: the byline arrives double-read (UTF-8 as
+          // latin-1); normalize_authors' fix_encoding pass must repair it
+          s"By ${mojibake(pick(AccentedNames, k))} and ${pick(Names, k + 2)}"
+        else
+          // multilingual byline markers (en/fr/nl/de) — Authors.LeadingBy grammar
+          s"${pick(BylinePrefixes, k >>> 3)} ${pick(Names, k)}, ${pick(Names, k + 1)} and ${pick(Names, k + 2)}"
+      } else pick(CjkBylines, k)
     s"""<html><body><div class="article">
 <span class="author">$by</span>
 <p>${sentence(k + 3, 14)}</p>

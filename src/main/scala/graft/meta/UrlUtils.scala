@@ -78,13 +78,81 @@ object UrlUtils {
     else dateUpdater(parseUrlDate(groups), date)
   }
 
-  private val TwoLevelTlds = Set(
-    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "com.tw", "org.tw", "net.tw",
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "com.cn", "net.cn", "org.cn",
-    "gov.cn", "com.br", "com.mx", "co.in", "co.nz", "com.sg", "com.hk",
-    "co.kr", "or.kr", "com.ar", "com.tr", "co.za", "com.my", "co.th",
-    "com.vn", "com.ph", "co.id")
+  /** Two-level public suffixes: a sizeable subset of the (public) Public
+    * Suffix List covering the common ccTLD second-level registries — the
+    * same data the reference reaches through the `tld` library
+    * (url_utils.py:93-102). Registrable domain = one label beyond the
+    * longest matching suffix. */
+  private val TwoLevelTlds: Set[String] = {
+    // second-level registry labels shared by many ccTLDs
+    val common = Seq("com", "net", "org", "gov", "edu", "mil", "ac", "co")
+    val ccWithCommon = Seq(
+      "ae", "ar", "au", "bd", "bh", "bn", "bo", "br", "bz", "cn", "co",
+      "cy", "do", "ec", "eg", "et", "gh", "gt", "hk", "id", "il", "in",
+      "jm", "jo", "ke", "kh", "kw", "lb", "lk", "ma", "mm", "mt", "mx",
+      "my", "ng", "ni", "np", "nz", "om", "pa", "pe", "pg", "ph", "pk",
+      "pl", "pr", "py", "qa", "sa", "sg", "sv", "th", "tr", "tw", "ua",
+      "ug", "uk", "uy", "ve", "vn", "za", "zm", "zw")
+    val generated = for (cc <- ccWithCommon; l <- common) yield s"$l.$cc"
+    // registries with their own label sets (not the common pattern)
+    val specific = Seq(
+      // .jp / .kr / .tw style
+      "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+      "gr.jp", "lg.jp",
+      "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+      "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
+      "idv.tw", "game.tw", "ebiz.tw", "club.tw",
+      // UK extras
+      "me.uk", "ltd.uk", "plc.uk", "sch.uk", "nhs.uk", "police.uk",
+      // Australia / NZ extras
+      "id.au", "asn.au", "csiro.au", "act.au", "nsw.au", "qld.au",
+      "vic.au", "wa.au", "sa.au", "tas.au", "nt.au",
+      "geek.nz", "gen.nz", "kiwi.nz", "maori.nz", "school.nz", "cri.nz",
+      "govt.nz", "iwi.nz", "parliament.nz", "health.nz",
+      // Europe
+      "gov.pl", "info.pl", "waw.pl", "edu.pl",
+      "tm.fr", "asso.fr", "nom.fr", "gouv.fr",
+      "co.at", "or.at", "ac.at", "gv.at",
+      "co.it", "edu.it", "gov.it",
+      "co.hu", "info.hu", "org.hu", "priv.hu",
+      "com.de", "com.se", "co.dk", "co.no", "priv.no",
+      "gov.gr", "edu.gr", "net.gr", "org.gr", "com.gr",
+      "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt",
+      "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+      "co.nl", "com.fr", "co.ua", "in.ua", "kiev.ua",
+      "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+      "co.cz", "co.pl",
+      // Americas
+      "com.ag", "com.bs", "com.cu", "com.ht", "com.lc", "com.vc",
+      "gob.mx", "edu.mx", "net.mx", "org.mx",
+      "gov.br", "net.br", "org.br", "edu.br", "mil.br", "art.br",
+      "blog.br", "dev.br", "eco.br", "esp.br", "etc.br", "far.br",
+      "flog.br", "imb.br", "ind.br", "inf.br", "jor.br", "med.br",
+      "mus.br", "not.br", "ntr.br", "odo.br", "ppg.br", "pro.br",
+      "psc.br", "rec.br", "slg.br", "srv.br", "tmp.br", "tur.br",
+      "tv.br", "vet.br", "wiki.br", "zlg.br",
+      "gob.ar", "int.ar", "musica.ar", "tur.ar",
+      "gob.bo", "gob.cl", "gob.do", "gob.ec", "gob.es", "gob.gt",
+      "gob.hn", "gob.ni", "gob.pa", "gob.pe", "gob.sv", "gob.ve",
+      "com.cl", "com.co", "nom.co",
+      // Africa / Middle East / Asia extras
+      "co.il", "muni.il", "idf.il", "k12.il",
+      "co.ke", "go.ke", "info.ke", "me.ke", "mobi.ke", "ne.ke", "sc.ke",
+      "co.tz", "go.tz", "hotel.tz", "info.tz", "me.tz", "mobi.tz",
+      "ne.tz", "or.tz", "sc.tz", "tv.tz",
+      "co.zw", "co.zm", "co.mz", "co.ao", "co.bw", "co.ls", "co.na",
+      "co.ug", "go.ug", "ne.ug", "or.ug", "sc.ug",
+      "co.in", "firm.in", "gen.in", "ind.in", "nic.in", "res.in",
+      "co.th", "go.th", "in.th", "mi.th", "or.th",
+      "co.id", "go.id", "my.id", "or.id", "web.id", "sch.id", "biz.id",
+      "com.np", "name.vn", "pro.vn", "info.vn", "health.vn",
+      "gov.sg", "per.sg",
+      "idv.hk", "inc.hk",
+      "fin.ec", "info.ec", "med.ec", "pro.ec", "k12.ec",
+      "name.ae", "pro.ae", "sch.ae",
+      "med.sa", "pub.sa", "sch.sa")
+    (generated ++ specific).toSet
+  }
 
   /** extract_domain (url_utils.py:93-102): registrable domain, www-stripped.
     * tld-library behavior approximated with a fixed two-level-TLD table

@@ -238,14 +238,103 @@ object NewsNet {
   }
 }
 
-/** fix_encoding (util.py:177-187): identity for clean strings; when a literal
-  * backslash-u escape is present, round-trip through Python's unicode_escape
-  * codec semantics (on the UTF-8 bytes). Malformed escapes return the input
-  * unchanged (the reference catches UnicodeDecodeError). */
+/** fix_encoding (util.py:177-187): the reference runs
+  * `ftfy.fix_text(ftfy.fix_encoding(text))`, then a `\uXXXX` unicode_escape
+  * branch. Reimplemented from behavior (no ftfy on the JVM):
+  *  - mojibake repair: text that is UTF-8 bytes mis-decoded as cp1252 (with
+  *    latin-1 fallback for cp1252's five holes — ftfy's "sloppy-windows-1252")
+  *    is re-encoded and strictly UTF-8-decoded, per maximal repairable run,
+  *    iterated for double-encoded input ("JosÃƒÂ©" -> "JosÃ©" -> "José");
+  *    a run is only rewritten when its bytes form VALID multi-byte UTF-8, so
+  *    plain Latin-1 prose ("À la carte") and lone high chars pass untouched;
+  *  - NFC normalization (ftfy.fix_text default);
+  *  - then the unicode_escape branch on the UTF-8 bytes, malformed escapes
+  *    returning the input unchanged (the reference catches
+  *    UnicodeDecodeError). */
 object FixEncoding {
   def apply(text: String): String = {
-    if (text == null || !text.contains("\\u")) return text
-    try unicodeEscape(text) catch { case _: Exception => text }
+    if (text == null) return text
+    var t = fixMojibake(text)
+    if (t.exists(_ >= 0x300)) // NFC is identity on Latin-1; skip the pass
+      t = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+    if (!t.contains("\\u")) return t
+    try unicodeEscape(t) catch { case _: Exception => t }
+  }
+
+  /** cp1252 byte for chars 0x80-0x9F that cp1252 remaps (€ ‚ ƒ „ … † ‡ ˆ ‰
+    * Š ‹ Œ Ž ‘ ’ “ ” • – — ˜ ™ š › œ ž Ÿ); the five undefined slots
+    * (0x81 0x8D 0x8F 0x90 0x9D) fall back to latin-1 identity. */
+  private val Cp1252Inv: Map[Char, Int] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
+
+  /** -1 if the char has no cp1252/latin-1 byte. */
+  private def invByte(c: Char): Int =
+    if (c < 0x100) c.toInt else Cp1252Inv.getOrElse(c, -1)
+
+  /** Strict UTF-8 decode; null unless valid AND contains a multi-byte
+    * sequence (pure ASCII means "nothing to repair"). */
+  private def strictUtf8(bytes: Array[Byte], from: Int, until: Int): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    var multi = false
+    var i = from
+    while (i < until && !multi) { if (bytes(i) < 0) multi = true; i += 1 }
+    if (!multi) return null
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes, from, until - from)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  private def repairOnce(s: String): String = {
+    // fast reject: mojibake needs a UTF-8 lead byte 0xC2-0xF4 as a char
+    var suspect = false
+    var i = 0
+    while (i < s.length && !suspect) {
+      val c = s.charAt(i)
+      if (c >= 0xC2 && c <= 0xF4) suspect = true
+      i += 1
+    }
+    if (!suspect) return s
+    val out = new java.lang.StringBuilder(s.length)
+    val buf = new Array[Byte](s.length * 1) // cp1252 is 1 byte/char
+    var changed = false
+    i = 0
+    while (i < s.length) {
+      // accumulate the maximal cp1252-encodable run
+      var j = i
+      var n = 0
+      var b = if (j < s.length) invByte(s.charAt(j)) else -1
+      while (j < s.length && b >= 0) {
+        buf(n) = b.toByte; n += 1; j += 1
+        b = if (j < s.length) invByte(s.charAt(j)) else -1
+      }
+      if (n > 0) {
+        val dec = strictUtf8(buf, 0, n)
+        if (dec != null) { out.append(dec); changed = true }
+        else out.append(s, i, j)
+        i = j
+      }
+      if (i < s.length) { out.append(s.charAt(i)); i += 1 } // unencodable char
+    }
+    if (changed) out.toString else s
+  }
+
+  private def fixMojibake(s0: String): String = {
+    var cur = s0
+    var rounds = 0
+    while (rounds < 3) { // double-encoded input needs 2; 3 bounds the loop
+      val next = repairOnce(cur)
+      if (next == cur) return cur
+      cur = next
+      rounds += 1
+    }
+    cur
   }
 
   private def unicodeEscape(s: String): String = {

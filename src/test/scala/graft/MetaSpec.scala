@@ -123,6 +123,56 @@ class MetaSpec extends AnyFunSuite {
     assert(UrlUtils.extractDomain("https://news.bbc.co.uk/x") == "bbc.co.uk")
     assert(UrlUtils.extractDomain("http://www.china.org.cn/a") == "china.org.cn")
     assert(UrlUtils.extractDomain("not a url") == null)
+    // public-suffix subset: registrable domain is one label past the suffix
+    assert(UrlUtils.extractDomain("https://www.u-tokyo.ac.jp/en/") == "u-tokyo.ac.jp")
+    assert(UrlUtils.extractDomain("https://lab.phys.u-tokyo.ac.jp/") == "u-tokyo.ac.jp")
+    assert(UrlUtils.extractDomain("https://news.com.au/story") == "news.com.au")
+    assert(UrlUtils.extractDomain("https://www.gov.uk/") == "gov.uk") // www-stripped
+    assert(UrlUtils.extractDomain("https://x.gouv.fr/") == "x.gouv.fr")
+    assert(UrlUtils.extractDomain("https://shop.example.co.nz/p") == "example.co.nz")
+    assert(UrlUtils.extractDomain("https://uol.com.br/") == "uol.com.br")
+  }
+
+  test("mojibake byline repaired end-to-end through the pipeline") {
+    // "José García" double-read as latin-1: é -> Ã©, í -> Ã­
+    val byline = "By JosÃ© GarcÃ­a and Alice Smith"
+    val html = "<html><body><div class=\"article\">\n" +
+      s"""<span class="author">$byline</span>\n""" +
+      "<p>Plain body text for the block classifier to work with here.</p>\n" +
+      "</div></body></html>"
+    val ex = graft.pipeline.Extract.extract(html)
+    // ML decode path applies fix_encoding (nn_models.py:80) -> rawAuthor is
+    // repaired; the meta-rules path does NOT (normalize_authors only handles
+    // \u escapes) and then title()-cases (metadata.py:295), so `author`
+    // faithfully keeps the reference's mangled form. Both are pinned.
+    assert(ex.rawAuthor != null && ex.rawAuthor.contains("José García"),
+      s"rawAuthor was: ${ex.rawAuthor}")
+    assert(ex.author != null && !ex.author.contains("Ã"),
+      s"author was: ${ex.author}") // title() lowercased the mojibake lead
+  }
+
+  // ---- fix_encoding: ftfy-subset mojibake repair (util.py:177-187)
+  test("fix_encoding repairs utf8-as-cp1252 mojibake") {
+    import graft.model.FixEncoding
+    // latin-1 path: UTF-8 "é" (C3 A9) read as latin-1 -> "Ã©"
+    assert(FixEncoding("JosÃ© GarcÃ­a") == "José García")
+    // cp1252 path: UTF-8 "’" (E2 80 99) read as cp1252 -> "â€™"
+    assert(FixEncoding("donâ€™t") == "don’t")
+    assert(FixEncoding("â€œquotedâ€") == "“quoted”")
+    // truncated multi-byte tail (lost control char): the run is invalid
+    // UTF-8, so the conservative repair leaves the input alone
+    assert(FixEncoding("don\u00e2\u20ac") == "don\u00e2\u20ac")
+    // double-encoded: two repair rounds
+    assert(FixEncoding("JosÃƒÂ©") == "José")
+    // clean text untouched
+    assert(FixEncoding("plain ascii, no change.") == "plain ascii, no change.")
+    assert(FixEncoding("déjà vu") == "déjà vu") // genuine accents stay
+    assert(FixEncoding("À la carte") == "À la carte") // lone latin-1 lead
+    assert(FixEncoding("naïve") == "naïve")
+    // CJK untouched (chars have no cp1252 byte)
+    assert(FixEncoding("記者王大明") == "記者王大明")
+    // \uXXXX escape branch still applies after repair
+    assert(FixEncoding("a\\u00e9b") == "aéb")
   }
 
   test("url normalizer") {
