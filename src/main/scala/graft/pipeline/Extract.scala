@@ -94,11 +94,9 @@ object Extract {
       // stage 8: postprocess (pipeline.py:92-134)
       var rawAuthor: String = null
       var authorConf: java.lang.Double = null
-      var mlAuthor: Seq[String] = null
       if (out.author.nonEmpty) {
         rawAuthor = out.author.head._1
         authorConf = out.author.head._2
-        mlAuthor = Authors.extract(rawAuthor)
       }
 
       var rawDate: String = null
@@ -119,8 +117,12 @@ object Extract {
       // priority_merge(results, meta): meta wins on collision for the
       // overlapping keys (author, date); other meta keys fill their fields.
       val authorFinal: String =
-        if (meta.author != null) meta.author
-        else if (mlAuthor != null) mlAuthor.mkString(",") // sanity: list -> ','.join
+        if (meta.author != null) meta.author // CRF output discarded by merge
+        else if (rawAuthor != null)
+          // lazy: the reference segments unconditionally (pipeline.py:98)
+          // but the result only survives priority_merge when meta has no
+          // author — skipping the CRF otherwise is output-identical
+          Authors.extract(rawAuthor).mkString(",") // sanity: list -> ','.join
         else null
 
       // meta date is a find_date string; sanity check parses it and applies

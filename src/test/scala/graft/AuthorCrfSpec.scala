@@ -1,0 +1,71 @@
+package graft
+
+import graft.meta.AuthorCrf
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-engine parity for the from-scratch CRFsuite decoder: 75 bylines
+  * (EN/CJK/Cyrillic, digits, symbols, emoji, NBSP, separators) tagged by an
+  * independent reference decoder built directly on the model file's
+  * documented binary format — both the raw BIO tag sequence and the final
+  * segmented names must match exactly. */
+class AuthorCrfSpec extends AnyFunSuite {
+
+  private def unesc(s: String): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb.append('\t'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case o => sb.append(c); sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private lazy val cases: Seq[(String, String, Seq[String])] = {
+    val in = getClass.getResourceAsStream("/author_crf_parity.tsv")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    in.close()
+    lines.map { l =>
+      val parts = l.split("\t", -1)
+      val names = if (parts(2).isEmpty) Seq.empty[String]
+        else unesc(parts(2)).split(Array(0x1f.toChar)).toSeq
+      (unesc(parts(0)), parts(1), names)
+    }
+  }
+
+  test("BIO tag parity with the independent decoder (75 bylines)") {
+    cases.foreach { case (text, tags, _) =>
+      val st = text.strip() // tags were produced over the stripped text
+      val got = if (st.isEmpty) "" else AuthorCrf.tag(pyStripped(text)).mkString("")
+      assert(got == tags, s"input: ${text.take(40)}")
+    }
+  }
+
+  // the corpus was generated over Python str.strip() semantics
+  private def pyStripped(s: String): String = {
+    def sp(cp: Int) = Character.isWhitespace(cp) || Character.isSpaceChar(cp) || cp == 0x85
+    var a = 0; var b = s.length
+    while (a < b && sp(s.codePointAt(a))) a += Character.charCount(s.codePointAt(a))
+    while (b > a && sp(s.codePointBefore(b))) b -= Character.charCount(s.codePointBefore(b))
+    s.substring(a, b)
+  }
+
+  test("segmented-name parity (75 bylines)") {
+    cases.foreach { case (text, _, names) =>
+      assert(AuthorCrf.segment(text) == names, s"input: ${text.take(40)}")
+    }
+  }
+
+  test("degenerate inputs") {
+    assert(AuthorCrf.segment(null) == Seq.empty)
+    assert(AuthorCrf.segment("") == Seq.empty)
+    assert(AuthorCrf.segment("   ") == Seq.empty)
+    assert(AuthorCrf.segment(" ") == Seq.empty) // python-space only
+  }
+}

@@ -226,12 +226,16 @@ class MetaSpec extends AnyFunSuite {
     assert(parseAny("2008-06-03T10:00:00Z") == Some("2008-06-03"))
   }
 
-  test("multilingual byline prefixes: Par/Door/Von stripped like By") {
+  test("byline prefixes: what the learned CRF actually does") {
+    // the CRF (the reference model, decoded exactly) strips en/fr "By"/"Par"
+    // markers it saw in training; Dutch "Door" and standalone "Von" were
+    // never learned and stay inside the name — reference-faithful behavior,
+    // superseding the round-1 rule that guessed all four strip
     assert(Authors.extract("By Alice Chen") == Seq("Alice Chen"))
     assert(Authors.extract("Par Alice Chen") == Seq("Alice Chen"))
-    assert(Authors.extract("Door Bob Marley") == Seq("Bob Marley"))
-    assert(Authors.extract("Von Carol Danvers") == Seq("Carol Danvers"))
-    // prefix only strips at the start, names keep interior particles
+    assert(Authors.extract("Door Bob Marley") == Seq("Door Bob Marley"))
+    assert(Authors.extract("Von Carol Danvers") == Seq("Von Carol Danvers"))
+    // names keep interior particles
     assert(Authors.extract("By Ludwig von Beethoven") == Seq("Ludwig von Beethoven"))
   }
 
