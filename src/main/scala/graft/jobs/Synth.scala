@@ -194,6 +194,22 @@ object Synth {
     f"${d.getDayOfMonth}%02d.${d.getMonthValue}%02d.${d.getYear}"
   }
 
+  private val MonthFull = Vector("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November",
+    "December")
+
+  /** Ordinal long forms: "June 3rd, 2008" / "3rd of June 2008". */
+  private def ordinalDate(iso: String, dayFirst: Boolean): String = {
+    val d = java.time.LocalDate.parse(iso)
+    val day = d.getDayOfMonth
+    val suf = if (day % 100 / 10 == 1) "th" else day % 10 match {
+      case 1 => "st"; case 2 => "nd"; case 3 => "rd"; case _ => "th"
+    }
+    val mon = MonthFull(d.getMonthValue - 1)
+    if (dayFirst) s"$day$suf of $mon ${d.getYear}"
+    else s"$mon $day$suf, ${d.getYear}"
+  }
+
   private def datedUrlPayload(c: Long, t: Long): String = {
     val k = h(c, t, 5)
     val dom = pick(Domains, k)
@@ -203,9 +219,14 @@ object Synth {
     // step 3 must parse the text form (a URL date would override it by the
     // pinned validate_date quirk, so it is removed in these variants)
     val variant = ((k >>> 7) & 3L).toInt
+    val ordinalForm = ((k >>> 9) & 1L) == 1L
     val timeEl = variant match {
-      case 0 => s"\n<time>${rfc1123(isoDate(k + 9))}</time>"
-      case 1 => s"\n<time>${dotted(isoDate(k + 9))}</time>"
+      case 0 =>
+        if (ordinalForm) s"\n<time>${ordinalDate(isoDate(k + 9), dayFirst = false)}</time>"
+        else s"\n<time>${rfc1123(isoDate(k + 9))}</time>"
+      case 1 =>
+        if (ordinalForm) s"\n<time>${ordinalDate(isoDate(k + 9), dayFirst = true)}</time>"
+        else s"\n<time>${dotted(isoDate(k + 9))}</time>"
       case _ => ""
     }
     val path = if (variant <= 1) pick(Words, k + 1)

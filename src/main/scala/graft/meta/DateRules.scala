@@ -17,10 +17,12 @@ object DateRules {
 
   private val Iso = Pattern.compile("(\\d{4})-(\\d{2})-(\\d{2})")
   private val Slash = Pattern.compile("(\\d{4})/(\\d{1,2})/(\\d{1,2})")
+  // ordinal day suffixes ("June 3rd, 2008", "3rd June 2008") — another
+  // notch of the dateparser grammar (pipeline.py:104)
   private val MonthName = Pattern.compile(
-    "(January|February|March|April|May|June|July|August|September|October|November|December)\\s+(\\d{1,2}),?\\s+(\\d{4})")
+    "(January|February|March|April|May|June|July|August|September|October|November|December)\\s+(\\d{1,2})(?:st|nd|rd|th)?,?\\s+(\\d{4})")
   private val DayMonthName = Pattern.compile(
-    "(\\d{1,2})\\.?\\s+(January|February|March|April|May|June|July|August|September|October|November|December)\\s+(\\d{4})")
+    "(\\d{1,2})(?:st|nd|rd|th)?\\.?\\s+(?:of\\s+)?(January|February|March|April|May|June|July|August|September|October|November|December)\\s+(\\d{4})")
   private val Dotted = Pattern.compile("(\\d{1,2})\\.(\\d{1,2})\\.(\\d{4})")
   private val Months = Vector("january", "february", "march", "april", "may",
     "june", "july", "august", "september", "october", "november", "december")

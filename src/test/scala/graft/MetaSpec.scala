@@ -224,6 +224,13 @@ class MetaSpec extends AnyFunSuite {
     // full-name forms must still take precedence and work
     assert(parseAny("June 3, 2008") == Some("2008-06-03"))
     assert(parseAny("2008-06-03T10:00:00Z") == Some("2008-06-03"))
+    // ordinal day suffixes (dateparser grammar, one more notch)
+    assert(parseAny("June 3rd, 2008") == Some("2008-06-03"))
+    assert(parseAny("June 1st 2008") == Some("2008-06-01"))
+    assert(parseAny("June 22nd, 2008") == Some("2008-06-22"))
+    assert(parseAny("August 11th, 2013") == Some("2013-08-11"))
+    assert(parseAny("3rd of June 2008") == Some("2008-06-03"))
+    assert(parseAny("21st June 2021") == Some("2021-06-21"))
   }
 
   test("byline prefixes: what the learned CRF actually does") {
