@@ -22,15 +22,30 @@ import org.apache.spark.sql.functions._
   * Underscore-prefixed dirs are invisible to the data read. */
 object AnnIndex {
 
+  /** Build-once: an index whose committed meta matches (kind, param, rows)
+    * is reused — rebuilding a persisted index per query would defeat its
+    * purpose (probes are served from the existing partitioned table). Pass
+    * `rebuild = true` to force. The row count is the staleness check: a
+    * changed source table rebuilds. */
+  private def upToDate(spark: SparkSession, dir: String, kind: String,
+      param: Int, rows: Long): Boolean =
+    try {
+      val r = spark.read.parquet(s"$dir/_graft_meta").head
+      r.getString(0) == kind && r.getInt(1) == param && r.getLong(2) == rows
+    } catch { case _: Exception => false }
+
   // ------------------------------------------------------------------- LSH
-  def buildLsh(embeddings: DataFrame, dir: String, nBits: Int = 8): Unit = {
+  def buildLsh(embeddings: DataFrame, dir: String, nBits: Int = 8,
+      rebuild: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
+    val rows = embeddings.count()
+    if (!rebuild && upToDate(spark, dir, "lsh", nBits, rows)) return
     embeddings
       .withColumn("srp_bucket", Similarity.srpBucketUdf(nBits)(col("embedding")))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("srp_bucket")
       .parquet(dir)
-    writeMeta(spark, dir, kind = "lsh", param = nBits)
+    writeMeta(spark, dir, kind = "lsh", param = nBits, rows = rows)
   }
 
   def probeLsh(spark: SparkSession, dir: String, query: Array[Float], k: Int,
@@ -51,9 +66,12 @@ object AnnIndex {
   }
 
   // ------------------------------------------------------------------- IVF
-  def buildIvf(embeddings: DataFrame, dir: String, nCells: Int = 16): Unit = {
+  def buildIvf(embeddings: DataFrame, dir: String, nCells: Int = 16,
+      rebuild: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val rows = embeddings.count()
+    if (!rebuild && upToDate(spark, dir, "ivf", nCells, rows)) return
     val centers = Similarity.trainIvfCentroids(embeddings, nCells)
     val cellUdf = udf((v: Seq[Float]) =>
       Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, centers))
@@ -65,7 +83,7 @@ object AnnIndex {
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_graft_centroids")
-    writeMeta(spark, dir, kind = "ivf", param = nCells)
+    writeMeta(spark, dir, kind = "ivf", param = nCells, rows = rows)
   }
 
   def probeIvf(spark: SparkSession, dir: String, query: Array[Float], k: Int,
@@ -92,9 +110,10 @@ object AnnIndex {
   }
 
   // ------------------------------------------------------------------ meta
-  private def writeMeta(spark: SparkSession, dir: String, kind: String, param: Int): Unit = {
+  private def writeMeta(spark: SparkSession, dir: String, kind: String,
+      param: Int, rows: Long): Unit = {
     import spark.implicits._
-    Seq((kind, param)).toDF("kind", "param")
+    Seq((kind, param, rows)).toDF("kind", "param", "rows")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_graft_meta")
   }
 
