@@ -44,9 +44,28 @@ object DateRules {
     "dc.date.issued", "dcterms.date", "sailthru.date", "article.published",
     "published-date", "publication_date", "sailthru.created")
 
+  /** Every pattern below requires a 4-digit year run; one cheap char pass
+    * rejects date-free text before the 7-regex cascade (the cascade scans
+    * the FULL document text in extensive mode — this guard is the
+    * difference between 1 and 8 full-text passes on no-date turns).
+    * Semantics unchanged: a string with no 4-digit run matches none of the
+    * patterns. */
+  private def hasYearRun(s: String): Boolean = {
+    var run = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') { run += 1; if (run >= 4) return true }
+      else run = 0
+      i += 1
+    }
+    false
+  }
+
   def parseAny(s0: String): Option[String] = {
     if (s0 == null) return None
     val s = s0.trim
+    if (!hasYearRun(s)) return None
     val m1 = Iso.matcher(s)
     if (m1.find()) return valid(m1.group(1).toInt, m1.group(2).toInt, m1.group(3).toInt)
     val m2 = Slash.matcher(s)
