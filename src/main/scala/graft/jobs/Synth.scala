@@ -168,7 +168,7 @@ object Synth {
           // latin-1); normalize_authors' fix_encoding pass must repair it
           s"By ${mojibake(pick(AccentedNames, k))} and ${pick(Names, k + 2)}"
         else
-          // multilingual byline markers (en/fr/nl/de) — Authors.LeadingBy grammar
+          // multilingual byline markers (en/fr strip, nl/de kept by the CRF)
           s"${pick(BylinePrefixes, k >>> 3)} ${pick(Names, k)}, ${pick(Names, k + 1)} and ${pick(Names, k + 2)}"
       } else pick(CjkBylines, k)
     s"""<html><body><div class="article">
