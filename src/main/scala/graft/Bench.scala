@@ -52,25 +52,37 @@ object Bench {
       results(name) = (System.nanoTime() - t0) / 1e9
     }
 
-    // headline metric: full-SF extraction throughput, best of 2 runs so the
-    // reported number is steady state, not the codegen/JIT warmup of run 1
-    // (both runs are timed and reported; `extract_full_sf` = the best)
+    // headline metric: full-SF extraction throughput, best of 3 runs so the
+    // reported number is steady state, not codegen/JIT warmup or a host
+    // blip (all runs timed; `extract_full_sf` = the best)
     val sf = SparkEntry.sfOf(sfDir)
-    val (n1, secs1) = extractionRun(spark, sf, cpus.toInt)
-    val (n, secs) = {
-      val (n2, secs2) = extractionRun(spark, sf, cpus.toInt)
-      if (secs2 < secs1) (n2, secs2) else (n1, secs1)
+    val runs = (1 to 3).map { i =>
+      val r = extractionRun(spark, sf, cpus.toInt)
+      results(s"extract_full_sf_run$i") = r._2
+      r
     }
-    results("extract_full_sf_run1") = secs1
+    val (n, secs) = runs.minBy(_._2)
     results("extract_full_sf") = secs
     results("extract_turns_per_sec") = if (secs > 0) n / secs else 0.0
+    // capability number: the driver SF (0.1 = 59k turns) is small enough
+    // that fixed per-stage costs dominate wall time; one 5x-scale run shows
+    // the engine's steady-state rate in the same JSON
+    if (sf <= 0.11) {
+      val (nc, sc) = extractionRun(spark, sf * 5, cpus.toInt)
+      results("extract_sf5x_secs") = sc
+      results("extract_sf5x_turns_per_sec") = if (sc > 0) nc / sc else 0.0
+    }
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     // total = wall seconds only (the turns/sec entry is informational)
-    val total = results.collect { case (k, v) if k != "extract_turns_per_sec" => v }.sum
+    // wall seconds only: the per-run extract timings are already counted,
+    // so the best-of (extract_full_sf) and the rate entries are excluded
+    val total = results.collect {
+      case (k, v) if !k.endsWith("turns_per_sec") && k != "extract_full_sf" => v
+    }.sum
     val notes = "x_extract_turns/x_author_names/x_blockify cap synth at sf0.01 " +
       "(Verify-speed cap; extract_full_sf is the honest full-SF number); " +
-      "extract_full_sf = best of 2 in-session runs (run1 includes codegen warmup)"
+      "extract_full_sf = best of 3 in-session runs (run1 includes codegen warmup); extract_sf5x_* = steady-state capability at 5x the driver SF"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","notes":"$notes"}""")
     spark.stop()
   }

@@ -18,9 +18,11 @@ object DateRules {
   private val Iso = Pattern.compile("(\\d{4})-(\\d{2})-(\\d{2})")
   private val Slash = Pattern.compile("(\\d{4})/(\\d{1,2})/(\\d{1,2})")
   // ordinal day suffixes ("June 3rd, 2008", "3rd June 2008") — another
-  // notch of the dateparser grammar (pipeline.py:104)
+  // notch of the dateparser grammar (pipeline.py:104). The (?<![A-Za-z])
+  // guard keeps month tokens from starting inside a word ("DisMay 3, 2020"
+  // is not a date).
   private val MonthName = Pattern.compile(
-    "(January|February|March|April|May|June|July|August|September|October|November|December)\\s+(\\d{1,2})(?:st|nd|rd|th)?,?\\s+(\\d{4})")
+    "(?<![A-Za-z])(January|February|March|April|May|June|July|August|September|October|November|December)\\s+(\\d{1,2})(?:st|nd|rd|th)?,?\\s+(\\d{4})")
   private val DayMonthName = Pattern.compile(
     "(\\d{1,2})(?:st|nd|rd|th)?\\.?\\s+(?:of\\s+)?(January|February|March|April|May|June|July|August|September|October|November|December)\\s+(\\d{4})")
   private val Dotted = Pattern.compile("(\\d{1,2})\\.(\\d{1,2})\\.(\\d{4})")
@@ -29,11 +31,15 @@ object DateRules {
   // abbreviated month names ("Jun 3, 2008", "03 Jun 2008", RFC-1123's
   // "Tue, 03 Jun 2008 ..."): one notch of the dateparser grammar the
   // reference reaches through dateparser.parse (pipeline.py:104)
-  private val AbbrNames = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+  // abbreviation must be a whole word or a valid month-name completion —
+  // bare [a-z]* would accept "Martin 3, 2020" (Mar+tin) or "3 Junk 2021"
+  private val AbbrNames = "Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|" +
+    "Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:t(?:ember)?)?|Oct(?:ober)?|" +
+    "Nov(?:ember)?|Dec(?:ember)?"
   private val AbbrMonthFirst = Pattern.compile(
-    "(" + AbbrNames + ")[a-z]*\\.?\\s+(\\d{1,2}),?\\s+(\\d{4})")
+    "(?<![A-Za-z])(" + AbbrNames + ")(?![a-z])\\.?\\s+(\\d{1,2}),?\\s+(\\d{4})")
   private val AbbrDayFirst = Pattern.compile(
-    "(\\d{1,2})\\.?\\s+(" + AbbrNames + ")[a-z]*\\.?\\s+(\\d{4})")
+    "(\\d{1,2})\\.?\\s+(" + AbbrNames + ")(?![a-z])\\.?\\s+(\\d{4})")
   private def monthOfAbbr(s: String): Int =
     Months.indexWhere(_.startsWith(s.toLowerCase.take(3))) + 1
 

@@ -317,7 +317,25 @@ object FixEncoding {
       if (n > 0) {
         val dec = strictUtf8(buf, 0, n)
         if (dec != null) { out.append(dec); changed = true }
-        else out.append(s, i, j)
+        else {
+          // mixed run (e.g. genuine "Café" + mojibake "JosÃ©"): the whole
+          // run is not valid UTF-8, but individual multi-byte sequences
+          // inside it may be — repair exactly those, keep everything else
+          // (ftfy fixes per-sequence, not per-line). One byte == one char
+          // inside a cp1252-encodable run, so positions map 1:1.
+          var p = 0
+          while (p < n) {
+            val lead = buf(p) & 0xff
+            val len =
+              if (lead >= 0xC2 && lead <= 0xDF) 2
+              else if (lead >= 0xE0 && lead <= 0xEF) 3
+              else if (lead >= 0xF0 && lead <= 0xF4) 4
+              else 0
+            val dec1 = if (len >= 2 && p + len <= n) strictUtf8(buf, p, p + len) else null
+            if (dec1 != null) { out.append(dec1); changed = true; p += len }
+            else { out.append(s.charAt(i + p)); p += 1 }
+          }
+        }
         i = j
       }
       if (i < s.length) { out.append(s.charAt(i)); i += 1 } // unencodable char

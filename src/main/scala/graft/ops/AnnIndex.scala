@@ -22,30 +22,40 @@ import org.apache.spark.sql.functions._
   * Underscore-prefixed dirs are invisible to the data read. */
 object AnnIndex {
 
-  /** Build-once: an index whose committed meta matches (kind, param, rows)
-    * is reused — rebuilding a persisted index per query would defeat its
-    * purpose (probes are served from the existing partitioned table). Pass
-    * `rebuild = true` to force. The row count is the staleness check: a
-    * changed source table rebuilds. */
+  /** Build-once: an index whose committed meta matches (kind, param,
+    * content fingerprint) is reused — rebuilding a persisted index per
+    * query would defeat its purpose (probes are served from the existing
+    * partitioned table). Pass `rebuild = true` to force. The fingerprint is
+    * an order-insensitive xxhash64 digest over (vec_id, embedding), so
+    * changed vector CONTENTS rebuild even at an identical row count.
+    * Single-writer per dir assumed (concurrent builders of the same path
+    * race on the Overwrite, like any non-transactional table). */
+  private def fingerprint(embeddings: DataFrame): Long = {
+    val r = embeddings
+      .agg(expr("bit_xor(xxhash64(vec_id, embedding))"), count(lit(1)))
+      .head
+    r.getLong(0) ^ (r.getLong(1) * 0x9e3779b97f4a7c15L)
+  }
+
   private def upToDate(spark: SparkSession, dir: String, kind: String,
-      param: Int, rows: Long): Boolean =
+      param: Int, fp: Long): Boolean =
     try {
       val r = spark.read.parquet(s"$dir/_graft_meta").head
-      r.getString(0) == kind && r.getInt(1) == param && r.getLong(2) == rows
+      r.getString(0) == kind && r.getInt(1) == param && r.getLong(2) == fp
     } catch { case _: Exception => false }
 
   // ------------------------------------------------------------------- LSH
   def buildLsh(embeddings: DataFrame, dir: String, nBits: Int = 8,
       rebuild: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
-    val rows = embeddings.count()
-    if (!rebuild && upToDate(spark, dir, "lsh", nBits, rows)) return
+    val fp = fingerprint(embeddings)
+    if (!rebuild && upToDate(spark, dir, "lsh", nBits, fp)) return
     embeddings
       .withColumn("srp_bucket", Similarity.srpBucketUdf(nBits)(col("embedding")))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("srp_bucket")
       .parquet(dir)
-    writeMeta(spark, dir, kind = "lsh", param = nBits, rows = rows)
+    writeMeta(spark, dir, kind = "lsh", param = nBits, fp = fp)
   }
 
   def probeLsh(spark: SparkSession, dir: String, query: Array[Float], k: Int,
@@ -70,8 +80,8 @@ object AnnIndex {
       rebuild: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val rows = embeddings.count()
-    if (!rebuild && upToDate(spark, dir, "ivf", nCells, rows)) return
+    val fp = fingerprint(embeddings)
+    if (!rebuild && upToDate(spark, dir, "ivf", nCells, fp)) return
     val centers = Similarity.trainIvfCentroids(embeddings, nCells)
     val cellUdf = udf((v: Seq[Float]) =>
       Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, centers))
@@ -83,7 +93,7 @@ object AnnIndex {
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_graft_centroids")
-    writeMeta(spark, dir, kind = "ivf", param = nCells, rows = rows)
+    writeMeta(spark, dir, kind = "ivf", param = nCells, fp = fp)
   }
 
   def probeIvf(spark: SparkSession, dir: String, query: Array[Float], k: Int,
@@ -111,9 +121,9 @@ object AnnIndex {
 
   // ------------------------------------------------------------------ meta
   private def writeMeta(spark: SparkSession, dir: String, kind: String,
-      param: Int, rows: Long): Unit = {
+      param: Int, fp: Long): Unit = {
     import spark.implicits._
-    Seq((kind, param, rows)).toDF("kind", "param", "rows")
+    Seq((kind, param, fp)).toDF("kind", "param", "fingerprint")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_graft_meta")
   }
 

@@ -126,12 +126,19 @@ object Dedup {
       .distinct()
     val estJaccard = udf((x: Seq[Long], y: Seq[Long]) =>
       x.zip(y).count { case (u, v) => u == v }.toDouble / x.length)
+    // SCREENING, not the decision: the 64-perm estimate has stddev
+    // ~sqrt(J(1-J)/64) ≈ 0.06 near J=0.7, so screening at the final
+    // threshold would drop ~40% of true pairs sitting just above it.
+    // Screen with a 0.2 margin (P[est < J-0.2] < 1e-3 for J >= threshold)
+    // and let the EXACT Jaccard below make the call — recall stays intact
+    // while the expensive text join still only sees near-threshold pairs.
+    val screen = math.max(0.0, threshold - 0.2)
     val est = cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+      .filter(col("est_jaccard") >= screen)
     // exact verification: join the few survivors back to the texts
     est
       .join(docs.select(col("doc_id").as("doc_a"), col(textCol).as("text_a")), Seq("doc_a"))

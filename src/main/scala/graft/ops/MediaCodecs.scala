@@ -73,15 +73,20 @@ object MediaCodecs {
       val bpp = u16(bytes, 28)
       val compression = i32(bytes, 30)
       if (bpp != 24 || compression != 0 || width <= 0 || height == 0) return None
-      val rowBytes = width * 3
+      // adversarial-header guards: a negative dataOffset or an int-overflowed
+      // width*3 / width*height would index out of (or allocate past) bounds
+      if (dataOffset < 54 || heightRaw == Int.MinValue) return None
+      val rowBytes = width.toLong * 3
       val stride = rowBytes + (4 - rowBytes % 4) % 4
-      if (dataOffset.toLong + stride.toLong * height > bytes.length) return None
+      if (dataOffset.toLong + stride * height > bytes.length) return None
+      if (width.toLong * height > Int.MaxValue / 8) return None // cap pixels
+      val strideI = stride.toInt // <= bytes.length after the check above
       val luma = new Array[Float](width * height)
       var y = 0
       while (y < height) {
         val srcRow = if (bottomUp) height - 1 - y else y
         var x = 0
-        val base = dataOffset + srcRow * stride
+        val base = dataOffset + srcRow * strideI
         while (x < width) {
           val bl = bytes(base + x * 3) & 0xff
           val g = bytes(base + x * 3 + 1) & 0xff
@@ -198,12 +203,21 @@ object MediaCodecs {
     }
   }
 
-  /** Kind-dispatched decode: (info, samples) or None on malformed input. */
+  /** Kind-dispatched decode: (info, samples) or None on malformed input.
+    * The catch is the fail-soft boundary the per-codec parsers rely on —
+    * adversarial headers (negative offsets, width*height overflow, truncated
+    * chunks) must yield a decode_ok=false row, never a task failure: at
+    * 100 TB a poison payload must not kill a batch. */
   def decode(bytes: Array[Byte], kind: String): Option[(MediaInfo, Array[Float])] =
-    kind match {
+    try kind match {
       case "image" => Bmp.decode(bytes)
       case "audio" => Wav.decode(bytes)
       case "video" => Gvid.decode(bytes)
       case _       => None
+    } catch {
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException |
+           _: ArithmeticException | _: IllegalArgumentException => None
+      case _: OutOfMemoryError => throw new IllegalStateException(
+        "payload-decode OOM") // don't swallow JVM-fatal errors silently
     }
 }

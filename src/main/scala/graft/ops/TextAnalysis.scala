@@ -92,21 +92,31 @@ object TextAnalysis {
 
   /** Integer-exact quality signals (oracle-checkable: integer counts hash
     * identically across engines, unlike the double ratios above):
-    * (ws tokens, en-stopword hits, punct chars, digit chars, upper chars). */
+    * (ws tokens, en-stopword hits, punct chars, digit chars, upper chars).
+    * Deliberately ASCII class semantics end to end — the DuckDB oracle's
+    * regex classes are ASCII, and locale-free ASCII lowering keeps the two
+    * engines equal on ANY input, not just the current ASCII-only fixture
+    * data (Character.isLetter would count 'ü' as a letter while the oracle
+    * counts it as punctuation). The Unicode-aware signals live in
+    * qualityFeatures. */
   def qualityCounts(text: String): (Int, Int, Int, Int, Int) = {
     if (text == null || text.isEmpty) return (0, 0, 0, 0, 0)
+    def asciiLetter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def asciiWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+      c == 11.toChar || c == '\f'
     var punct = 0; var digit = 0; var upper = 0
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (Character.isDigit(c)) digit += 1
-      else if (Character.isUpperCase(c)) upper += 1
-      else if (!Character.isLetter(c) && !Character.isWhitespace(c)) punct += 1
+      if (c >= '0' && c <= '9') digit += 1
+      else if (c >= 'A' && c <= 'Z') upper += 1
+      else if (!asciiLetter(c) && !asciiWs(c)) punct += 1
       i += 1
     }
     val nTokens = text.split("\\s+").count(_.nonEmpty)
     val sw = Stopwords("en")
-    val nStop = text.toLowerCase.split("\\W+").count(t => t.nonEmpty && sw.contains(t))
+    val lowered = text.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+    val nStop = lowered.split("\\W+").count(t => t.nonEmpty && sw.contains(t))
     (nTokens, nStop, punct, digit, upper)
   }
 

@@ -34,6 +34,16 @@ class MediaCodecsSpec extends AnyFunSuite {
     // claimed size beyond buffer
     val lying = ok.clone(); lying(18) = 100.toByte
     assert(MediaCodecs.Bmp.decode(lying).isEmpty)
+    // adversarial headers: negative dataOffset (0x80000000) and
+    // int-overflowing width — must be None, not a thrown exception
+    val negOff = ok.clone()
+    negOff(10) = 0; negOff(11) = 0; negOff(12) = 0; negOff(13) = 0x80.toByte
+    assert(MediaCodecs.Bmp.decode(negOff).isEmpty)
+    val hugeW = ok.clone()
+    hugeW(18) = 0; hugeW(19) = 0; hugeW(20) = 0; hugeW(21) = 0x40.toByte // 0x40000000
+    assert(MediaCodecs.Bmp.decode(hugeW).isEmpty)
+    // the dispatch boundary is fail-soft for any codec surprise
+    assert(MediaCodecs.decode(negOff, "image").isEmpty)
   }
 
   test("wav round-trip: exact sample normalization and metadata") {

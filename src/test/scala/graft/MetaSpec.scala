@@ -171,6 +171,10 @@ class MetaSpec extends AnyFunSuite {
     assert(FixEncoding("naïve") == "naïve")
     // CJK untouched (chars have no cp1252 byte)
     assert(FixEncoding("記者王大明") == "記者王大明")
+    // mixed genuine accents + mojibake: repair per-sequence, like ftfy —
+    // the clean "Café" must survive while "JosÃ©" is fixed
+    assert(FixEncoding("Café menu by JosÃ© GarcÃ­a") == "Café menu by José García")
+    assert(FixEncoding("naïve vs donâ€™t") == "naïve vs don’t")
     // \uXXXX escape branch still applies after repair
     assert(FixEncoding("a\\u00e9b") == "aéb")
   }
@@ -224,6 +228,11 @@ class MetaSpec extends AnyFunSuite {
     // full-name forms must still take precedence and work
     assert(parseAny("June 3, 2008") == Some("2008-06-03"))
     assert(parseAny("2008-06-03T10:00:00Z") == Some("2008-06-03"))
+    // month tokens must be whole words / valid completions — these are NOT dates
+    assert(parseAny("Martin 3, 2020 wrote the report") == None)
+    assert(parseAny("Market 12, 2008 update") == None)
+    assert(parseAny("3 Junk 2021 items") == None)
+    assert(parseAny("DisMay 3, 2020") == None)
     // ordinal day suffixes (dateparser grammar, one more notch)
     assert(parseAny("June 3rd, 2008") == Some("2008-06-03"))
     assert(parseAny("June 1st 2008") == Some("2008-06-01"))
