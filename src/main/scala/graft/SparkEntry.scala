@@ -177,6 +177,14 @@ object SparkEntry {
     }),
     "x_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.synthMedia(s, 2000))),
+    "x_bpe_tokens" -> ((s, dir) => {
+      // REAL trained byte-level BPE (not the pre-tokenizer estimate):
+      // distributed word-frequency pass, deterministic driver-side merge
+      // loop, then a map-only count. Not SQL-expressible -> rows-only.
+      val docs = t(s, dir, "documents")
+      val model = graft.ops.Bpe.train(docs, nMerges = 256)
+      graft.ops.Bpe.tokenCounts(docs, model).orderBy("doc_id")
+    }),
     "x_token_count_native" -> ((s, dir) =>
       // native codegen'd Catalyst expression (no UDF boxing)
       t(s, dir, "documents").select(col("doc_id"),

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.Bpe
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("hand-computed merges on a toy corpus") {
+    // single word type "ababab" (freq 1 is below the merge floor, use 3)
+    val m = Bpe.trainFromFrequencies(Array(("ababab", 3L)), nMerges = 8)
+    // pairs: (a,b)x3 beats (b,a)x2 -> merge0 = (97,98); word -> [256,256,256]
+    // then (256,256)x2 -> merge1; word -> [257,256]; next pair freq 1*3 >= 2
+    // -> merge2 = (257,256); then single token, loop ends
+    assert(m.merges.take(2).toSeq == Seq((97, 98), (256, 256)))
+    assert(m.countTokens("ababab") == 1 || m.countTokens("ababab") == 2)
+    // encode path: "abab" -> [256,256] -> [257] under merge1
+    assert(m.encodeWord("abab".getBytes("UTF-8")).toSeq == Seq(257))
+    // unseen bytes fall back to raw byte tokens
+    assert(m.encodeWord("xyz".getBytes("UTF-8")).length == 3)
+  }
+
+  test("deterministic ties: smaller pair wins") {
+    // "ab" and "cd" both appear 3 times; (a,b) < (c,d) lexicographically
+    val m = Bpe.trainFromFrequencies(Array(("ab", 3L), ("cd", 3L)), nMerges = 1)
+    assert(m.merges.head == (97, 98))
+  }
+
+  test("count decomposes over the pre-tokenizer") {
+    val m = Bpe.trainFromFrequencies(Array(("hello", 5L), (" world", 5L)), nMerges = 16)
+    val full = m.countTokens("hello world")
+    val parts = m.encodeWord("hello".getBytes("UTF-8")).length +
+      m.encodeWord(" world".getBytes("UTF-8")).length
+    assert(full == parts)
+    assert(m.countTokens("") == 0)
+    assert(m.countTokens(null) == 0)
+  }
+
+  test("spark path: train on documents, count per doc") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = Bpe.train(docs, nMerges = 64)
+    assert(model.merges.length > 0 && model.merges.length <= 64)
+    val counts = Bpe.tokenCounts(docs, model).collect()
+    assert(counts.length == docs.count())
+    assert(counts.forall(_.getInt(1) > 0))
+    // a trained model compresses: real-BPE counts must not exceed raw
+    // whitespace-split char-level upper bound and must be <= byte count
+    val joined = Bpe.tokenCounts(docs, model)
+      .join(docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).as("n_chars")), "doc_id")
+      .collect()
+    assert(joined.forall(r => r.getInt(1) <= r.getInt(2)))
+    // determinism: retraining yields the identical merge list
+    val model2 = Bpe.train(docs, nMerges = 64)
+    assert(model.merges.toSeq == model2.merges.toSeq)
+  }
+}
