@@ -205,33 +205,62 @@ object MetaExtract {
   }
 
   // -------------------------------------------------------------- author
+  // tag sets hoisted: the ladder's predicates run once per node per rung,
+  // and a per-node Set(...) literal was an allocation in the hot loop
+  private val AuthorTags1 = Set("a", "address", "link", "p", "span")
+  private val AuthorTags2 = Set("a", "span")
+  private val AuthorTags3 = Set("a", "div", "p", "span")
   private val AuthorXpaths: Seq[Node => Boolean] = Seq(
-    n => (Set("a", "address", "link", "p", "span").contains(n.tag) &&
+    n => (AuthorTags1.contains(n.tag) &&
            (n.attr("rel").contains("author") || classIs(n, "author"))) || n.tag == "author",
-    n => Set("a", "span").contains(n.tag) &&
+    n => AuthorTags2.contains(n.tag) &&
       (classContains(n, "authors") || classContains(n, "author") ||
        classContains(n, "posted-by") || n.attr("itemprop").exists(_.contains("author"))),
-    n => Set("a", "div", "p", "span").contains(n.tag) && classContains(n, "byline"),
+    n => AuthorTags3.contains(n.tag) && classContains(n, "byline"),
     n => classContains(n, "author") || classContains(n, "screenname"))
+
+  // hoisted author-cleanup regexes (previously compiled per call)
+  private val AuthorByPrefix = Pattern.compile(
+    "^([a-zäöüß]+(ed|t))? ?(by|von) ", Pattern.CASE_INSENSITIVE)
+  private val AuthorDigitTail = Pattern.compile("\\d.+?$")
+  private val AuthorTailTrim = Pattern.compile(
+    "[^\\w]+$|( am| on)", Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** Every TEXT_AUTHOR_PATTERN contains at least one of these anchor chars,
+    * so a node whose text has none of them cannot match any pattern — one
+    * cheap char pass replaces 11 regex scans on non-CJK text (the fallback
+    * otherwise scans EVERY text node with every pattern). */
+  private def hasCjkAuthorAnchor(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '〔' || c == '記' || c == '／' || c == '（' || c == '【') return true
+      i += 1
+    }
+    false
+  }
 
   /** extract_author (metadata.py:287-308). */
   def extractAuthor(tree: Node): String = {
     var author = extractMetainfo(tree, AuthorXpaths, lenLimit = 75)
     if (author != null) {
-      author = Pattern.compile("^([a-zäöüß]+(ed|t))? ?(by|von) ", Pattern.CASE_INSENSITIVE)
-        .matcher(author).replaceAll("")
-      author = Pattern.compile("\\d.+?$").matcher(author).replaceAll("")
-      author = Pattern.compile("[^\\w]+$|( am| on)", Pattern.UNICODE_CHARACTER_CLASS)
-        .matcher(TextUtils.trim(author)).replaceAll("")
+      author = AuthorByPrefix.matcher(author).replaceAll("")
+      author = AuthorDigitTail.matcher(author).replaceAll("")
+      author = AuthorTailTrim.matcher(TextUtils.trim(author)).replaceAll("")
       author = TextUtils.pythonTitle(author)
     }
     if (author == null) {
+      val candidates = tree.flattened
       TextAuthorPatterns.foreach { pat =>
         if (author == null) {
-          val hit = tree.descendantsAndSelf.find(n => n.text != null && pat.matcher(n.text).find())
-          hit.foreach { h =>
-            val m = pat.matcher(h.text)
-            if (m.find()) author = m.group(0)
+          var i = 0
+          while (author == null && i < candidates.length) {
+            val n = candidates(i)
+            if (n.text != null && hasCjkAuthorAnchor(n.text)) {
+              val m = pat.matcher(n.text)
+              if (m.find()) author = m.group(0)
+            }
+            i += 1
           }
         }
       }

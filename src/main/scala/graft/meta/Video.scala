@@ -16,11 +16,31 @@ object Video {
 
   final case class AdvanceFields(audio: Seq[String], video: String, content: String)
 
-  /** bs4-style class match: exact attribute value or token membership. */
+  /** bs4-style class match: exact attribute value or token membership.
+    * For a single-token `want` the set-equality clause is subsumed by token
+    * membership, so the common case is a no-allocation token scan; the
+    * multi-token set comparison keeps the regex path. */
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 11.toChar
+
+  private def containsToken(v: String, want: String): Boolean = {
+    val n = v.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isAsciiWs(v.charAt(i))) i += 1
+      var j = i
+      while (j < n && !isAsciiWs(v.charAt(j))) j += 1
+      if (j - i == want.length && v.regionMatches(i, want, 0, want.length)) return true
+      i = j
+    }
+    false
+  }
+
   private def classMatches(n: Node, want: String): Boolean =
     n.attr("class").exists { v =>
-      v == want || v.split("\\s+").toSet == want.split("\\s+").toSet ||
-        (!want.contains(' ') && v.split("\\s+").contains(want))
+      if (v == want) true
+      else if (!want.contains(' ')) containsToken(v, want)
+      else v.split("\\s+").toSet == want.split("\\s+").toSet
     }
 
   def getAdvanceFields(rawHtml: String): AdvanceFields =
