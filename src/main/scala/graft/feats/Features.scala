@@ -161,20 +161,49 @@ object Features {
   private val DateLike = Pattern.compile("[0-9一二三四五六七八九月年日]+")
   private val SentenceSplits = Pattern.compile("[.。,，]+")
 
+  // the five patterns above are pure existence tests over literals / char
+  // classes; manual scans are semantics-identical and avoid the regex
+  // engine in what profiling showed to be the single hottest frame of the
+  // whole extraction (every block × every turn pays these five finds)
+  private def hasDateLikeChar(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= '0' && c <= '9') || c == '一' || c == '二' || c == '三' ||
+          c == '四' || c == '五' || c == '六' || c == '七' || c == '八' ||
+          c == '九' || c == '月' || c == '年' || c == '日') return true
+      i += 1
+    }
+    false
+  }
+  private def hasSentenceSplit(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.' || c == '。' || c == ',' || c == '，') return true
+      i += 1
+    }
+    false
+  }
+
   /** The 8 handcrafted CSS features (features/css.py:44-79). `css_text` is
     * "<id> <class> " (trailing space), lengths measured in chars. */
   def cssHandcrafted(b: Block): Array[Double] = {
     val cssText = b.cssId + " " + b.cssClass + " "
     val text = b.text
     val f = new Array[Double](8)
-    if (NameAttributes.matcher(cssText).find()) f(0) = 1
-    if (CtxAttributes.matcher(text).find()) f(1) = 1
-    if (CtxSymbol.matcher(text).find()) f(2) = 1
+    if (cssText.contains("author") || cssText.contains("name") ||
+        cssText.contains("publisher") || cssText.contains("contribute") ||
+        cssText.contains("label")) f(0) = 1
+    if (text.contains("By ") || text.contains("記者") || text.contains("編輯") ||
+        text.contains("eporte") || text.indexOf('文') >= 0 ||
+        text.contains(" and ")) f(1) = 1
+    if (text.indexOf('／') >= 0) f(2) = 1
     val tagIdx = if (b.blockStartElementTag == null) -1 else AttributeTags.indexOf(b.blockStartElementTag)
     if (tagIdx >= 0) f(3) = tagIdx + 1
     f(4) = cssText.length
-    if (DateLike.matcher(text).find()) f(5) = 1
-    if (SentenceSplits.matcher(text).find()) f(6) = 1
+    if (hasDateLikeChar(text)) f(5) = 1
+    if (hasSentenceSplit(text)) f(6) = 1
     f(7) = text.length
     f
   }
