@@ -52,6 +52,11 @@ object AnnIndex {
     if (!rebuild && upToDate(spark, dir, "lsh", nBits, fp)) return
     embeddings
       .withColumn("srp_bucket", Similarity.srpBucketUdf(nBits)(col("embedding")))
+      // cluster by the partition key before partitionBy: without this every
+      // task emits a file per bucket it sees (tasks x 2^nBits tiny files —
+      // the classic small-files explosion); clustered, each bucket's rows
+      // sit in one task and the write is one file per bucket
+      .repartition(col("srp_bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("srp_bucket")
       .parquet(dir)
@@ -87,6 +92,7 @@ object AnnIndex {
       Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, centers))
     embeddings
       .withColumn("ivf_cell", cellUdf(col("embedding")))
+      .repartition(col("ivf_cell")) // one file per cell, not per (task, cell)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("ivf_cell")
       .parquet(dir)
