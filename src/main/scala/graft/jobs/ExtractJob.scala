@@ -52,7 +52,7 @@ object ExtractJob {
       .as[TurnB]
       .mapPartitions { it =>
         it.map { t =>
-          val ex = Extract.extract(t.text)
+          val ex = Extract.extractCached(t.text)
           ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, t.ts, t.conv_bucket, ex)
         }
       }

@@ -62,6 +62,25 @@ object Extract {
 
   def extract(text: String): Extracted = extract(text, null, true, NoHooks)
 
+  /** Bounded per-executor memo over the (pure) default extraction: web-scale
+    * transcript corpora carry heavy exact repetition (boilerplate turns,
+    * duplicated tool outputs, reposted pages), and a hash probe replaces the
+    * full parse->features->GRU->rules pass for every repeat. Keyed by the
+    * text itself (exactness over hashing); entries capped in count and key
+    * size so executor memory stays bounded. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Extracted]()
+  private final val MemoMaxEntries = 8192
+  private final val MemoMaxTextLen = 65536
+
+  def extractCached(text: String): Extracted = {
+    if (text == null || text.length > MemoMaxTextLen) return extract(text)
+    val hit = memo.get(text)
+    if (hit != null) return hit
+    val r = extract(text)
+    if (memo.size() < MemoMaxEntries) memo.put(text, r)
+    r
+  }
+
   def extract(text: String, defaultUrl: String): Extracted =
     extract(text, defaultUrl, true, NoHooks)
 

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions.udf
 object Udfs {
 
   /** Full fused pipeline: text -> Extracted struct. */
-  val extractTurn = udf((text: String) => Extract.extract(text))
+  val extractTurn = udf((text: String) => Extract.extractCached(text))
 
   /** text -> array of block texts (debug/test surface; production keeps
     * blocks nested per turn — exploding would force a re-group). */
