@@ -166,6 +166,15 @@ object SparkEntry {
         .orderBy("doc_id")),
     "x_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"))),
+    "x_langid_pred" -> ((s, dir) =>
+      // per-doc language-ID prediction with a DuckDB oracle replicating the
+      // heuristic's Latin path exactly (stopword-hit argmax with the
+      // en,fr,de,es first-max tie order); the CJK/Cyrillic script paths are
+      // covered by PropertySpec — this table is Latin-script text
+      t(s, dir, "documents")
+        .withColumn("lang_pred", TextAnalysis.langIdUdf(col("text")))
+        .select(col("doc_id"), col("lang_pred"))
+        .orderBy("doc_id")),
     "x_langid_eval" -> ((s, dir) => {
       // predicted-vs-labeled language confusion (labels in this harness
       // table are synthetic; the query shape is the real evaluation op)
@@ -368,6 +377,27 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "x_langid_pred" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','that','for','with','was','are','this'], x))) AS n_en,
+        |    len(list_filter(t, x -> list_contains(['le','la','les','et','des','est','dans','que','pour','une','qui','sur'], x))) AS n_fr,
+        |    len(list_filter(t, x -> list_contains(['der','die','und','das','ist','von','den','mit','auf','ein','nicht'], x))) AS n_de,
+        |    len(list_filter(t, x -> list_contains(['el','la','los','las','y','de','que','en','es','por','con','para'], x))) AS n_es
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN NOT regexp_matches(text, '[A-Za-z]') THEN 'und'
+        |    WHEN greatest(n_en, n_fr, n_de, n_es) = 0 THEN 'la'
+        |    WHEN n_en >= n_fr AND n_en >= n_de AND n_en >= n_es THEN 'en'
+        |    WHEN n_fr >= n_de AND n_fr >= n_es THEN 'fr'
+        |    WHEN n_de >= n_es THEN 'de'
+        |    ELSE 'es' END AS lang_pred
+        |FROM hits ORDER BY doc_id""".stripMargin,
     "x_ann_brute" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
         |c AS (SELECT vec_id,
