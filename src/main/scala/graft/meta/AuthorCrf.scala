@@ -418,7 +418,7 @@ object AuthorCrf {
 
   /** Python str.strip(): trims Python-whitespace (incl. NBSP), which Java's
     * String.strip does not. */
-  private def pyStrip(s: String): String = {
+  private[graft] def pyStrip(s: String): String = {
     var a = 0; var b = s.length
     while (a < b && pyIsSpace(s.codePointAt(a))) a += Character.charCount(s.codePointAt(a))
     while (b > a && pyIsSpace(s.codePointBefore(b))) b -= Character.charCount(s.codePointBefore(b))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Real byte-level BPE (GPT-2 style), from scratch — the trained
@@ -16,8 +16,6 @@ import org.apache.spark.sql.functions._
   * Determinism: ties in pair frequency break on the lexicographically
   * smaller pair, so the same corpus always yields the same merge list. */
 object Bpe {
-
-  type Pair = (Int, Int)
 
   /** Trained model: merge ranks over token ids; ids 0-255 are raw bytes,
     * merge i creates id 256+i. */
@@ -65,16 +63,12 @@ object Bpe {
 
     def countTokens(text: String): Int = {
       if (text == null || text.isEmpty) return 0
-      val m = PreToken.matcher(text)
+      val m = TextAnalysis.BpePre.matcher(text)
       var n = 0
       while (m.find()) n += encodeWord(m.group().getBytes("UTF-8")).length
       n
     }
   }
-
-  /** GPT-2 pre-tokenizer (same pattern family as bpeTokenEstimate). */
-  private val PreToken = java.util.regex.Pattern.compile(
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
 
   /** Distributed word-type frequencies, capped deterministically. */
   def wordFrequencies(docs: DataFrame, textCol: String = "text",
@@ -84,7 +78,7 @@ object Bpe {
     val preTok = udf((text: String) => {
       if (text == null) Seq.empty[String]
       else {
-        val m = PreToken.matcher(text)
+        val m = TextAnalysis.BpePre.matcher(text)
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         while (m.find()) out += m.group()
         out.toSeq

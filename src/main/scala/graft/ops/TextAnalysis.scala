@@ -129,7 +129,8 @@ object TextAnalysis {
 
   /** BPE-ish subword estimate: GPT-2-style pre-tokenizer regex pieces plus a
     * 4-chars-per-piece continuation heuristic for long pieces. */
-  private val BpePre = java.util.regex.Pattern.compile(
+  /** GPT-2 pre-tokenizer (shared with the trained Bpe). */
+  private[ops] val BpePre = java.util.regex.Pattern.compile(
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
 
   def bpeTokenEstimate(text: String): Int = {

@@ -42,18 +42,9 @@ class AuthorCrfSpec extends AnyFunSuite {
   test("BIO tag parity with the independent decoder (75 bylines)") {
     cases.foreach { case (text, tags, _) =>
       val st = text.strip() // tags were produced over the stripped text
-      val got = if (st.isEmpty) "" else AuthorCrf.tag(pyStripped(text)).mkString("")
+      val got = if (st.isEmpty) "" else AuthorCrf.tag(AuthorCrf.pyStrip(text)).mkString("")
       assert(got == tags, s"input: ${text.take(40)}")
     }
-  }
-
-  // the corpus was generated over Python str.strip() semantics
-  private def pyStripped(s: String): String = {
-    def sp(cp: Int) = Character.isWhitespace(cp) || Character.isSpaceChar(cp) || cp == 0x85
-    var a = 0; var b = s.length
-    while (a < b && sp(s.codePointAt(a))) a += Character.charCount(s.codePointAt(a))
-    while (b > a && sp(s.codePointBefore(b))) b -= Character.charCount(s.codePointBefore(b))
-    s.substring(a, b)
   }
 
   test("segmented-name parity (75 bylines)") {
