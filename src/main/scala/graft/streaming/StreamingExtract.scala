@@ -38,4 +38,20 @@ object StreamingExtract {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 minute"), col("role"))
       .agg(count(lit(1)).as("n_turns"))
+
+  /** Streaming exact dedup for the ingestion path: keep the first arrival of
+    * each distinct text, keyed by its 128-bit content hash. State is bounded
+    * by the event-time watermark — a duplicate arriving within `horizon` of
+    * the original is dropped; one arriving later than the watermark admits a
+    * re-emit (the standard dropDuplicates-with-watermark contract). The
+    * batch dedup ops (exact groups, MinHash/SimHash) remain the full-corpus
+    * passes; this is the stream-side guard that keeps obvious repeats out of
+    * the table in the first place. State shuffles on the well-distributed
+    * content hash — a viral duplicate is ONE state row, not a hot key. */
+  def dedupStream(turnsStream: DataFrame, horizon: String = "30 minutes"): DataFrame =
+    turnsStream
+      .withColumn("content_md5", md5(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_md5")
+      .drop("content_md5")
 }

@@ -80,4 +80,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("turn_rates").columns.toSet == Set("window", "role", "n_turns"))
     rmrf(src)
   }
+
+  test("streaming dedup keeps first arrival per content hash") {
+    val src = "/tmp/graft_stream_src3"
+    rmrf(src)
+    // duplicate-heavy stream: each distinct text appears 3x
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (0 until 50).map(i => (s"conv-$i", 0, "user", s"text body number ${i % 20}",
+      null: String, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00")))
+    base.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = StreamingExtract.dedupStream(stream).writeStream
+      .format("memory").queryName("deduped").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("deduped")
+    // 20 distinct texts -> exactly 20 survivors, schema unchanged
+    assert(out.count() == 20)
+    assert(out.select("text").distinct().count() == 20)
+    assert(out.columns.toSet == Set("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    rmrf(src)
+  }
 }
