@@ -263,7 +263,25 @@ object Synth {
 
   private def toolOutputPayload(c: Long, t: Long): String = {
     val k = h(c, t, 9)
-    s"""{"status": "ok", "rows": ${(k & 0xffffL)}, "elapsed_ms": ${(k >>> 16) & 0xfffL}, "note": "${pick(Words, k + 1)}"}"""
+    if (((k >>> 5) & 3L) == 0L)
+      // HTML-rendered tool output with table + list markup (the blockifier
+      // must flow <td>/<li> text into blocks like the reference's lxml walk)
+      s"""<html><body>
+<h2>${pick(Words, k).capitalize} results</h2>
+<table>
+<tr><th>metric</th><th>value</th></tr>
+<tr><td>${pick(Words, k + 2)}</td><td>${k & 0xffL}</td></tr>
+<tr><td>${pick(Words, k + 3)}</td><td>${(k >>> 8) & 0xffL}</td></tr>
+</table>
+<ul>
+<li>${sentence(k + 4, 5)}</li>
+<li>${sentence(k + 5, 4)}</li>
+<li>nested <ol><li>${pick(Words, k + 6)}</li><li>${pick(Words, k + 7)}</li></ol></li>
+</ul>
+<p>${sentence(k + 8, 10)}</p>
+</body></html>"""
+    else
+      s"""{"status": "ok", "rows": ${(k & 0xffffL)}, "elapsed_ms": ${(k >>> 16) & 0xfffL}, "note": "${pick(Words, k + 1)}"}"""
   }
 
   /** All five og:* incl. og:author — exercises the examine_meta OpenGraph

@@ -278,4 +278,22 @@ class BlockifierSpec extends AnyFunSuite {
     // metadata-path trim collapses NBSP like Python str.split()
     assert(graft.meta.TextUtils.trim("a\u00a0b") == "a b")
   }
+
+  test("table and list markup: table starts a block, td/li text flows") {
+    // Dragnet starters include <table> but not tr/td/ul/ol/li — cell and
+    // item text must flow into the table's block until the next starter
+    val html = "<html><body>\n<h2>Alpha results</h2>\n<table>\n" +
+      "<tr><th>metric</th><th>value</th></tr>\n" +
+      "<tr><td>beta</td><td>7</td></tr>\n<tr><td>gamma</td><td>9</td></tr>\n" +
+      "</table>\n<ul>\n<li>one two three four five.</li>\n" +
+      "<li>six seven eight nine.</li>\n" +
+      "<li>nested <ol><li>ten</li><li>eleven</li></ol></li>\n</ul>\n" +
+      "<p>final paragraph text here with several words in it now.</p>\n</body></html>"
+    val blocks = graft.blocks.Blockifier.blockify(html)
+    assert(blocks.map(_.text) == Seq(
+      "Alpha results",
+      "metric value beta 7 gamma 9 one two three four five. six seven eight nine. nested ten eleven",
+      "final paragraph text here with several words in it now."))
+    assert(blocks.map(_.blockStartElementTag) == Seq("h2", "table", "p"))
+  }
 }
