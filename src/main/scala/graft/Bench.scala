@@ -24,6 +24,7 @@ object Bench {
   /** Full fused extraction over the synthetic transcript table at this SF:
     * the authoritative turns/sec metric (BASELINE.md). Returns (turns, sec). */
   def extractionRun(spark: SparkSession, sf: Double, cpus: Int): (Long, Double) = {
+    graft.pipeline.Extract.clearMemo() // no cross-run replay in timed numbers
     val turns = jobs.Synth.turns(spark, sf, cpus * 2)
     val t0 = System.nanoTime()
     val n = jobs.ExtractJob.extractTurns(spark, turns, cpus * 2)

@@ -54,6 +54,7 @@ object ScalingBench {
       // generous warmup: C2 needs thousands of per-turn iterations per thread
       ExtractJob.extractTurns(spark,
         Synth.turns(spark, math.max(0.02, sf / 5), cores * 4), cores * 4).count()
+      graft.pipeline.Extract.clearMemo() // warmup must not seed the timed run
       // 4 tasks per core: short tail, straggler-resistant
       val turns = Synth.turns(spark, sf, cores * 4)
       val t0 = System.nanoTime()

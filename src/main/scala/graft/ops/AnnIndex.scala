@@ -45,18 +45,23 @@ object AnnIndex {
     } catch { case _: Exception => false }
 
   // ------------------------------------------------------------------- LSH
+  /** `filesPerBucket` trades small-files against write parallelism: 1 is
+    * right when buckets are modest; at 10^12 vectors a single task per
+    * bucket would be a straggler, so raise it to spread each bucket over
+    * that many tasks/files. */
   def buildLsh(embeddings: DataFrame, dir: String, nBits: Int = 8,
-      rebuild: Boolean = false): Unit = {
+      rebuild: Boolean = false, filesPerBucket: Int = 1): Unit = {
     val spark = embeddings.sparkSession
     val fp = fingerprint(embeddings)
     if (!rebuild && upToDate(spark, dir, "lsh", nBits, fp)) return
     embeddings
       .withColumn("srp_bucket", Similarity.srpBucketUdf(nBits)(col("embedding")))
-      // cluster by the partition key before partitionBy: without this every
-      // task emits a file per bucket it sees (tasks x 2^nBits tiny files —
-      // the classic small-files explosion); clustered, each bucket's rows
-      // sit in one task and the write is one file per bucket
-      .repartition(col("srp_bucket"))
+      // cluster by the partition key (+ a bounded salt) before partitionBy:
+      // unclustered, every task emits a file per bucket it sees (tasks x
+      // 2^nBits tiny files); clustered, each bucket writes exactly
+      // filesPerBucket files
+      .repartition(col("srp_bucket"),
+        pmod(xxhash64(col("vec_id")), lit(filesPerBucket)))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("srp_bucket")
       .parquet(dir)
@@ -82,7 +87,7 @@ object AnnIndex {
 
   // ------------------------------------------------------------------- IVF
   def buildIvf(embeddings: DataFrame, dir: String, nCells: Int = 16,
-      rebuild: Boolean = false): Unit = {
+      rebuild: Boolean = false, filesPerBucket: Int = 1): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val fp = fingerprint(embeddings)
@@ -92,7 +97,8 @@ object AnnIndex {
       Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, centers))
     embeddings
       .withColumn("ivf_cell", cellUdf(col("embedding")))
-      .repartition(col("ivf_cell")) // one file per cell, not per (task, cell)
+      .repartition(col("ivf_cell"),
+        pmod(xxhash64(col("vec_id")), lit(filesPerBucket))) // bounded files/cell
       .write.mode(SaveMode.Overwrite)
       .partitionBy("ivf_cell")
       .parquet(dir)

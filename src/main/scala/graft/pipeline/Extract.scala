@@ -69,17 +69,25 @@ object Extract {
     * text itself (exactness over hashing); entries capped in count and key
     * size so executor memory stays bounded. */
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, Extracted]()
-  private final val MemoMaxEntries = 8192
-  private final val MemoMaxTextLen = 65536
+  private final val MemoMaxEntries = 4096
+  private final val MemoMaxTextLen = 8192 // boilerplate repeats are short
 
   def extractCached(text: String): Extracted = {
     if (text == null || text.length > MemoMaxTextLen) return extract(text)
     val hit = memo.get(text)
     if (hit != null) return hit
     val r = extract(text)
-    if (memo.size() < MemoMaxEntries) memo.put(text, r)
+    // generation reset at capacity instead of freezing: a full map of cold
+    // one-offs would otherwise pin ~tens of MB forever AND lock out
+    // late-arriving hot repeats (0% hit rate past the cap)
+    if (memo.size() >= MemoMaxEntries) memo.clear()
+    memo.put(text, r)
     r
   }
+
+  /** Benchmark hook: measured runs must not replay a previous run's cache
+    * (within-run repeats are the corpus's own duplication and stay). */
+  def clearMemo(): Unit = memo.clear()
 
   def extract(text: String, defaultUrl: String): Extracted =
     extract(text, defaultUrl, true, NoHooks)

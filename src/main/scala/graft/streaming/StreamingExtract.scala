@@ -50,7 +50,11 @@ object StreamingExtract {
     * content hash — a viral duplicate is ONE state row, not a hot key. */
   def dedupStream(turnsStream: DataFrame, horizon: String = "30 minutes"): DataFrame =
     turnsStream
-      .withColumn("content_md5", md5(col("text")))
+      // null text must NOT collapse rows (md5(null) is null and null keys
+      // group together): key null-text rows by their identity instead
+      .withColumn("content_md5",
+        coalesce(md5(col("text")),
+          concat_ws(":", lit("null"), col("conv_id"), col("turn_idx"))))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_md5")
       .drop("content_md5")

@@ -57,11 +57,11 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val counts = Bpe.tokenCounts(docs, model).collect()
     assert(counts.length == docs.count())
     assert(counts.forall(_.getInt(1) > 0))
-    // a trained model compresses: real-BPE counts must not exceed raw
-    // whitespace-split char-level upper bound and must be <= byte count
+    // byte-level BPE is bounded by the UTF-8 BYTE count (a multi-byte char
+    // can be up to one token per byte), not the char count
     val joined = Bpe.tokenCounts(docs, model)
       .join(docs.select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).as("n_chars")), "doc_id")
+        org.apache.spark.sql.functions.expr("octet_length(text)").as("n_bytes")), "doc_id")
       .collect()
     assert(joined.forall(r => r.getInt(1) <= r.getInt(2)))
     // determinism: retraining yields the identical merge list
