@@ -51,4 +51,16 @@ class AdversarialSpec extends AnyFunSuite {
     mustNotThrow("empty", "")
     mustNotThrow("whitespace only", " \n\t " * 100)
   }
+
+  test("extraction memo: cached result identical, generation reset safe") {
+    graft.pipeline.Extract.clearMemo()
+    val html = "<html><body><p>memo check text with several words here.</p></body></html>"
+    val first = graft.pipeline.Extract.extractCached(html)
+    val second = graft.pipeline.Extract.extractCached(html)
+    assert(second eq first) // cache hit returns the same immutable row
+    assert(first == graft.pipeline.Extract.extract(html)) // equals cold result
+    graft.pipeline.Extract.clearMemo()
+    val third = graft.pipeline.Extract.extractCached(html)
+    assert(third == first) // post-clear recompute is value-identical
+  }
 }
