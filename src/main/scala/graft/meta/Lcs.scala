@@ -22,6 +22,33 @@ object Lcs {
     c
   }
 
+  /** print_diff (lcs.pyx:48-73): LCS-based diff — "- x" for elements only
+    * in X, "+ y" for elements only in Y, matches dropped, in sequence
+    * order. The reference prints the list; returning it is the testable
+    * form (the caller prints). Closes the last non-network §2.8 row. */
+  def diff(x: IndexedSeq[String], y: IndexedSeq[String]): Seq[String] = {
+    val c = lcsMatrix(x, y)
+    var i = x.length
+    var j = y.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (i > 0 || j > 0) {
+      if (i > 0 && j > 0 && x(i - 1) == y(j - 1)) { i -= 1; j -= 1 }
+      else if (j > 0 && (i == 0 || c(i)(j - 1) >= c(i - 1)(j))) {
+        out += "+ " + y(j - 1); j -= 1
+      } else if (i > 0 && (j == 0 || c(i)(j - 1) < c(i - 1)(j))) {
+        out += "- " + x(i - 1); i -= 1
+      }
+    }
+    out.reverse.toSeq
+  }
+
+  /** String form: per-char sequences, like the reference's doc example. */
+  def diff(x: String, y: String): Seq[String] =
+    diff(x.map(_.toString), y.map(_.toString))
+
+  def printDiff(x: IndexedSeq[String], y: IndexedSeq[String]): Unit =
+    println(diff(x, y).mkString("[", ", ", "]"))
+
   /** check_inclusion (lcs.pyx:78-103): v(i) = x(i) ∈ LCS(x, y). */
   def checkInclusion(x: IndexedSeq[String], y: IndexedSeq[String]): Seq[Boolean] = {
     if (y.isEmpty) return Seq.fill(x.length)(false)

@@ -89,6 +89,16 @@ class MetaSpec extends AnyFunSuite {
     assert(inc == Seq(false, true, false, true, true))
   }
 
+  // ---- lcs.pyx print_diff doc example
+  test("lcs diff matches the reference doc example") {
+    assert(Lcs.diff(
+      Vector("wow", "this", "is", "the", "first", "string"),
+      Vector("this", "is", "the", "second", "string", "here")) ==
+      Seq("- wow", "- first", "+ second", "+ here"))
+    assert(Lcs.diff("abc", "abc") == Seq.empty)
+    assert(Lcs.diff("", "ab") == Seq("+ a", "+ b"))
+  }
+
   // ---- test_util.py::test_evaluation_metrics
   test("evaluation metrics bow and list") {
     val predicted = "skiing sparkling soft snow in soft sun".split(" ").toSeq
