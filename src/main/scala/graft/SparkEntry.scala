@@ -83,7 +83,20 @@ object SparkEntry {
     }),
     // ---------------- training-data ops (documents / embeddings) -----------
     "x_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.7)),
+      // oracle-checkable form: (doc_a, doc_b, exact jaccard) — the
+      // est_jaccard screening column is internal (signature-sampling noise
+      // is engine-specific; the exact Jaccard is the contract). DuckDB
+      // recomputes the all-pairs ground truth at the verify SF, so emitted
+      // pairs must be EXACTLY those with true 3-gram Jaccard >= 0.7.
+      Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.7)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+    "x_dedup_clusters" -> ((s, dir) =>
+      // pairs -> connected components (hash-min label propagation); keeper
+      // per component = min doc_id. Oracled by a DuckDB recursive-CTE
+      // transitive closure over the exact pair set.
+      Dedup.duplicateClusters(t(s, dir, "documents"), threshold = 0.7)
+        .orderBy("doc_id")),
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)),
     "x_ann_brute" -> ((s, dir) => {
@@ -94,7 +107,13 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").select("embedding").head
         .getSeq[Float](0).toArray
-      val w = Window.orderBy(col("cosine").desc, col("vec_id")) // 50 rows
+      // constant-valued partition key keeps WindowExec from warning about a
+      // global window — the input is the already-limited 50-row top-k, so a
+      // single partition is the point, not a hazard. pmod(vec_id, 1) is 0
+      // for every row but non-foldable, so the optimizer can't strip it the
+      // way it strips a bare literal.
+      val w = Window.partitionBy(pmod(col("vec_id"), lit(1)))
+        .orderBy(col("cosine").desc, col("vec_id"))
       Similarity.bruteForceTopK(emb, q, 50)
         .withColumn("rank", row_number().over(w))
         .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
@@ -377,6 +396,66 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "x_dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN t
+        |    ELSE list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+        |  FROM toks)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    cast(len(list_intersect(a.grams, b.grams)) as double)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN t
+        |    ELSE list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE cast(len(list_intersect(a.grams, b.grams)) as double)
+        |        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7),
+        |e AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |r AS (
+        |  SELECT doc_a AS doc_id, doc_a AS reach FROM e
+        |  UNION
+        |  SELECT r.doc_id, e.doc_b AS reach FROM r JOIN e ON r.reach = e.doc_a)
+        |SELECT doc_id, min(reach) AS cluster_id
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_langid_eval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','that','for','with','was','are','this'], x))) AS n_en,
+        |    len(list_filter(t, x -> list_contains(['le','la','les','et','des','est','dans','que','pour','une','qui','sur'], x))) AS n_fr,
+        |    len(list_filter(t, x -> list_contains(['der','die','und','das','ist','von','den','mit','auf','ein','nicht'], x))) AS n_de,
+        |    len(list_filter(t, x -> list_contains(['el','la','los','las','y','de','que','en','es','por','con','para'], x))) AS n_es
+        |  FROM toks),
+        |pred AS (
+        |  SELECT doc_id, lang,
+        |    CASE
+        |      WHEN NOT regexp_matches(text, '[A-Za-z]') THEN 'und'
+        |      WHEN greatest(n_en, n_fr, n_de, n_es) = 0 THEN 'la'
+        |      WHEN n_en >= n_fr AND n_en >= n_de AND n_en >= n_es THEN 'en'
+        |      WHEN n_fr >= n_de AND n_fr >= n_es THEN 'fr'
+        |      WHEN n_de >= n_es THEN 'de'
+        |      ELSE 'es' END AS lang_pred
+        |  FROM hits)
+        |SELECT lang, lang_pred, count(*) AS n
+        |FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
     "x_langid_pred" ->
       """WITH toks AS (
         |  SELECT doc_id, text,

@@ -238,11 +238,22 @@ object AuthorCrf {
   private def pyIsTitle(cp: Int): Boolean =
     Character.isUpperCase(cp) || Character.isTitleCase(cp)
 
-  /** Python str.isdigit(): Nd digits plus the superscript/subscript digits. */
-  private def pyIsDigit(cp: Int): Boolean =
+  /** Python str.isdigit(): Numeric_Type=Decimal (Java's Nd isDigit) plus the
+    * Numeric_Type=Digit set — super/subscripts, circled/parenthesized/
+    * dingbat digit forms, Ethiopic/Kharoshthi/Rumi/Brahmi digits, digit-
+    * with-full-stop, segmented digits (UCD DerivedNumericType.txt). */
+  private[graft] def pyIsDigit(cp: Int): Boolean =
     Character.isDigit(cp) ||
       cp == 0xB2 || cp == 0xB3 || cp == 0xB9 || // ² ³ ¹
-      (cp >= 0x2070 && cp <= 0x2079) || (cp >= 0x2080 && cp <= 0x2089)
+      (cp >= 0x1369 && cp <= 0x1371) || cp == 0x19DA || cp == 0x2070 ||
+      (cp >= 0x2074 && cp <= 0x2079) || (cp >= 0x2080 && cp <= 0x2089) ||
+      (cp >= 0x2460 && cp <= 0x2468) || (cp >= 0x2474 && cp <= 0x247C) ||
+      (cp >= 0x2488 && cp <= 0x2490) || cp == 0x24EA ||
+      (cp >= 0x24F5 && cp <= 0x24FD) || cp == 0x24FF ||
+      (cp >= 0x2776 && cp <= 0x277E) || (cp >= 0x2780 && cp <= 0x2788) ||
+      (cp >= 0x278A && cp <= 0x2792) ||
+      (cp >= 0x10A40 && cp <= 0x10A43) || (cp >= 0x10E60 && cp <= 0x10E68) ||
+      (cp >= 0x11052 && cp <= 0x1105A) || (cp >= 0x1F100 && cp <= 0x1F10A)
 
   private def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
 

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Persisted ANN index: the 100 TB path for similarity search.
   *
@@ -15,66 +16,128 @@ import org.apache.spark.sql.functions._
   * touches probes/2^nBits (resp. nProbe/nCells) of the data instead of all
   * of it, and build cost is one pass + one partitioned write.
   *
+  * Build and probe are decoupled: `buildLsh`/`buildIvf` are explicit jobs;
+  * `probeLsh`/`probeIvf` trust the committed `_graft_meta` and read NOTHING
+  * but the probed partitions. Freshness is decided from a **metadata-only**
+  * version token (input file listing: path, length, mtime) — never from a
+  * content scan of the data, which at 100 TB would cost more than the query.
+  *
   * Layout:
   *   dir/srp_bucket=<b>/...parquet   (LSH)   or   dir/ivf_cell=<c>/...
-  *   dir/_graft_meta/                one-row parquet: kind + params
-  *   dir/_graft_centroids/           IVF only: (cell, centroid)
-  * Underscore-prefixed dirs are invisible to the data read. */
+  *   dir/_graft_meta/meta.properties kind, param, token, n_rows, and (IVF)
+  *                                   the KB-sized centroid table — all
+  *                                   control-plane state is one driver-side
+  *                                   file read, zero Spark jobs
+  * The underscore-prefixed dir is invisible to the data read. */
 object AnnIndex {
 
-  /** Build-once: an index whose committed meta matches (kind, param,
-    * content fingerprint) is reused — rebuilding a persisted index per
-    * query would defeat its purpose (probes are served from the existing
-    * partitioned table). Pass `rebuild = true` to force. The fingerprint is
-    * an order-insensitive xxhash64 digest over (vec_id, embedding), so
-    * changed vector CONTENTS rebuild even at an identical row count.
-    * Single-writer per dir assumed (concurrent builders of the same path
-    * race on the Overwrite, like any non-transactional table). */
-  private def fingerprint(embeddings: DataFrame): Long = {
-    val r = embeddings
-      .agg(expr("bit_xor(xxhash64(vec_id, embedding))"), count(lit(1)))
-      .head
-    r.getLong(0) ^ (r.getLong(1) * 0x9e3779b97f4a7c15L)
+  /** Cheap input version token: a fold over the source files' (path, length,
+    * modificationTime). One filesystem NAMESPACE listing — no data is read
+    * and no Spark job runs, so a fresh `build*` call is O(#files) driver-side
+    * RPCs, not a table scan. Inputs with no files (in-memory DataFrames)
+    * yield None: no provable version, so the build always runs for them.
+    * An Iceberg-style table would supply its snapshot id here instead. */
+  private def inputToken(embeddings: DataFrame): Option[Long] = {
+    val files = embeddings.inputFiles
+    if (files.isEmpty) return None
+    val conf = embeddings.sparkSession.sparkContext.hadoopConfiguration
+    var h = 0xcbf29ce484222325L
+    def fold(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+    files.sorted.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      var i = 0
+      while (i < f.length) { fold(f.charAt(i).toLong); i += 1 }
+      fold(st.getLen); fold(st.getModificationTime)
+    }
+    Some(h)
   }
 
+  private final case class Meta(kind: String, param: Int, token: Long,
+      nRows: Long, centroids: Array[Array[Double]])
+
   private def upToDate(spark: SparkSession, dir: String, kind: String,
-      param: Int, fp: Long): Boolean =
-    try {
-      val r = spark.read.parquet(s"$dir/_graft_meta").head
-      r.getString(0) == kind && r.getInt(1) == param && r.getLong(2) == fp
-    } catch { case _: Exception => false }
+      param: Int, token: Option[Long]): Boolean =
+    token.exists { t =>
+      try {
+        val m = readMeta(spark, dir)
+        m.kind == kind && m.param == param && m.token == t
+      } catch { case _: Exception => false }
+    }
+
+  /** Smallest Hamming radius whose probed buckets are expected to hold
+    * >= 6k candidates, under a uniform-bucket estimate from the committed
+    * row count (cumulative binomial coefficients; metadata only, no scan).
+    * The 6x margin absorbs SRP bucket skew — real buckets are far from
+    * uniform — so a k-NN probe almost always has >= k candidates; at big
+    * row counts the radius collapses to 0-1 and the probe stays a sliver
+    * of the table. */
+  private[ops] def adaptiveHamming(nBits: Int, nRows: Long, k: Int): Int = {
+    val perBucket = nRows.toDouble / (1L << nBits)
+    var h = 0
+    var choose = 1.0 // C(nBits, h)
+    var expected = perBucket
+    while (h < nBits && expected < 6.0 * k) {
+      h += 1
+      choose = choose * (nBits - h + 1) / h
+      expected += choose * perBucket
+    }
+    h
+  }
+
+  private def emptyProbe(spark: SparkSession, bucketCol: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("vec_id", LongType), StructField(bucketCol, IntegerType),
+      StructField("cosine", DoubleType))))
 
   // ------------------------------------------------------------------- LSH
-  /** `filesPerBucket` trades small-files against write parallelism: 1 is
+  /** Build-once: an index whose committed meta matches (kind, param, input
+    * token) is reused without running any Spark job. Pass `rebuild = true`
+    * to force. Single-writer per dir assumed (concurrent builders of the
+    * same path race on the Overwrite, like any non-transactional table).
+    *
+    * `filesPerBucket` trades small-files against write parallelism: 1 is
     * right when buckets are modest; at 10^12 vectors a single task per
     * bucket would be a straggler, so raise it to spread each bucket over
     * that many tasks/files. */
   def buildLsh(embeddings: DataFrame, dir: String, nBits: Int = 8,
       rebuild: Boolean = false, filesPerBucket: Int = 1): Unit = {
     val spark = embeddings.sparkSession
-    val fp = fingerprint(embeddings)
-    if (!rebuild && upToDate(spark, dir, "lsh", nBits, fp)) return
-    embeddings
-      .withColumn("srp_bucket", Similarity.srpBucketUdf(nBits)(col("embedding")))
-      // cluster by the partition key (+ a bounded salt) before partitionBy:
-      // unclustered, every task emits a file per bucket it sees (tasks x
-      // 2^nBits tiny files); clustered, each bucket writes exactly
-      // filesPerBucket files
-      .repartition(col("srp_bucket"),
-        pmod(xxhash64(col("vec_id")), lit(filesPerBucket)))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("srp_bucket")
-      .parquet(dir)
-    writeMeta(spark, dir, kind = "lsh", param = nBits, fp = fp)
+    val token = inputToken(embeddings)
+    if (!rebuild && upToDate(spark, dir, "lsh", nBits, token)) return
+    val nRows = embeddings.count() // build-time only; parquet footer metadata
+    if (nRows > 0)
+      embeddings
+        .withColumn("srp_bucket", Similarity.srpBucketUdf(nBits)(col("embedding")))
+        // cluster by the partition key (+ a bounded salt) before partitionBy:
+        // unclustered, every task emits a file per bucket it sees (tasks x
+        // 2^nBits tiny files); clustered, each bucket writes exactly
+        // filesPerBucket files
+        .repartition(col("srp_bucket"),
+          pmod(xxhash64(col("vec_id")), lit(filesPerBucket)))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("srp_bucket")
+        .parquet(dir)
+    writeMeta(spark, dir, kind = "lsh", param = nBits,
+      token = token.getOrElse(0L), nRows = nRows)
   }
 
+  /** Probe trusts the committed meta: ONE pruned scan of the probed bucket
+    * partitions, no freshness re-derivation, no job against the source
+    * table. `probeHamming < 0` (default) sizes the radius from the row
+    * count recorded at build time so a top-k probe has candidates to fill
+    * k even on small tables. */
   def probeLsh(spark: SparkSession, dir: String, query: Array[Float], k: Int,
-      probeHamming: Int = 1): DataFrame = {
-    val (kind, nBits) = readMeta(spark, dir)
-    require(kind == "lsh", s"$dir is a $kind index, not lsh")
+      probeHamming: Int = -1): DataFrame = {
+    val meta = readMeta(spark, dir)
+    require(meta.kind == "lsh", s"$dir is a ${meta.kind} index, not lsh")
+    if (meta.nRows == 0L) return emptyProbe(spark, "srp_bucket")
+    val nBits = meta.param
+    val h = if (probeHamming >= 0) probeHamming
+            else adaptiveHamming(nBits, meta.nRows, k)
     val qBucket = Similarity.srpBucket(query.toSeq, nBits)
     val probes = (0 until (1 << nBits))
-      .filter(b => java.lang.Integer.bitCount(b ^ qBucket) <= probeHamming)
+      .filter(b => java.lang.Integer.bitCount(b ^ qBucket) <= h)
     val q = query
     val cosUdf = udf((v: Seq[Float]) => Similarity.cosine(v, q.toSeq))
     spark.read.parquet(dir)
@@ -89,38 +152,45 @@ object AnnIndex {
   def buildIvf(embeddings: DataFrame, dir: String, nCells: Int = 16,
       rebuild: Boolean = false, filesPerBucket: Int = 1): Unit = {
     val spark = embeddings.sparkSession
-    import spark.implicits._
-    val fp = fingerprint(embeddings)
-    if (!rebuild && upToDate(spark, dir, "ivf", nCells, fp)) return
-    val centers = Similarity.trainIvfCentroids(embeddings, nCells)
-    val cellUdf = udf((v: Seq[Float]) =>
-      Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, centers))
-    embeddings
-      .withColumn("ivf_cell", cellUdf(col("embedding")))
-      .repartition(col("ivf_cell"),
-        pmod(xxhash64(col("vec_id")), lit(filesPerBucket))) // bounded files/cell
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("ivf_cell")
-      .parquet(dir)
-    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_graft_centroids")
-    writeMeta(spark, dir, kind = "ivf", param = nCells, fp = fp)
+    val token = inputToken(embeddings)
+    if (!rebuild && upToDate(spark, dir, "ivf", nCells, token)) return
+    val nRows = embeddings.count()
+    var centers: Array[Array[Double]] = Array.empty
+    if (nRows > 0) {
+      centers = Similarity.trainIvfCentroids(embeddings, nCells)
+      val cs = centers
+      val cellUdf = udf((v: Seq[Float]) =>
+        Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, cs))
+      embeddings
+        .withColumn("ivf_cell", cellUdf(col("embedding")))
+        .repartition(col("ivf_cell"),
+          pmod(xxhash64(col("vec_id")), lit(filesPerBucket))) // bounded files/cell
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("ivf_cell")
+        .parquet(dir)
+    }
+    writeMeta(spark, dir, kind = "ivf", param = nCells,
+      token = token.getOrElse(0L), nRows = nRows, centroids = centers)
   }
 
+  /** `nProbe < 0` (default) sizes the probed cell count from the committed
+    * row count (expected candidates >= 6k), like probeLsh. */
   def probeIvf(spark: SparkSession, dir: String, query: Array[Float], k: Int,
-      nProbe: Int = 4): DataFrame = {
-    val (kind, _) = readMeta(spark, dir)
-    require(kind == "ivf", s"$dir is a $kind index, not ivf")
-    val centers = spark.read.parquet(s"$dir/_graft_centroids")
-      .orderBy("cell").collect()
-      .map(r => r.getSeq[Double](1).toArray)
+      nProbe: Int = -1): DataFrame = {
+    val meta = readMeta(spark, dir)
+    require(meta.kind == "ivf", s"$dir is a ${meta.kind} index, not ivf")
+    if (meta.nRows == 0L) return emptyProbe(spark, "ivf_cell")
+    val nCells = meta.param
+    val np = if (nProbe > 0) nProbe
+             else math.min(nCells.toLong,
+               math.max(1L, math.ceil(6.0 * k * nCells / meta.nRows).toLong)).toInt
+    val centers = meta.centroids
     val qd = query.map(_.toDouble)
     val probeCells = centers.indices.sortBy { c =>
       var d = 0.0; var j = 0
       while (j < qd.length) { val t = qd(j) - centers(c)(j); d += t * t; j += 1 }
       d
-    }.take(nProbe)
+    }.take(np)
     val q = query
     val cosUdf = udf((v: Seq[Float]) => Similarity.cosine(v, q.toSeq))
     spark.read.parquet(dir)
@@ -132,15 +202,55 @@ object AnnIndex {
   }
 
   // ------------------------------------------------------------------ meta
+  // Control-plane state lives in a plain key=value file written/read through
+  // the Hadoop FS API driver-side: probing or freshness-checking an index
+  // runs ZERO Spark jobs for its metadata (a parquet meta table would cost a
+  // job per read and re-enter the DataSource path for an underscore dir).
+  // Write is temp + rename (atomic on HDFS-like stores; single-writer per
+  // dir assumed, as stated on build*).
   private def writeMeta(spark: SparkSession, dir: String, kind: String,
-      param: Int, fp: Long): Unit = {
-    import spark.implicits._
-    Seq((kind, param, fp)).toDF("kind", "param", "fingerprint")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_graft_meta")
+      param: Int, token: Long, nRows: Long,
+      centroids: Array[Array[Double]] = Array.empty): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new org.apache.hadoop.fs.Path(s"$dir/_graft_meta")
+    val fs = metaDir.getFileSystem(conf)
+    val tmpP = new org.apache.hadoop.fs.Path(metaDir, ".meta.tmp")
+    val finalP = new org.apache.hadoop.fs.Path(metaDir, "meta.properties")
+    // Double.toString/parseDouble round-trips exactly, so centroid geometry
+    // survives the text encoding bit-for-bit
+    val cent = if (centroids.isEmpty) ""
+      else "centroids=" + centroids.map(_.mkString(",")).mkString(";") + "\n"
+    val out = fs.create(tmpP, true)
+    out.write((s"kind=$kind\nparam=$param\ntoken=$token\nn_rows=$nRows\n" + cent)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(finalP, false)
+    if (!fs.rename(tmpP, finalP))
+      throw new java.io.IOException(s"meta commit failed for $dir")
   }
 
-  private def readMeta(spark: SparkSession, dir: String): (String, Int) = {
-    val r = spark.read.parquet(s"$dir/_graft_meta").head
-    (r.getString(0), r.getInt(1))
+  private def readMeta(spark: SparkSession, dir: String): Meta = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_meta/meta.properties")
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+    val kv = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.contains('='))
+      .map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
+      .toMap
+    val centroids = kv.get("centroids") match {
+      case Some(s) if s.nonEmpty =>
+        s.split(';').map(_.split(',').map(java.lang.Double.parseDouble))
+      case _ => Array.empty[Array[Double]]
+    }
+    Meta(kv("kind"), kv("param").toInt, kv("token").toLong,
+      kv("n_rows").toLong, centroids)
   }
 }

@@ -148,6 +148,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---------------------------------------------------- duplicate clusters
+  /** Duplicate CLUSTERS from near-dup pairs: connected components by
+    * iterated hash-min label propagation. Real pipelines dedup by cluster
+    * keeper, not by pair list — A~B and B~C must collapse into one cluster
+    * even though (A, C) is not itself a pair.
+    *
+    * Scale shape: the label frame is (doc_id, cluster_id) — tiny next to
+    * the corpus, keyed on the well-distributed doc_id — and each round is
+    * one equi-join + min-aggregate shuffle, barriered with localCheckpoint
+    * so lineage stays flat across iterations. Convergence takes
+    * O(component diameter) rounds; near-dup clusters are shallow (a viral
+    * doc's cluster is a star, diameter ~2), and `maxIter` hard-bounds the
+    * pathological chain. The per-round changed-count is an aggregate over
+    * the already-materialized checkpoint, not a recompute.
+    *
+    * Output: (doc_id, cluster_id = min doc_id of its component), one row
+    * per doc appearing in >= 1 pair. Oracle: DuckDB recursive-CTE
+    * transitive closure over the exact all-pairs ground truth. */
+  def duplicateClusters(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text", maxIter: Int = 25): DataFrame = {
+    val pairs = minhashPairs(docs, threshold, textCol)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("cluster_id").as("nbr_cluster")), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nbr_cluster")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("new_cluster"),
+          col("cluster_id").as("old_cluster"))
+        .localCheckpoint()
+      changed = next.filter(col("new_cluster") =!= col("old_cluster")).count()
+      labels = next.select(col("doc_id"), col("new_cluster").as("cluster_id"))
+      it += 1
+    }
+    labels
+  }
+
   // -------------------------------------------------------------- simhash
   /** 64-bit SimHash over token unigrams (token frequency weighted). */
   def simhash(text: String): Long = {

@@ -207,7 +207,12 @@ object MediaCodecs {
     * The catch is the fail-soft boundary the per-codec parsers rely on —
     * adversarial headers (negative offsets, width*height overflow, truncated
     * chunks) must yield a decode_ok=false row, never a task failure: at
-    * 100 TB a poison payload must not kill a batch. */
+    * 100 TB a poison payload must not kill a batch. OutOfMemoryError is
+    * deliberately NOT caught: every decode allocation is bounded by a small
+    * multiple of the input payload (BMP's length check forces the pixel data
+    * inside the input; WAV/GVID allocate <= 2x input), so an OOM here means
+    * real executor memory pressure — the JVM's fatal-error path must see it
+    * rather than Spark retrying a task in a corrupted heap. */
   def decode(bytes: Array[Byte], kind: String): Option[(MediaInfo, Array[Float])] =
     try kind match {
       case "image" => Bmp.decode(bytes)
@@ -217,7 +222,5 @@ object MediaCodecs {
     } catch {
       case _: IndexOutOfBoundsException | _: NegativeArraySizeException |
            _: ArithmeticException | _: IllegalArgumentException => None
-      case _: OutOfMemoryError => throw new IllegalStateException(
-        "payload-decode OOM") // don't swallow JVM-fatal errors silently
     }
 }

@@ -72,16 +72,28 @@ object Similarity {
   /** IVF/LSH-bucketed ANN: probe only buckets within `probeHamming` bit
     * flips of the query's bucket (multi-probe). Scale path: the scan prunes
     * to matching buckets when the table is written bucketed/partitioned by
-    * `srp_bucket`. */
+    * `srp_bucket` (see [[AnnIndex]]).
+    *
+    * Defaults are sized from the table: `nBits < 0` targets ~64 vectors per
+    * bucket (so tiny tables don't shatter into 2-vector buckets that can't
+    * fill k), `probeHamming < 0` expands the probe radius until the probed
+    * buckets are expected to hold >= 6k candidates. The count() this needs
+    * is parquet-footer metadata; the ad-hoc form scans the table anyway. */
   def lshTopK(embeddings: DataFrame, query: Array[Float], k: Int,
-      nBits: Int = 8, probeHamming: Int = 1): DataFrame = {
-    val qBucket = srpBucket(query.toSeq, nBits)
-    val probes = (0 until (1 << nBits))
-      .filter(b => java.lang.Integer.bitCount(b ^ qBucket) <= probeHamming)
+      nBits: Int = -1, probeHamming: Int = -1): DataFrame = {
+    val n = if (nBits < 0 || probeHamming < 0) embeddings.count() else 0L
+    val nb = if (nBits >= 0) nBits
+             else math.max(2, math.min(16,
+               (math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt))
+    val h = if (probeHamming >= 0) probeHamming
+            else AnnIndex.adaptiveHamming(nb, n, k)
+    val qBucket = srpBucket(query.toSeq, nb)
+    val probes = (0 until (1 << nb))
+      .filter(b => java.lang.Integer.bitCount(b ^ qBucket) <= h)
     val q = query
     val cosUdf = udf((v: Seq[Float]) => cosine(v, q.toSeq))
     embeddings
-      .withColumn("srp_bucket", srpBucketUdf(nBits)(col("embedding")))
+      .withColumn("srp_bucket", srpBucketUdf(nb)(col("embedding")))
       .filter(col("srp_bucket").isin(probes: _*))
       .withColumn("cosine", cosUdf(col("embedding")))
       .orderBy(col("cosine").desc, col("vec_id"))

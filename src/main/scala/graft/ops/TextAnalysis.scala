@@ -12,7 +12,11 @@ object TextAnalysis {
   private val Stopwords: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "for", "with", "was", "are", "this"),
     "fr" -> Set("le", "la", "les", "et", "des", "est", "dans", "que", "pour", "une", "qui", "sur"),
-    "de" -> Set("der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf", "ein", "nicht"),
+    // byte-equal to the x_langid_pred DuckDB oracle sets (SparkEntry): the
+    // oracled Latin path has ASCII-contract semantics end to end (the \W+
+    // tokenizer note below), so no non-ASCII stopwords ("für" would diverge
+    // from the oracle on the first non-ASCII German doc)
+    "de" -> Set("der", "die", "und", "das", "ist", "von", "den", "mit", "auf", "ein", "nicht"),
     "es" -> Set("el", "la", "los", "las", "y", "de", "que", "en", "es", "por", "con", "para"))
 
   /** Deterministic n-gram/script heuristic language ID. */

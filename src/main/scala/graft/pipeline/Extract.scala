@@ -68,26 +68,33 @@ object Extract {
     * full parse->features->GRU->rules pass for every repeat. Keyed by the
     * text itself (exactness over hashing); entries capped in count and key
     * size so executor memory stays bounded. */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Extracted]()
-  private final val MemoMaxEntries = 4096
+  // Direct-mapped cache (per-entry eviction): each text hashes to one slot
+  // and overwrites whatever lived there. Unlike a size-check-then-clear map,
+  // there is no generation reset dropping every hot entry at once and no
+  // size/put race under concurrent executor threads — a slot write is a
+  // single volatile store, and extract is pure so a lost race merely
+  // recomputes. Memory stays bounded by slots x MemoMaxTextLen.
+  private final val MemoSlots = 4096 // power of two
+  private val memo =
+    new java.util.concurrent.atomic.AtomicReferenceArray[(String, Extracted)](MemoSlots)
   private final val MemoMaxTextLen = 8192 // boilerplate repeats are short
 
   def extractCached(text: String): Extracted = {
     if (text == null || text.length > MemoMaxTextLen) return extract(text)
-    val hit = memo.get(text)
-    if (hit != null) return hit
+    val slot = scala.util.hashing.MurmurHash3.stringHash(text) & (MemoSlots - 1)
+    val e = memo.get(slot)
+    if (e != null && e._1 == text) return e._2
     val r = extract(text)
-    // generation reset at capacity instead of freezing: a full map of cold
-    // one-offs would otherwise pin ~tens of MB forever AND lock out
-    // late-arriving hot repeats (0% hit rate past the cap)
-    if (memo.size() >= MemoMaxEntries) memo.clear()
-    memo.put(text, r)
+    memo.set(slot, (text, r))
     r
   }
 
   /** Benchmark hook: measured runs must not replay a previous run's cache
     * (within-run repeats are the corpus's own duplication and stay). */
-  def clearMemo(): Unit = memo.clear()
+  def clearMemo(): Unit = {
+    var i = 0
+    while (i < MemoSlots) { memo.set(i, null); i += 1 }
+  }
 
   def extract(text: String, defaultUrl: String): Extracted =
     extract(text, defaultUrl, true, NoHooks)

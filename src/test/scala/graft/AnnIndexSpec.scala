@@ -34,7 +34,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = s"$tmp/lsh"
     AnnIndex.buildLsh(emb, dir, nBits = 8)
     val q = queryVec
-    val probe = AnnIndex.probeLsh(spark, dir, q, 50).collect()
+    val probe = AnnIndex.probeLsh(spark, dir, q, 50, probeHamming = 1).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
     val adhoc = Similarity.lshTopK(emb, q, 50, nBits = 8, probeHamming = 1).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
@@ -45,7 +45,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("lsh probe plan prunes partitions: bucket predicate is a PartitionFilter") {
     val dir = s"$tmp/lsh2"
     AnnIndex.buildLsh(emb, dir, nBits = 8)
-    val probe = AnnIndex.probeLsh(spark, dir, queryVec, 10)
+    val probe = AnnIndex.probeLsh(spark, dir, queryVec, 10, probeHamming = 1)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan.take(2000))
     val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
@@ -82,6 +82,70 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.selectedPartitions.partitionCount }
     assert(scanned.isDefined && scanned.get <= 4, s"scanned=$scanned")
+  }
+
+  test("fresh rebuild check runs ZERO Spark jobs — freshness reads metadata, not data") {
+    val dir = s"$tmp/fresh"
+    val e = emb // one reader; re-calling spark.read.parquet re-infers schema
+    AnnIndex.buildLsh(e, dir, nBits = 8) // cold build (runs jobs)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      AnnIndex.buildLsh(e, dir, nBits = 8) // up-to-date: must be a no-op
+      Thread.sleep(1000) // listener bus is async; drain before asserting
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      s"fresh buildLsh ran ${jobs.get()} Spark job(s) — the freshness check is scanning data")
+    // and the probe plan itself contains exactly ONE scan: the pruned probe
+    val probe = AnnIndex.probeLsh(spark, dir, queryVec, 10, probeHamming = 1)
+    val scans = probe.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.length == 1, s"probe plan has ${scans.length} scans")
+  }
+
+  test("stale index (changed input files) rebuilds; same files do not") {
+    val src = s"$tmp/emb_copy"
+    emb.write.mode("overwrite").parquet(src)
+    val dir = s"$tmp/stale"
+    val e1 = spark.read.parquet(src)
+    AnnIndex.buildLsh(e1, dir, nBits = 8)
+    val metaFile = new java.io.File(s"$dir/_graft_meta/meta.properties")
+    val t1 = metaFile.lastModified()
+    Thread.sleep(1100) // fs mtime granularity
+    AnnIndex.buildLsh(spark.read.parquet(src), dir, nBits = 8) // fresh: no-op
+    assert(metaFile.lastModified() == t1)
+    emb.limit(30).write.mode("overwrite").parquet(src) // content change
+    AnnIndex.buildLsh(spark.read.parquet(src), dir, nBits = 8) // stale: rebuilds
+    assert(metaFile.lastModified() > t1)
+    assert(spark.read.parquet(dir).count() == 30)
+  }
+
+  test("adaptive probe radius fills k on small tables and matches brute force") {
+    val dir = s"$tmp/adaptive"
+    AnnIndex.buildLsh(emb, dir, nBits = 8)
+    val k = 20
+    val probed = AnnIndex.probeLsh(spark, dir, queryVec, k).collect()
+      .map(_.getLong(0)).toSeq
+    assert(probed.length == k, s"adaptive probe returned ${probed.length} of $k")
+    val brute = Similarity.bruteForceTopK(emb, queryVec, k).collect()
+      .map(_.getLong(0)).toSet
+    val overlap = probed.count(brute.contains).toDouble / k
+    assert(overlap >= 0.6, s"recall floor: overlap=$overlap")
+  }
+
+  test("empty embeddings: build commits an empty index, probe returns 0 rows") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val dir = s"$tmp/empty"
+    AnnIndex.buildLsh(empty, dir, nBits = 8) // must not throw
+    assert(AnnIndex.probeLsh(spark, dir, new Array[Float](8), 5).count() == 0L)
   }
 
   test("index rebuild is deterministic (same bucket assignment)") {

@@ -59,4 +59,15 @@ class AuthorCrfSpec extends AnyFunSuite {
     assert(AuthorCrf.segment("   ") == Seq.empty)
     assert(AuthorCrf.segment(" ") == Seq.empty) // python-space only
   }
+  test("pyIsDigit matches Python str.isdigit beyond Nd (Numeric_Type=Digit set)") {
+    // Python True: decimal digits, super/subscripts, circled 1-9/0,
+    // parenthesized, digit-full-stop, dingbat circled, Ethiopic one
+    for (cp <- Seq('0'.toInt, 0x0660, 0x00B2, 0x2081,
+        0x2460, 0x2468, 0x24EA, 0x2474, 0x2488, 0x2776, 0x1369))
+      assert(AuthorCrf.pyIsDigit(cp), f"U+$cp%04X should be isdigit")
+    // Python False: letters, Numeric_Type=Numeric (1/2 fraction, circled
+    // ten, Roman XII, Han wan=10000), superscript i
+    for (cp <- Seq('a'.toInt, 0x00BD, 0x2469, 0x216B, 0x4E07, 0x2071))
+      assert(!AuthorCrf.pyIsDigit(cp), f"U+$cp%04X should NOT be isdigit")
+  }
 }

@@ -95,12 +95,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("duplicate clusters: A~B~C chain is ONE cluster though (A,C) is not a pair") {
+    // sliding 40-token windows over a shared 48-token base:
+    // J(A,B) = J(B,C) = 34/42 ≈ 0.81 >= 0.7, but J(A,C) = 30/46 ≈ 0.65 < 0.7
+    // — only transitive closure puts A and C together
+    val base = sentence(31, 48).split(" ")
+    val A = base.slice(0, 40).mkString(" ")
+    val B = base.slice(4, 44).mkString(" ")
+    val C = base.slice(8, 48).mkString(" ")
+    val docs = docsDf(Seq(
+      (1L, A), (2L, B), (3L, C),
+      (10L, sentence(37, 60)), (11L, sentence(37, 60)), // exact dup pair
+      (20L, sentence(41, 60)))) // singleton: no pair, no cluster row
+    // precondition: the pair set really is the open chain
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (10L, 11L)), s"got $pairs")
+    val clusters = Dedup.duplicateClusters(docs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"got $clusters")
+  }
+
+  test("adaptive lsh defaults fill k and hold a recall floor vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.orderBy("vec_id").select("embedding").head.getSeq[Float](0).toArray
+    val k = 50
+    val hits = Similarity.lshTopK(emb, q, k).collect().map(_.getLong(0)).toSeq
+    assert(hits.length == k, s"adaptive lshTopK returned ${hits.length} of $k")
+    val brute = Similarity.bruteForceTopK(emb, q, k).collect().map(_.getLong(0)).toSet
+    val overlap = hits.count(brute.contains).toDouble / k
+    assert(overlap >= 0.6, s"recall floor: overlap=$overlap")
+  }
+
   test("quality score ranks clean text above noise") {
     val clean = "The quick brown fox jumps over the lazy dog and this is a fine sentence with many common words in it."
     val noise = "$$$@@@ 88219 !!%%^^ zzzzzzzzzzzzzzzzzzzzzz 00 11 22 33 ### &&&"
     val qc = TextAnalysis.qualityFeatures(clean)._7
     val qn = TextAnalysis.qualityFeatures(noise)._7
     assert(qc > qn + 0.2, s"clean=$qc noise=$qn")
+  }
+
+  test("langId stopword contract matches the DuckDB oracle on non-ASCII input") {
+    // The oracled Latin path (SparkEntry x_langid_pred / x_langid_eval SQL)
+    // splits on ASCII \W+ in BOTH engines, so "für" can never match as a
+    // token ('ü' splits it into 'f'/'r') and must NOT be in the Scala set:
+    // a text whose only German marker is "für" is 'la', not 'de'.
+    assert(TextAnalysis.langId("Für Elise") == "la")
+    // non-ASCII German with real (ASCII) stopwords still resolves to de
+    assert(TextAnalysis.langId(
+      "Das ist ein Text für die Schule und natürlich müssen wir das prüfen") == "de")
+    // non-ASCII French: accents don't break the fr stopword path
+    assert(TextAnalysis.langId(
+      "Les élèves sont dans la classe et le professeur est déjà là pour une leçon") == "fr")
   }
 
   test("token counts: ws vs bpe estimate ordering") {
