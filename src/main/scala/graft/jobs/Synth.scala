@@ -210,6 +210,31 @@ object Synth {
     else s"$mon $day$suf, ${d.getYear}"
   }
 
+  private val MonthsDe = Vector("Januar", "Februar", "März", "April", "Mai",
+    "Juni", "Juli", "August", "September", "Oktober", "November", "Dezember")
+  private val MonthsFr = Vector("janvier", "février", "mars", "avril", "mai",
+    "juin", "juillet", "août", "septembre", "octobre", "novembre", "décembre")
+  private val MonthsEs = Vector("enero", "febrero", "marzo", "abril", "mayo",
+    "junio", "julio", "agosto", "septiembre", "octubre", "noviembre", "diciembre")
+  private val MonthsDeAbbr = Vector("Jan.", "Feb.", "März", "Apr.", "Mai",
+    "Juni", "Juli", "Aug.", "Sept.", "Okt.", "Nov.", "Dez.")
+  private val MonthsFrAbbr = Vector("janv.", "févr.", "mars", "avr.", "mai",
+    "juin", "juil.", "août", "sept.", "oct.", "nov.", "déc.")
+
+  /** de/fr/es day-first visible date forms (+ ISO datetime with clock). */
+  private def intlDate(iso: String, lang: Int): String = {
+    val d = java.time.LocalDate.parse(iso)
+    lang match {
+      case 0 => s"${d.getDayOfMonth}. ${MonthsDe(d.getMonthValue - 1)} ${d.getYear}"
+      case 1 =>
+        val day = if (d.getDayOfMonth == 1) "1er" else d.getDayOfMonth.toString
+        s"$day ${MonthsFr(d.getMonthValue - 1)} ${d.getYear}"
+      case 2 => s"${d.getDayOfMonth} de ${MonthsEs(d.getMonthValue - 1)} de ${d.getYear}"
+      case 3 => s"${d.getDayOfMonth}. ${MonthsDeAbbr(d.getMonthValue - 1)} ${d.getYear}"
+      case _ => s"${d.getDayOfMonth} ${MonthsFrAbbr(d.getMonthValue - 1)} ${d.getYear}"
+    }
+  }
+
   private def datedUrlPayload(c: Long, t: Long): String = {
     val k = h(c, t, 5)
     val dom = pick(Domains, k)
@@ -220,10 +245,18 @@ object Synth {
     // pinned validate_date quirk, so it is removed in these variants)
     val variant = ((k >>> 7) & 3L).toInt
     val ordinalForm = ((k >>> 9) & 1L) == 1L
+    // variant-0 form wheel widened (bits 9-11): forms 0/1 keep the exact
+    // pre-widening shapes (rfc1123 / ordinal), 2-6 are the de/fr/es
+    // day-first forms, 7 is an ISO datetime with a clock time
+    val form0 = ((k >>> 9) & 7L).toInt
     val timeEl = variant match {
-      case 0 =>
-        if (ordinalForm) s"\n<time>${ordinalDate(isoDate(k + 9), dayFirst = false)}</time>"
-        else s"\n<time>${rfc1123(isoDate(k + 9))}</time>"
+      case 0 => form0 match {
+        case 0 => s"\n<time>${rfc1123(isoDate(k + 9))}</time>"
+        case 1 => s"\n<time>${ordinalDate(isoDate(k + 9), dayFirst = false)}</time>"
+        case 7 => s"\n<time>${isoDate(k + 9)} ${"%02d:%02d".format(
+          ((k >>> 12) & 0x7fffL) % 24, ((k >>> 27) & 0x7fffL) % 60)}</time>"
+        case f => s"\n<time>${intlDate(isoDate(k + 9), f - 2)}</time>"
+      }
       case 1 =>
         if (ordinalForm) s"\n<time>${ordinalDate(isoDate(k + 9), dayFirst = true)}</time>"
         else s"\n<time>${dotted(isoDate(k + 9))}</time>"

@@ -43,6 +43,43 @@ object DateRules {
   private def monthOfAbbr(s: String): Int =
     Months.indexWhere(_.startsWith(s.toLowerCase.take(3))) + 1
 
+  // de/fr/es month names (full + common abbreviations) — the languages the
+  // engine's own langId claims to detect; the reference reaches them through
+  // dateparser.parse (~200 locales, pipeline.py:104). Shared-prefix English
+  // abbreviations (mar, may, jun, ...) agree on the month number, so the
+  // union map is unambiguous. Day-first is the European order: "3. Juni
+  // 2008", "1er janvier 2008", "3 de junio de 2008".
+  private val IntlMonths: Map[String, Int] = Map(
+    // German
+    "januar" -> 1, "jan" -> 1, "februar" -> 2, "feb" -> 2, "märz" -> 3,
+    "maerz" -> 3, "mrz" -> 3, "april" -> 4, "apr" -> 4, "mai" -> 5,
+    "juni" -> 6, "jun" -> 6, "juli" -> 7, "jul" -> 7, "august" -> 8,
+    "aug" -> 8, "september" -> 9, "sep" -> 9, "sept" -> 9, "oktober" -> 10,
+    "okt" -> 10, "november" -> 11, "nov" -> 11, "dezember" -> 12, "dez" -> 12,
+    // French
+    "janvier" -> 1, "janv" -> 1, "février" -> 2, "fevrier" -> 2, "févr" -> 2,
+    "fevr" -> 2, "mars" -> 3, "avril" -> 4, "avr" -> 4, "juin" -> 6,
+    "juillet" -> 7, "juil" -> 7, "août" -> 8, "aout" -> 8, "septembre" -> 9,
+    "octobre" -> 10, "oct" -> 10, "novembre" -> 11, "décembre" -> 12,
+    "decembre" -> 12, "déc" -> 12, "dec" -> 12,
+    // Spanish
+    "enero" -> 1, "ene" -> 1, "febrero" -> 2, "marzo" -> 3, "mar" -> 3,
+    "abril" -> 4, "abr" -> 4, "mayo" -> 5, "may" -> 5, "junio" -> 6,
+    "julio" -> 7, "agosto" -> 8, "ago" -> 8, "septiembre" -> 9,
+    "setiembre" -> 9, "octubre" -> 10, "noviembre" -> 11,
+    "diciembre" -> 12, "dic" -> 12)
+  // longest-first so "janvier" wins over "janv"/"jan" at the same position
+  private val IntlMonthAlt =
+    IntlMonths.keys.toSeq.sortBy(-_.length).mkString("|")
+  private val IntlDayFirst = Pattern.compile(
+    "(\\d{1,2})(?:er|re)?\\.?\\s+(?:de\\s+)?(" + IntlMonthAlt +
+      ")(?!\\p{L})\\.?\\s+(?:de\\s+)?(\\d{4})",
+    Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
+
+  // clock time for the datetime-preserving parse: "09:05", "09:05:07"
+  private val TimeOfDay = Pattern.compile(
+    "(?<![0-9:])(\\d{1,2}):(\\d{2})(?::(\\d{2}))?(?![0-9])")
+
   private val DatePublished = Pattern.compile("\"datePublished\"\\s*:\\s*\"([^\"]+)\"")
 
   private val MetaDateNames = Set("article:published_time",
@@ -93,7 +130,36 @@ object DateRules {
     val m5 = Dotted.matcher(s)
     if (m5.find())
       return valid(m5.group(3).toInt, m5.group(2).toInt, m5.group(1).toInt)
+    // multilingual day-first forms are tried LAST: the cascade stays
+    // append-only so every previously-parsing input is untouched
+    val m6 = IntlDayFirst.matcher(s)
+    if (m6.find()) {
+      val mon = IntlMonths.getOrElse(m6.group(2).toLowerCase(java.util.Locale.ROOT), 0)
+      if (mon > 0) return valid(m6.group(3).toInt, mon, m6.group(1).toInt)
+    }
     None
+  }
+
+  /** dateparser.parse stand-in for the ML-candidate path (pipeline.py:104
+    * returns full datetimes): the parseAny date grammar, plus time-of-day
+    * when the SAME candidate string carries a plausible clock time (ISO
+    * datetime "yyyy-MM-dd[T ]HH:mm[:ss]", RFC-1123 "... 09:05:07 GMT").
+    * Midnight otherwise — date-only candidates keep their round-trip with
+    * the htmldate-style yyyy-MM-dd meta path. */
+  def parseDateTime(s0: String): Option[LocalDateTime] = {
+    if (s0 == null) return None
+    val s = s0.trim
+    parseAny(s).map { iso =>
+      val date = java.time.LocalDate.parse(iso)
+      val mt = TimeOfDay.matcher(s)
+      if (mt.find()) {
+        val hh = mt.group(1).toInt
+        val mm = mt.group(2).toInt
+        val ss = if (mt.group(3) != null) mt.group(3).toInt else 0
+        if (hh <= 23 && mm <= 59 && ss <= 59) date.atTime(hh, mm, ss)
+        else date.atStartOfDay()
+      } else date.atStartOfDay()
+    }
   }
 
   private def valid(y: Int, m: Int, d: Int): Option[String] = {

@@ -56,9 +56,11 @@ object Extract {
   val NoHooks: Hooks = Hooks()
 
   /** dateparser.parse stand-in: deterministic subset over the fixture date
-    * grammar (ISO-8601, yyyy/MM/dd, 'Month D, YYYY'); midnight timestamps. */
+    * grammar (ISO-8601, yyyy/MM/dd, 'Month D, YYYY', de/fr/es day-first
+    * forms); preserves time-of-day when the candidate carries a clock time
+    * (dateparser returns full datetimes), midnight otherwise. */
   def parseDate(text: String): Option[LocalDateTime] =
-    DateRules.parseAny(text).map(s => LocalDate.parse(s).atStartOfDay())
+    DateRules.parseDateTime(text)
 
   def extract(text: String): Extracted = extract(text, null, true, NoHooks)
 

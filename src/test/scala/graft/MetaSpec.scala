@@ -252,6 +252,50 @@ class MetaSpec extends AnyFunSuite {
     assert(parseAny("21st June 2021") == Some("2021-06-21"))
   }
 
+  test("date grammar: de/fr/es day-first forms (full + abbreviated)") {
+    import graft.meta.DateRules.parseAny
+    // German
+    assert(parseAny("3. Juni 2008") == Some("2008-06-03"))
+    assert(parseAny("14. Oktober 2019") == Some("2019-10-14"))
+    assert(parseAny("1. März 2021") == Some("2021-03-01"))
+    assert(parseAny("5. Dez. 2020") == Some("2020-12-05"))
+    assert(parseAny("12. Okt. 2019") == Some("2019-10-12"))
+    // French
+    assert(parseAny("3 juin 2008") == Some("2008-06-03"))
+    assert(parseAny("15 août 2020") == Some("2020-08-15"))
+    assert(parseAny("1er janvier 2008") == Some("2008-01-01"))
+    assert(parseAny("5 janv. 2021") == Some("2021-01-05"))
+    assert(parseAny("28 févr. 2019") == Some("2019-02-28"))
+    // Spanish
+    assert(parseAny("3 de junio de 2008") == Some("2008-06-03"))
+    assert(parseAny("15 de agosto de 2020") == Some("2020-08-15"))
+    assert(parseAny("12 dic 2020") == Some("2020-12-12"))
+    // month token must be a whole word, not a prefix of something else
+    assert(parseAny("3 marsupial 2008 count") == None)
+    assert(parseAny("7 janvx 2020") == None)
+    // English behavior is untouched by the appended cascade
+    assert(parseAny("June 3, 2008") == Some("2008-06-03"))
+  }
+
+  test("parseDateTime preserves time-of-day; date-only stays midnight") {
+    import graft.meta.DateRules.parseDateTime
+    import java.time.LocalDateTime
+    assert(parseDateTime("2008-06-03 09:05") ==
+      Some(LocalDateTime.of(2008, 6, 3, 9, 5, 0)))
+    assert(parseDateTime("2008-06-03T14:25:36Z") ==
+      Some(LocalDateTime.of(2008, 6, 3, 14, 25, 36)))
+    assert(parseDateTime("Tue, 03 Jun 2008 09:05:07 GMT") ==
+      Some(LocalDateTime.of(2008, 6, 3, 9, 5, 7)))
+    assert(parseDateTime("June 3rd, 2008") ==
+      Some(LocalDateTime.of(2008, 6, 3, 0, 0)))
+    assert(parseDateTime("3. Juni 2008") ==
+      Some(LocalDateTime.of(2008, 6, 3, 0, 0)))
+    // an out-of-range "clock" is not a time
+    assert(parseDateTime("2008-06-03 99:99") ==
+      Some(LocalDateTime.of(2008, 6, 3, 0, 0)))
+    assert(parseDateTime("no date 09:05 here") == None)
+  }
+
   test("byline prefixes: what the learned CRF actually does") {
     // the CRF (the reference model, decoded exactly) strips en/fr "By"/"Par"
     // markers it saw in training; Dutch "Door" and standalone "Von" were
