@@ -16,6 +16,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // wide extraction plans overflow the default 25-field toString cap;
+      // the truncation WARN is noise in an otherwise clean bench log
+      .config("spark.sql.debug.maxToStringFields", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

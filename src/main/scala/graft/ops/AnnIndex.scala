@@ -138,14 +138,32 @@ object AnnIndex {
     val qBucket = Similarity.srpBucket(query.toSeq, nBits)
     val probes = (0 until (1 << nBits))
       .filter(b => java.lang.Integer.bitCount(b ^ qBucket) <= h)
+    // list the index root ONCE (one namespace RPC) and hand the reader only
+    // the probed bucket directories: partition discovery then touches
+    // O(probes) paths instead of walking every bucket dir — at millions of
+    // partitions the discovery walk would itself be a scan
+    val probed = listPartitionDirs(spark, dir, "srp_bucket=", probes.map(_.toString).toSet)
+    if (probed.isEmpty) return emptyProbe(spark, "srp_bucket")
     val q = query
     val cosUdf = udf((v: Seq[Float]) => Similarity.cosine(v, q.toSeq))
-    spark.read.parquet(dir)
-      .filter(col("srp_bucket").isin(probes: _*)) // partition-pruned scan
+    spark.read.option("basePath", dir).parquet(probed: _*)
+      .filter(col("srp_bucket").isin(probes: _*)) // belt over the path pruning
       .withColumn("cosine", cosUdf(col("embedding")))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
       .select("vec_id", "srp_bucket", "cosine")
+  }
+
+  /** One listStatus of the index root, filtered to the probed partition
+    * values — driver-side namespace metadata only. */
+  private def listPartitionDirs(spark: SparkSession, dir: String,
+      prefix: String, wanted: Set[String]): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+        wanted.contains(st.getPath.getName.substring(prefix.length)))
+      .map(_.getPath.toString)
   }
 
   // ------------------------------------------------------------------- IVF
@@ -191,14 +209,26 @@ object AnnIndex {
       while (j < qd.length) { val t = qd(j) - centers(c)(j); d += t * t; j += 1 }
       d
     }.take(np)
+    val probed = listPartitionDirs(spark, dir, "ivf_cell=",
+      probeCells.map(_.toString).toSet)
+    if (probed.isEmpty) return emptyProbe(spark, "ivf_cell")
     val q = query
     val cosUdf = udf((v: Seq[Float]) => Similarity.cosine(v, q.toSeq))
-    spark.read.parquet(dir)
-      .filter(col("ivf_cell").isin(probeCells: _*)) // partition-pruned scan
+    spark.read.option("basePath", dir).parquet(probed: _*)
+      .filter(col("ivf_cell").isin(probeCells: _*)) // belt over the path pruning
       .withColumn("cosine", cosUdf(col("embedding")))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
       .select("vec_id", "ivf_cell", "cosine")
+  }
+
+  /** Committed control-plane state as a one-row DataFrame (for diagnostics
+    * and the bench's explicit-build step). Driver-side file read only. */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = readMeta(spark, dir)
+    Seq((m.kind, m.param, m.nRows, m.centroids.length))
+      .toDF("kind", "param", "n_rows", "n_centroids")
   }
 
   // ------------------------------------------------------------------ meta
