@@ -97,6 +97,11 @@ object SparkEntry {
       // transitive closure over the exact pair set.
       Dedup.duplicateClusters(t(s, dir, "documents"), threshold = 0.7)
         .orderBy("doc_id")),
+    "x_dedup_near" -> ((s, dir) =>
+      // the end-user dedup: corpus minus non-keeper cluster members
+      Dedup.nearDedup(t(s, dir, "documents"), threshold = 0.7)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)),
     "x_ann_brute" -> ((s, dir) => {
@@ -408,6 +413,11 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "x_ann_index_build" ->
+      // the build commits (kind, nBits, row count, centroid count) as index
+      // metadata; the oracle pins the committed cardinality to the table's
+      """SELECT 'lsh' AS kind, 8 AS param, count(*) AS n_rows,
+        |  0 AS n_centroids FROM embeddings""".stripMargin,
     "x_dedup_minhash" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
@@ -444,6 +454,32 @@ object SparkEntry {
         |  SELECT r.doc_id, e.doc_b AS reach FROM r JOIN e ON r.reach = e.doc_a)
         |SELECT doc_id, min(reach) AS cluster_id
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_dedup_near" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN t
+        |    ELSE list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE cast(len(list_intersect(a.grams, b.grams)) as double)
+        |        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7),
+        |e AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |r AS (
+        |  SELECT doc_a AS doc_id, doc_a AS reach FROM e
+        |  UNION
+        |  SELECT r.doc_id, e.doc_b AS reach FROM r JOIN e ON r.reach = e.doc_a),
+        |drop_set AS (
+        |  SELECT doc_id FROM (SELECT doc_id, min(reach) AS cluster_id
+        |                      FROM r GROUP BY doc_id)
+        |  WHERE cluster_id <> doc_id)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drop_set)
+        |ORDER BY doc_id""".stripMargin,
     "x_langid_eval" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, text,

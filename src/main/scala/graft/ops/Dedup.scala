@@ -198,6 +198,19 @@ object Dedup {
     labels
   }
 
+  /** Near-duplicate-aware corpus dedup: keep ONE doc per duplicate cluster
+    * (the min-doc_id keeper) plus every unclustered doc — the operator a
+    * training pipeline actually runs. The drop set (cluster members that
+    * are not their cluster's keeper) is tiny next to the corpus, so the
+    * final pass is one anti-join shuffled on the well-distributed doc_id. */
+  def nearDedup(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame = {
+    val drop = duplicateClusters(docs, threshold, textCol)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   // -------------------------------------------------------------- simhash
   /** 64-bit SimHash over token unigrams (token frequency weighted). */
   def simhash(text: String): Long = {

@@ -117,6 +117,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $clusters")
   }
 
+  test("nearDedup keeps cluster keepers and unclustered docs") {
+    val base = sentence(31, 48).split(" ")
+    val docs = docsDf(Seq(
+      (1L, base.slice(0, 40).mkString(" ")),   // chain A
+      (2L, base.slice(4, 44).mkString(" ")),   // chain B
+      (3L, base.slice(8, 48).mkString(" ")),   // chain C
+      (10L, sentence(37, 60)), (11L, sentence(37, 60)), // exact dup pair
+      (20L, sentence(41, 60))))                // singleton
+    val kept = Dedup.nearDedup(docs, threshold = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L), s"got $kept")
+  }
+
   test("adaptive lsh defaults fill k and hold a recall floor vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = emb.orderBy("vec_id").select("embedding").head.getSeq[Float](0).toArray
