@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** One event of the streaming sessionizer input (mirrors the events table). */
+final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
+
+/** Per-user open-session state: millis epoch bounds + event count. */
+final case class OpenSession(start: Long, last: Long, n: Long)
+
+/** A closed session, emitted once (Append mode). */
+final case class ClosedSession(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long)
+
+/** Gap-based streaming sessionization with CUSTOM state
+  * (`flatMapGroupsWithState`) — the streaming twin of the batch
+  * q13_sessionize window query, and the stateful-operator surface the
+  * engine exposes beyond `dropDuplicatesWithinWatermark`.
+  *
+  * State shape at scale: ONE `OpenSession` row per active user, keyed on
+  * the well-distributed user_id; idle users are evicted by event-time
+  * timeout once the watermark passes `last + gap`, so state size tracks
+  * the concurrently-active population, not history. A session closes
+  * either when a later event arrives past the gap (emitted in that batch)
+  * or by timeout (emitted when the watermark crosses it). */
+object StreamingSessions {
+
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    val gapMs = gapMinutes * 60000L
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no newer event: close and evict
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, new Timestamp(s.start),
+              new Timestamp(s.last), s.n))
+          } else {
+            // per-batch events for this user, in event-time order (the
+            // iterator is NOT ordered; a batch may span several sessions)
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed += ClosedSession(user, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case Some(s) =>
+                  open = Some(OpenSession(s.start, math.max(s.last, t), s.n + 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout must sit strictly past the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+}

@@ -105,4 +105,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.toSet == Set("conv_id", "turn_idx", "role", "text", "tool", "ts"))
     rmrf(src)
   }
+  test("stateful streaming sessionization via flatMapGroupsWithState") {
+    val sp = spark
+    import sp.implicits._
+    import graft.streaming.{ClosedSession, SessionEvent, StreamingSessions}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+    val input = MemoryStream[SessionEvent]
+    val q = StreamingSessions.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("graft_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart — one open session, nothing emitted
+      input.addData(SessionEvent(1L, 1L, ts(0)), SessionEvent(1L, 2L, ts(10)))
+      q.processAllAvailable()
+      assert(spark.table("graft_sessions").count() == 0)
+
+      // an event 60 min later crosses the 30-min gap: closes session 1
+      input.addData(SessionEvent(1L, 3L, ts(70)))
+      q.processAllAvailable()
+      val first = spark.table("graft_sessions").as[ClosedSession].collect().toSeq
+      assert(first == Seq(ClosedSession(1L, ts(0), ts(10), 2)), first.toString)
+
+      // advance the watermark far past user 1's last+gap via another user;
+      // the event-time TIMEOUT closes the open session with no more input
+      // from user 1 (watermark updates become visible one batch later)
+      input.addData(SessionEvent(2L, 4L, ts(300)))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, 5L, ts(301)))
+      q.processAllAvailable()
+      val all = spark.table("graft_sessions").as[ClosedSession].collect().toSeq
+      assert(all.contains(ClosedSession(1L, ts(70), ts(70), 1)), all.toString)
+      // user 2's session is still open (watermark has not passed its gap)
+      assert(!all.exists(_.user_id == 2L), all.toString)
+    } finally q.stop()
+  }
 }
