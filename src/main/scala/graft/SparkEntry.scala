@@ -160,6 +160,20 @@ object SparkEntry {
     }),
     "x_embed_neardup" -> ((s, dir) =>
       Similarity.cosineTopPairs(t(s, dir, "embeddings"), k = 100)),
+    "x_cosine_pairs" -> ((s, dir) => {
+      // consecutive-pair cosine via NATIVE higher-order functions
+      // (zip_with + aggregate — no UDF boundary), oracle-checked against
+      // DuckDB's list_cosine_similarity at 6 decimals (same rounding
+      // contract as x_ann_brute)
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val b = e.select((col("vec_id") - 1).as("vec_a"),
+        col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      a.join(b, Seq("vec_a"))
+        .select(col("vec_a"), col("vec_b"),
+          round(Similarity.cosineColumn(col("emb_a"), col("emb_b")), 6).as("cosine_r6"))
+        .orderBy("vec_a")
+    }),
     "x_jaccard_pairs" -> ((s, dir) => {
       // exact 3-gram Jaccard over consecutive doc pairs: linear-size,
       // DuckDB-oracled verification of the n-gram/Jaccard kernel that
@@ -525,6 +539,12 @@ object SparkEntry {
         |    WHEN n_de >= n_es THEN 'de'
         |    ELSE 'es' END AS lang_pred
         |FROM hits ORDER BY doc_id""".stripMargin,
+    "x_cosine_pairs" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(cast(a.embedding AS DOUBLE[]),
+        |        cast(b.embedding AS DOUBLE[])), 6) AS cosine_r6
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_a""".stripMargin,
     "x_ann_brute" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
         |c AS (SELECT vec_id,

@@ -23,6 +23,23 @@ object Similarity {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** Native-functions cosine over two Array[Float] columns — zip_with +
+    * aggregate higher-order functions, no UDF serialization boundary, pure
+    * Column composition usable from SQL. Accumulates left-to-right in fp64
+    * exactly like [[cosine]] (bit-parity pinned in OpsSpec). The UDF stays
+    * in the scan-heavy paths (one traversal vs three); this is the form
+    * for SQL-level composition and for engines that reject closures. */
+  def cosineColumn(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def dotD(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, v) => acc + coalesce(v, lit(0.0)))
+    val dot = dotD(a, b)
+    val na = dotD(a, a)
+    val nb = dotD(b, b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / sqrt(na * nb))
+  }
+
   /** Exact brute-force top-k by cosine against one query vector: map-side
     * scoring + a global top-k (sortBy-limit, handled as TakeOrdered —
     * no full sort at scale). */

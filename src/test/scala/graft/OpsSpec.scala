@@ -141,6 +141,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlap >= 0.6, s"recall floor: overlap=$overlap")
   }
 
+  test("native zip_with/aggregate cosine is bit-identical to the UDF cosine") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = emb.select((col("vec_id") - 1).as("vec_a"), col("embedding").as("emb_b"))
+    val cosUdf = udf((x: Seq[Float], y: Seq[Float]) => Similarity.cosine(x, y))
+    val rows = a.join(b, Seq("vec_a"))
+      .select(
+        Similarity.cosineColumn(col("emb_a"), col("emb_b")).as("native"),
+        cosUdf(col("emb_a"), col("emb_b")).as("viaUdf"))
+      .collect()
+    assert(rows.nonEmpty)
+    // same fp64 accumulation order -> exactly equal, not just close
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
   test("quality score ranks clean text above noise") {
     val clean = "The quick brown fox jumps over the lazy dog and this is a fine sentence with many common words in it."
     val noise = "$$$@@@ 88219 !!%%^^ zzzzzzzzzzzzzzzzzzzzzz 00 11 22 33 ### &&&"
