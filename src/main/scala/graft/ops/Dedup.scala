@@ -156,12 +156,14 @@ object Dedup {
     *
     * Scale shape: the label frame is (doc_id, cluster_id) — tiny next to
     * the corpus, keyed on the well-distributed doc_id — and each round is
-    * one equi-join + min-aggregate shuffle, barriered with localCheckpoint
-    * so lineage stays flat across iterations. Convergence takes
-    * O(component diameter) rounds; near-dup clusters are shallow (a viral
-    * doc's cluster is a star, diameter ~2), and `maxIter` hard-bounds the
-    * pathological chain. The per-round changed-count is an aggregate over
-    * the already-materialized checkpoint, not a recompute.
+    * one neighbor-min join + one pointer-jump join, barriered with
+    * localCheckpoint so lineage stays flat across iterations. The pointer
+    * jump (comp(v) := min over one hop of comp(comp(v)), i.e. path
+    * halving) turns plain hash-min's O(component diameter) rounds into
+    * O(log diameter): a pathological 10k-long near-dup chain converges in
+    * ~14 rounds instead of 10k. `maxIter` still hard-bounds the loop. The
+    * per-round changed-count is an aggregate over the already-materialized
+    * checkpoint, not a recompute.
     *
     * Output: (doc_id, cluster_id = min doc_id of its component), one row
     * per doc appearing in >= 1 pair. Oracle: DuckDB recursive-CTE
@@ -184,12 +186,23 @@ object Dedup {
           col("cluster_id").as("nbr_cluster")), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("nbr_cluster")).as("nbr_min"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("new_cluster"),
+            .as("mid"),
           col("cluster_id").as("old_cluster"))
+      // pointer jump / path halving: mid values are themselves doc ids of
+      // endpoints, so follow them one hop — comp(comp(v)) — before the
+      // next round; this is what makes convergence logarithmic
+      val jumpTo = stepped.select(col("doc_id").as("jump_key"),
+        col("mid").as("mid_of_mid"))
+      val next = stepped
+        .join(jumpTo, stepped("mid") === jumpTo("jump_key"), "left")
+        .select(stepped("doc_id"),
+          least(stepped("mid"), coalesce(col("mid_of_mid"), stepped("mid")))
+            .as("new_cluster"),
+          stepped("old_cluster"))
         .localCheckpoint()
       changed = next.filter(col("new_cluster") =!= col("old_cluster")).count()
       labels = next.select(col("doc_id"), col("new_cluster").as("cluster_id"))

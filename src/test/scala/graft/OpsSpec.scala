@@ -117,6 +117,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $clusters")
   }
 
+  test("duplicate clusters: 10-doc chain converges within O(log d) rounds (pointer jump)") {
+    // chain 1-2-...-10: adjacent windows share J≈0.81, skip-one J≈0.65;
+    // plain hash-min needs 9 rounds for this diameter — maxIter=6 passes
+    // only because of the path-halving jump
+    val base = sentence(51, 76).split(" ")
+    val docs = docsDf((0 until 10).map(i =>
+      ((i + 1).toLong, base.slice(4 * i, 4 * i + 40).mkString(" "))))
+    val clusters = Dedup.duplicateClusters(docs, threshold = 0.7, maxIter = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters == (1L to 10L).map(_ -> 1L).toMap, s"got $clusters")
+  }
+
   test("nearDedup keeps cluster keepers and unclustered docs") {
     val base = sentence(31, 48).split(" ")
     val docs = docsDf(Seq(
