@@ -65,6 +65,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("simhash pigeonhole blocking is EXACT: equals brute-force all-pairs") {
+    // pigeonhole blocking guarantees every pair within maxDist shares a
+    // segment — the candidate set is lossless, so the distributed output
+    // must equal the O(n^2) local ground truth, not approximate it
+    val docs = (1L to 60L).map { i =>
+      val nearGroup = i % 20
+      if (i <= 20) (i, sentence(600 + i, 80))
+      else (i, sentence(600 + nearGroup + (if (nearGroup == 0) 20 else 0), 80) +
+        " suffix" + (i / 20))
+    }
+    val df = docsDf(docs)
+    val maxDist = 6
+    val got = Dedup.simhashPairs(df, maxDist = maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = docs.map { case (id, text) => id -> Dedup.simhash(text) }.toMap
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= maxDist
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "ground truth should contain planted near-dups")
+  }
+
   test("ngram jaccard verification discriminates") {
     val base = sentence(21, 100)
     val near = base.split(" ").toSeq.patch(10, Seq("x"), 1).mkString(" ")
