@@ -247,6 +247,11 @@ object NewsNet {
   *    iterated for double-encoded input ("JosÃƒÂ©" -> "JosÃ©" -> "José");
   *    a run is only rewritten when its bytes form VALID multi-byte UTF-8, so
   *    plain Latin-1 prose ("À la carte") and lone high chars pass untouched;
+  *  - the same repair through ftfy's other codec confusions: UTF-8 read as
+  *    MacRoman ("√©" -> "é") and as cp437 ("Γ⌐"-family), inverse byte
+  *    tables taken from the JVM's own x-MacRoman / IBM437 charsets; cp1252
+  *    is tried first each round, the rarer codecs only when it found
+  *    nothing (ftfy's cost ordering);
   *  - NFC normalization (ftfy.fix_text default);
   *  - then the unicode_escape branch on the UTF-8 bytes, malformed escapes
   *    returning the input unchanged (the reference catches
@@ -277,6 +282,23 @@ object FixEncoding {
   private def invByte(c: Char): Int =
     if (c < 0x100) c.toInt else Cp1252Inv.getOrElse(c, -1)
 
+  /** Inverse high-byte tables for the rarer ftfy codec confusions, derived
+    * from the JVM's own decoders (no hand-written tables to get wrong). */
+  private def invTableOf(charsetName: String): Map[Char, Int] = {
+    val cs = java.nio.charset.Charset.forName(charsetName)
+    (0x80 to 0xFF).flatMap { b =>
+      val s = new String(Array(b.toByte), cs)
+      if (s.length == 1 && s.charAt(0) != '�') Some(s.charAt(0) -> b) else None
+    }.toMap
+  }
+  private lazy val MacRomanInv = invTableOf("x-MacRoman")
+  private lazy val Cp437Inv = invTableOf("IBM437")
+
+  private def invByteMac(c: Char): Int =
+    if (c < 0x80) c.toInt else MacRomanInv.getOrElse(c, -1)
+  private def invByte437(c: Char): Int =
+    if (c >= 0x20 && c < 0x7F) c.toInt else Cp437Inv.getOrElse(c, -1)
+
   /** Strict UTF-8 decode; null unless valid AND contains a multi-byte
     * sequence (pure ASCII means "nothing to repair"). */
   private def strictUtf8(bytes: Array[Byte], from: Int, until: Int): String = {
@@ -291,28 +313,29 @@ object FixEncoding {
     catch { case _: java.nio.charset.CharacterCodingException => null }
   }
 
-  private def repairOnce(s: String): String = {
-    // fast reject: mojibake needs a UTF-8 lead byte 0xC2-0xF4 as a char
+  private def repairOnce(s: String, inv: Char => Int): String = {
+    // fast reject: mojibake needs a char whose inverse byte is a UTF-8
+    // lead byte 0xC2-0xF4
     var suspect = false
     var i = 0
     while (i < s.length && !suspect) {
-      val c = s.charAt(i)
-      if (c >= 0xC2 && c <= 0xF4) suspect = true
+      val b = inv(s.charAt(i))
+      if (b >= 0xC2 && b <= 0xF4) suspect = true
       i += 1
     }
     if (!suspect) return s
     val out = new java.lang.StringBuilder(s.length)
-    val buf = new Array[Byte](s.length * 1) // cp1252 is 1 byte/char
+    val buf = new Array[Byte](s.length * 1) // every codec here is 1 byte/char
     var changed = false
     i = 0
     while (i < s.length) {
-      // accumulate the maximal cp1252-encodable run
+      // accumulate the maximal codec-encodable run
       var j = i
       var n = 0
-      var b = if (j < s.length) invByte(s.charAt(j)) else -1
+      var b = if (j < s.length) inv(s.charAt(j)) else -1
       while (j < s.length && b >= 0) {
         buf(n) = b.toByte; n += 1; j += 1
-        b = if (j < s.length) invByte(s.charAt(j)) else -1
+        b = if (j < s.length) inv(s.charAt(j)) else -1
       }
       if (n > 0) {
         val dec = strictUtf8(buf, 0, n)
@@ -347,7 +370,11 @@ object FixEncoding {
     var cur = s0
     var rounds = 0
     while (rounds < 3) { // double-encoded input needs 2; 3 bounds the loop
-      val next = repairOnce(cur)
+      // cp1252/latin-1 first (the overwhelmingly common confusion); the
+      // rarer codecs only when it found nothing this round
+      var next = repairOnce(cur, invByte)
+      if (next == cur) next = repairOnce(cur, invByteMac)
+      if (next == cur) next = repairOnce(cur, invByte437)
       if (next == cur) return cur
       cur = next
       rounds += 1

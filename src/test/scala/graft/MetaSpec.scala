@@ -189,6 +189,22 @@ class MetaSpec extends AnyFunSuite {
     assert(FixEncoding("a\\u00e9b") == "aéb")
   }
 
+  test("fix_encoding repairs the rarer ftfy codec confusions (macroman, cp437)") {
+    import graft.model.FixEncoding
+    // UTF-8 "é" (C3 A9) read as MacRoman -> "√©"; as cp437 -> "├⌐"
+    assert(FixEncoding("Jos√©") == "José")        // Jos√©
+    assert(FixEncoding("Jos├⌐") == "José")        // Jos├⌐
+    // UTF-8 "’" (E2 80 99) read as MacRoman -> "‚Äô"
+    assert(FixEncoding("don‚Äôt") == "don’t")
+    // genuine math/box text is NOT valid UTF-8 through the inverse tables
+    // and must survive untouched
+    assert(FixEncoding("√2 = 1.41") == "√2 = 1.41")       // √2
+    assert(FixEncoding("Γ = 3.7") == "Γ = 3.7")           // Γ
+    assert(FixEncoding("a ├ b ⌐ c") == "a ├ b ⌐ c")
+    // Greek prose stays Greek (cp437 has only scattered Greek letters)
+    assert(FixEncoding("δογ και λοιπά") == "δογ και λοιπά")
+  }
+
   test("url normalizer") {
     val p = UrlUtils.urlIsValid("HTTP://Example.COM:80//a//b?z=2&a=1").get
     assert(UrlUtils.urlNormalizer(p) == "http://example.com/a/b?a=1&z=2")
