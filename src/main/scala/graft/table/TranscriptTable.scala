@@ -94,6 +94,34 @@ object TranscriptTable {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  private def manifestJson(table: String, b: String): String =
+    new String(Files.readAllBytes(
+      manifestDir(table).resolve(s"manifest-$b.json")), UTF_8)
+
+  private val ReplacesRe =
+    java.util.regex.Pattern.compile("\"replaces\": \"([^\"]*)\"")
+
+  /** Batch ids retired by compaction manifests (optionally only manifests
+    * up to `upTo`, for time travel). Driver-side manifest reads only. */
+  def replacedBatches(table: String, upTo: String = null): Set[String] =
+    committedBatches(table)
+      .filter(b => upTo == null || b <= upTo)
+      .flatMap { b =>
+        val m = ReplacesRe.matcher(manifestJson(table, b))
+        if (m.find()) m.group(1).split(',').toSeq.filter(_.nonEmpty)
+        else Seq.empty
+      }.toSet
+
+  /** The batches a snapshot reader should scan: committed minus retired.
+    * With `asOf`, retirement by LATER compactions is ignored, so a
+    * pre-compaction snapshot still reads the original batches (valid until
+    * [[vacuum]] reclaims their files — the expire-snapshots trade-off). */
+  def liveBatches(table: String, asOf: String = null): Seq[String] = {
+    val all = committedBatches(table).filter(b => asOf == null || b <= asOf)
+    val retired = replacedBatches(table, asOf)
+    all.filterNot(retired.contains)
+  }
+
   /** Read all committed batches (snapshot view). */
   def read(spark: SparkSession, table: String): DataFrame =
     readAsOf(spark, table, null)
@@ -101,18 +129,71 @@ object TranscriptTable {
   /** Time-travel-ish read: only batches committed up to `asOfBatch`
     * (inclusive, lexicographic batch-id order — ids are zero-padded). */
   def readAsOf(spark: SparkSession, table: String, asOfBatch: String): DataFrame = {
-    val all = committedBatches(table)
-    val batches = if (asOfBatch == null) all else all.filter(_ <= asOfBatch)
+    val batches = liveBatches(table, asOfBatch)
     require(batches.nonEmpty, s"no committed batches in $table")
     spark.read.parquet(batches.map(b => dataDir(table, b)): _*)
+  }
+
+  /** Small-file compaction (Iceberg-style table maintenance): rewrite a set
+    * of committed batches as ONE new batch with `targetFiles` files and
+    * atomically supersede them. The flip is a single manifest rename — the
+    * new manifest carries `replaces`, and readers resolve retirement at
+    * listing time, so a snapshot never sees the rows twice or not at all.
+    * Old manifests stay on disk: `isCommitted` keeps answering true for
+    * replaced ids, so a resumed producer still no-ops on them. Old DATA
+    * stays until [[vacuum]], keeping pre-compaction time travel valid. */
+  def compact(spark: SparkSession, table: String, batchIds: Seq[String],
+      newBatchId: String, targetFiles: Int = 1): Unit = {
+    require(batchIds.nonEmpty, "nothing to compact")
+    require(batchIds.forall(isCommitted(table, _)),
+      s"compact requires committed batches: $batchIds")
+    require(!isCommitted(table, newBatchId), s"$newBatchId already committed")
+    val retired = replacedBatches(table)
+    require(batchIds.forall(!retired.contains(_)),
+      "a batch can be compacted only once")
+    val df = spark.read.parquet(batchIds.map(b => dataDir(table, b)): _*)
+    df.coalesce(targetFiles).write.mode(SaveMode.Overwrite)
+      .parquet(dataDir(table, newBatchId))
+    val withLineage = batchIds.filter(b => Files.exists(Paths.get(lineageDir(table, b))))
+    if (withLineage.nonEmpty)
+      spark.read.parquet(withLineage.map(b => lineageDir(table, b)): _*)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(lineageDir(table, newBatchId))
+    // carry the replaced row counts so manifest-only monitoring stays exact
+    val nTurns = batchIds.map { b =>
+      val m = java.util.regex.Pattern.compile("\"n_turns\": \"(\\d+)\"")
+        .matcher(manifestJson(table, b))
+      if (m.find()) m.group(1).toLong else 0L
+    }.sum
+    commit(table, newBatchId, Map(
+      "replaces" -> batchIds.sorted.mkString(","),
+      "n_turns" -> nTurns.toString))
+  }
+
+  /** Reclaim the data/lineage files of compaction-retired batches. After
+    * this, time travel to pre-compaction snapshots is gone (their manifests
+    * remain for resume idempotence) — same contract as Iceberg's
+    * expire_snapshots + remove_orphan_files. */
+  def vacuum(table: String): Unit = {
+    def rmrf(p: Path): Unit = if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator.asScala.foreach(Files.delete)
+      finally stream.close()
+    }
+    replacedBatches(table).foreach { b =>
+      rmrf(Paths.get(dataDir(table, b)))
+      rmrf(Paths.get(lineageDir(table, b)))
+    }
   }
 
   def lineageDir(table: String, batchId: String): String =
     s"$table/_lineage/batch=$batchId"
 
-  /** Lineage rows of all committed batches (written by writeBatchWithLineage). */
+  /** Lineage rows of all live batches (written by writeBatchWithLineage;
+    * compaction carries replaced batches' lineage into the new batch). */
   def readLineage(spark: SparkSession, table: String): DataFrame = {
-    val batches = committedBatches(table)
+    val batches = liveBatches(table)
       .filter(b => Files.exists(Paths.get(lineageDir(table, b))))
     require(batches.nonEmpty, s"no lineage in $table")
     spark.read.parquet(batches.map(b => lineageDir(table, b)): _*)
@@ -134,12 +215,13 @@ object TranscriptTable {
     commit(table, batchId, manifestExtra)
   }
 
-  /** Row count from manifests alone — no data scan (monitoring at scale). */
+  /** Row count from manifests alone — no data scan (monitoring at scale).
+    * Counts LIVE batches only: a compaction manifest carries the sum of its
+    * replaced batches, so the total is stable across maintenance. */
   def committedRowCount(table: String): Long =
-    committedBatches(table).map { b =>
-      val json = new String(Files.readAllBytes(
-        manifestDir(table).resolve(s"manifest-$b.json")), UTF_8)
-      val m = java.util.regex.Pattern.compile("\"n_turns\": \"(\\d+)\"").matcher(json)
+    liveBatches(table).map { b =>
+      val m = java.util.regex.Pattern.compile("\"n_turns\": \"(\\d+)\"")
+        .matcher(manifestJson(table, b))
       if (m.find()) m.group(1).toLong else 0L
     }.sum
 }

@@ -129,6 +129,58 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmrf(out)
   }
 
+  test("compaction: atomic supersede, resume stays idempotent, vacuum reclaims") {
+    val out = "/tmp/graft_test_compact"
+    rmrf(out)
+    val turns = Synth.turns(spark, 0.001, 4)
+    ExtractJob.run(spark, turns, out, nBatches = 4, saltPartitions = 8)
+    val n1 = TranscriptTable.read(spark, out).count()
+    def digest() = TranscriptTable.read(spark, out)
+      .agg(expr("bit_xor(xxhash64(conv_id, turn_idx, coalesce(ex.content,'')))"))
+      .head.getLong(0)
+    val d1 = digest()
+    def dataFiles() = TranscriptTable.liveBatches(out).map { b =>
+      new java.io.File(TranscriptTable.dataDir(out, b))
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    }.sum
+    val files1 = dataFiles()
+
+    // compact the first three batches into one file
+    TranscriptTable.compact(spark, out, Seq("b000", "b001", "b002"), "c000")
+    assert(TranscriptTable.liveBatches(out) == Seq("b003", "c000"))
+    assert(TranscriptTable.committedBatches(out).length == 5) // manifests stay
+    assert(TranscriptTable.read(spark, out).count() == n1)
+    assert(digest() == d1, "compaction must not change content")
+    assert(dataFiles() < files1, s"expected fewer files than $files1")
+    // manifest-only row count is stable (compaction manifest carries the sum)
+    assert(TranscriptTable.committedRowCount(out) == n1)
+    // lineage still sums to the total through the carried batch
+    assert(TranscriptTable.readLineage(spark, out)
+      .agg(sum("n_turns")).head.getLong(0) == n1)
+
+    // resume stays idempotent: replaced ids still read as committed, so a
+    // re-run of the producer does not resurrect their data
+    assert(TranscriptTable.isCommitted(out, "b001"))
+    ExtractJob.run(spark, turns, out, nBatches = 4, saltPartitions = 8)
+    assert(TranscriptTable.read(spark, out).count() == n1)
+
+    // pre-compaction time travel still works until vacuum
+    assert(TranscriptTable.readAsOf(spark, out, "b001").count() > 0)
+    assert(TranscriptTable.liveBatches(out, "b001") == Seq("b000", "b001"))
+
+    // double compaction of the same ids is rejected
+    intercept[IllegalArgumentException] {
+      TranscriptTable.compact(spark, out, Seq("b000"), "c001")
+    }
+
+    TranscriptTable.vacuum(out)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(TranscriptTable.dataDir(out, "b000"))))
+    assert(TranscriptTable.read(spark, out).count() == n1)
+    assert(digest() == d1, "post-vacuum snapshot unchanged")
+    rmrf(out)
+  }
+
   test("catalyst plan quality: pruning, pushdown, broadcast join") {
     val dir = "/root/testdata/sf0.001"
     // column pruning reaches the parquet scan
