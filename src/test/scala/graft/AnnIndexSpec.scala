@@ -137,6 +137,18 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlap >= 0.6, s"recall floor: overlap=$overlap")
   }
 
+  test("ivf adaptive nProbe fills k on small tables") {
+    val dir = s"$tmp/ivf_adaptive"
+    AnnIndex.buildIvf(emb, dir, nCells = 16)
+    val k = 20
+    val hits = AnnIndex.probeIvf(spark, dir, queryVec, k).collect()
+    assert(hits.length == k, s"adaptive probeIvf returned ${hits.length} of $k")
+    val brute = Similarity.bruteForceTopK(emb, queryVec, k).collect()
+      .map(_.getLong(0)).toSet
+    val overlap = hits.map(_.getLong(0)).count(brute.contains).toDouble / k
+    assert(overlap >= 0.6, s"recall floor: overlap=$overlap")
+  }
+
   test("empty embeddings: build commits an empty index, probe returns 0 rows") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("vec_id", LongType),

@@ -152,6 +152,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters == (1L to 10L).map(_ -> 1L).toMap, s"got $clusters")
   }
 
+  test("cluster invariants on a generated corpus: keeper is a member, min, stable") {
+    // 40 docs in 8 planted groups of near-identical text + 10 singletons
+    val docs = docsDf((1L to 50L).map { i =>
+      if (i <= 40) (i, sentence(700 + (i - 1) % 8, 70) + " tail" + (i / 8))
+      else (i, sentence(800 + i, 70))
+    })
+    val clusters = Dedup.duplicateClusters(docs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = clusters.groupBy(_._2)
+    clusters.foreach { case (doc, c) =>
+      assert(c <= doc, s"keeper $c must be the min id (doc $doc)")
+    }
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._1).contains(c), s"keeper $c must be a member")
+      assert(members.map(_._1).min == c, s"keeper $c must be the minimum")
+      assert(members.length >= 2, s"cluster $c must have >= 2 members")
+    }
+    // determinism
+    val again = Dedup.duplicateClusters(docs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.sorted.toSeq == again.sorted.toSeq)
+    // nearDedup = docs minus non-keepers
+    val kept = Dedup.nearDedup(docs, threshold = 0.7).collect().map(_.getLong(0)).toSet
+    val nonKeepers = clusters.collect { case (d, c) if d != c => d }.toSet
+    assert(kept == (1L to 50L).toSet -- nonKeepers)
+  }
+
   test("nearDedup keeps cluster keepers and unclustered docs") {
     val base = sentence(31, 48).split(" ")
     val docs = docsDf(Seq(
