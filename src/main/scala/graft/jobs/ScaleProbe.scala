@@ -1,0 +1,99 @@
+package graft.jobs
+
+import graft.ops.{AnnIndex, Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the dedup/ANN family: the driver's documents/embeddings
+  * tables are ~500 rows, which exercises correctness but not shape. This
+  * main synthesizes 100x bigger inputs DISTRIBUTED (no driver
+  * materialization) and times the operators at both sizes, so the
+  * "would this survive 100x?" question has measured evidence:
+  *
+  *   runMain graft.jobs.ScaleProbe [nDocs] [nVecs] [cpus]
+  *
+  * Prints one JSON line with per-op seconds and result counts. Planted
+  * structure: every 20th doc is a near-dup of its predecessor (3 of 120
+  * tokens replaced, 3-gram J ~ 0.86), so minhash/cluster outputs have a
+  * known expected scale (~n/20 pairs). Embeddings are unit-norm uniform
+  * vectors, dim 64. */
+object ScaleProbe {
+
+  def synthDocs(spark: SparkSession, n: Int, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val base: Long = if (id % 20 == 1) id - 1 else id
+      val toks = Array.tabulate(120) { i =>
+        "w" + ((Synth.mix(base * 131 + i) & 0xfffL).toHexString)
+      }
+      if (id % 20 == 1) { // near-dup: replace 3 consecutive tokens
+        toks(50) = "x" + id; toks(51) = "y" + id; toks(52) = "z" + id
+      }
+      (id, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  def synthVecs(spark: SparkSession, n: Int, dim: Int, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val v = Array.tabulate(dim)(i =>
+        ((Synth.mix(id * 257 + i) >>> 11).toDouble / (1L << 53) - 0.5).toFloat)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (id, v.map(_ / norm))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def time[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(50000)
+    val nVecs = if (args.length > 1) args(1).toInt else 100000
+    val cpus = if (args.length > 2) args(2) else "32"
+    val spark = graft.Bench.session(cpus)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+
+    for (n <- Seq(500, nDocs)) {
+      // localCheckpoint inside the ops materializes the synth once per op;
+      // write-to-parquet-first would hide the synth cost identically at
+      // both sizes, so keep it in (it is the same per-row work as a scan)
+      val docs = synthDocs(spark, n, cpus.toInt).localCheckpoint()
+      val (p, tp) = time(Dedup.minhashPairs(docs, threshold = 0.7).count())
+      val (c, tc) = time(Dedup.duplicateClusters(docs, threshold = 0.7).count())
+      val (s, ts) = time(Dedup.simhashPairs(docs, maxDist = 3).count())
+      val (e, te) = time(Dedup.exactGroups(docs).count())
+      out(s"docs_${n}_minhash_pairs") = p; out(s"docs_${n}_minhash_sec") = tp
+      out(s"docs_${n}_cluster_rows") = c; out(s"docs_${n}_cluster_sec") = tc
+      out(s"docs_${n}_simhash_pairs") = s; out(s"docs_${n}_simhash_sec") = ts
+      out(s"docs_${n}_exact_groups") = e; out(s"docs_${n}_exact_sec") = te
+    }
+
+    val vecs = synthVecs(spark, nVecs, 64, cpus.toInt)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_ann"
+    graft.table.TranscriptTable // touch nothing; keep imports minimal
+    val q = vecs.orderBy("vec_id").select("embedding").head.getSeq[Float](0).toArray
+    // persist the synth as parquet so the index build has a real file input
+    val src = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_vecs"
+    vecs.write.mode("overwrite").parquet(src)
+    val vecsP = spark.read.parquet(src)
+    val (_, tBuild) = time(AnnIndex.buildLsh(vecsP, dir, nBits = 10, rebuild = true))
+    val (probeRows, tProbe) = time(AnnIndex.probeLsh(spark, dir, q, 50).count())
+    val (_, tBrute) = time(Similarity.bruteForceTopK(vecsP, q, 50).count())
+    val (_, tFresh) = time(AnnIndex.buildLsh(vecsP, dir, nBits = 10)) // no-op
+    out(s"vecs_${nVecs}_index_build_sec") = tBuild
+    out(s"vecs_${nVecs}_probe_rows") = probeRows
+    out(s"vecs_${nVecs}_probe_sec") = tProbe
+    out(s"vecs_${nVecs}_brute_sec") = tBrute
+    out(s"vecs_${nVecs}_fresh_rebuild_sec") = tFresh
+
+    val json = out.map {
+      case (k, v: Double) => f""""$k":$v%.3f"""
+      case (k, v) => s""""$k":$v"""
+    }.mkString("{", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}

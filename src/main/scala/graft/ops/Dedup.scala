@@ -170,8 +170,12 @@ object Dedup {
     * transitive closure over the exact all-pairs ground truth. */
   def duplicateClusters(docs: DataFrame, threshold: Double = 0.8,
       textCol: String = "text", maxIter: Int = 25): DataFrame = {
+    // barrier the pair pipeline BEFORE the union: both union branches (and
+    // everything downstream) must read the computed pair set, not re-run
+    // the LSH join + exact verification per branch
     val pairs = minhashPairs(docs, threshold, textCol)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
@@ -192,6 +196,7 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("mid"),
           col("cluster_id").as("old_cluster"))
+        .localCheckpoint() // read twice below (jump source + target)
       // pointer jump / path halving: mid values are themselves doc ids of
       // endpoints, so follow them one hop — comp(comp(v)) — before the
       // next round; this is what makes convergence logarithmic
