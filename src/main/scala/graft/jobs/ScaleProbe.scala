@@ -69,6 +69,12 @@ object ScaleProbe {
       out(s"docs_${n}_cluster_rows") = c; out(s"docs_${n}_cluster_sec") = tc
       out(s"docs_${n}_simhash_pairs") = s; out(s"docs_${n}_simhash_sec") = ts
       out(s"docs_${n}_exact_groups") = e; out(s"docs_${n}_exact_sec") = te
+      val (bpeTok, tb) = time {
+        val model = graft.ops.Bpe.train(docs, nMerges = 256)
+        graft.ops.Bpe.tokenCounts(docs, model)
+          .agg(sum(col("bpe_tokens"))).head.getLong(0)
+      }
+      out(s"docs_${n}_bpe_total_tokens") = bpeTok; out(s"docs_${n}_bpe_sec") = tb
     }
 
     val vecs = synthVecs(spark, nVecs, 64, cpus.toInt)
@@ -88,6 +94,10 @@ object ScaleProbe {
     out(s"vecs_${nVecs}_probe_sec") = tProbe
     out(s"vecs_${nVecs}_brute_sec") = tBrute
     out(s"vecs_${nVecs}_fresh_rebuild_sec") = tFresh
+    val (nd, tNd) = time(
+      Similarity.cosinePairs(vecsP, threshold = 0.9, nBits = 12).count())
+    out(s"vecs_${nVecs}_neardup_pairs") = nd
+    out(s"vecs_${nVecs}_neardup_sec") = tNd
 
     val json = out.map {
       case (k, v: Double) => f""""$k":$v%.3f"""
