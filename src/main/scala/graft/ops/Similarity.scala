@@ -209,9 +209,14 @@ object Similarity {
     * embedding-space analogue of MinHash LSH dedup). */
   def cosinePairs(embeddings: DataFrame, threshold: Double = 0.95, nBits: Int = 10,
       maxBucket: Int = 2000): DataFrame = {
+    // barrier: the hot-bucket count and BOTH self-join branches read the
+    // bucketed table — without it the nBits-dot-product bucket UDF runs
+    // 3x per row (the round-1 minhash defect class; in a persisted
+    // deployment this is a bucket-partitioned temp table instead)
     val bucketed0 = embeddings
       .select(col("vec_id"), col("embedding"))
       .withColumn("srp_bucket", srpBucketUdf(nBits)(col("embedding")))
+      .localCheckpoint()
     val hot = bucketed0.groupBy(col("srp_bucket")).count()
       .filter(col("count") > maxBucket).select(col("srp_bucket"))
     val bucketed = bucketed0.join(hot, Seq("srp_bucket"), "left_anti")
