@@ -15,5 +15,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("ws_token_count"),
       new ExpressionInfo(classOf[ops.WsTokenCount].getName, "ws_token_count"),
       (exprs: Seq[Expression]) => ops.WsTokenCount(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[ops.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => ops.SimHash64(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("fingerprint64"),
+      new ExpressionInfo(classOf[ops.Fingerprint64].getName, "fingerprint64"),
+      (exprs: Seq[Expression]) => ops.Fingerprint64(exprs.head)))
   }
 }

@@ -252,6 +252,10 @@ object Dedup {
 
   val simhashUdf = udf((text: String) => simhash(text))
 
+  /** Static entry for the [[SimHash64]] codegen path (same kernel). */
+  def simhashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    simhash(s.toString)
+
   /** Near-dup pairs with Hamming distance <= maxDist via pigeonhole
     * blocking: split the 64-bit hash into (maxDist+1) segments; any pair
     * within maxDist must agree on at least one segment — join per segment. */
@@ -262,8 +266,10 @@ object Dedup {
     val segUdf = udf((h: Long) =>
       (0 until nSeg).map(s => (s.toLong << 32) | ((h >>> (s * segWidth)) & ((1L << segWidth) - 1))))
     // barrier: one simhash evaluation per doc (the self-join below would
-    // otherwise re-derive the UDF on both branches); (doc_id, long) is tiny
-    val hashes = docs.select(col("doc_id"), simhashUdf(col(textCol)).as("simhash"))
+    // otherwise re-derive it on both branches); (doc_id, long) is tiny.
+    // Native SimHash64 expression: stays inside whole-stage codegen.
+    val hashes = docs.select(col("doc_id"),
+        HashExprs.simhash64(col(textCol)).as("simhash"))
       .localCheckpoint()
     val hashed0 = hashes.withColumn("seg", explode(segUdf(col("simhash"))))
     val hotSegs = hashed0.groupBy(col("seg")).count()

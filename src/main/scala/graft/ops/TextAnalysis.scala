@@ -168,13 +168,17 @@ object TextAnalysis {
 
   val fingerprintUdf = udf(fingerprint _)
 
+  /** Static entry for the [[Fingerprint64]] codegen path (same kernel). */
+  def fingerprintUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    fingerprint(s.toString)
+
   /** Full per-document analysis frame (map-only; no shuffle). */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .withColumn("lang_pred", langIdUdf(col(textCol)))
       .withColumn("q", qualityUdf(col(textCol)))
       .withColumn("tok", tokenCountsUdf(col(textCol)))
-      .withColumn("fingerprint", fingerprintUdf(col(textCol)))
+      .withColumn("fingerprint", HashExprs.fingerprint64(col(textCol))) // native expr
       .select(col("doc_id"), col("lang_pred"),
         col("q._1").as("n_tokens"), col("q._2").as("mean_word_len"),
         col("q._3").as("stopword_ratio"), col("q._4").as("punct_ratio"),

@@ -248,6 +248,26 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sql = "SELECT ws_token_count('a b  c') AS n"
     graft.ops.WsTokenCount.register(spark)
     assert(spark.sql(sql).head.getInt(0) == 3)
+    // the 64-bit hash expressions: SQL registration + exact equality with
+    // the function-API kernels (one kernel, two entries — by construction,
+    // but pinned here against accidental divergence)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => graft.ops.SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fingerprint64", exprs => graft.ops.Fingerprint64(exprs.head), "scala_udf")
+    val t = "the quick brown fox, The QUICK brown fox"
+    assert(spark.sql(s"SELECT simhash64('$t') AS h").head.getLong(0) ==
+      graft.ops.Dedup.simhash(t))
+    assert(spark.sql(s"SELECT fingerprint64('$t') AS h").head.getLong(0) ==
+      graft.ops.TextAnalysis.fingerprint(t))
+    // codegen path evaluates over a real column scan too
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val viaExpr = docs.select(col("doc_id"),
+      graft.ops.HashExprs.simhash64(col("text")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaFn = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), graft.ops.Dedup.simhash(r.getAs[String]("text")))).toMap
+    assert(viaExpr == viaFn)
   }
 
   test("typed lineage aggregator merges across partitions") {
