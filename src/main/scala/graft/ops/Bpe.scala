@@ -153,4 +153,34 @@ object Bpe {
     val countUdf = udf((text: String) => model.countTokens(text))
     docs.select(col("doc_id"), countUdf(col(textCol)).as("bpe_tokens"))
   }
+
+  // ------------------------------------------------------------ persistence
+  /** Persist a trained model (one "left right" merge per line, rank order)
+    * through the Hadoop FS, tmp+rename like the index metadata. At scale
+    * the tokenizer is a BUILD ARTIFACT — trained once, loaded by every
+    * encode job — not a per-job computation. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(model.merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(s"bpe save failed: $path")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Model(text.linesIterator.filter(_.nonEmpty).map { l =>
+      val sp = l.indexOf(' ')
+      (l.substring(0, sp).toInt, l.substring(sp + 1).toInt)
+    }.toArray)
+  }
 }

@@ -68,4 +68,19 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val model2 = Bpe.train(docs, nMerges = 64)
     assert(model.merges.toSeq == model2.merges.toSeq)
   }
+
+  test("model persistence round-trips and loaded model encodes identically") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = Bpe.train(docs, nMerges = 48)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/model.bpe"
+    Bpe.save(spark, model, path)
+    val loaded = Bpe.load(spark, path)
+    assert(loaded.merges.toSeq == model.merges.toSeq)
+    val a = Bpe.tokenCounts(docs, model).collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = Bpe.tokenCounts(docs, loaded).collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a == b)
+    // overwrite is atomic-ish (tmp+rename): saving again succeeds
+    Bpe.save(spark, loaded, path)
+    assert(Bpe.load(spark, path).merges.toSeq == model.merges.toSeq)
+  }
 }
