@@ -346,6 +346,21 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
     }),
+    "q17_rollup" -> ((s, dir) =>
+      // grouping sets: per-(lang, size-class) subtotals + per-lang + grand
+      // total in ONE pass (Expand + partial aggregate — no re-scan per
+      // level). NULL group markers are projected to 'ALL' so the oracle
+      // hash never depends on engine null encodings.
+      t(s, dir, "documents")
+        .withColumn("size_class",
+          when(col("n_chars") >= 1000, "long").otherwise("short"))
+        .rollup(col("lang"), col("size_class"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(cast(n_chars as bigint))").as("total_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang_g"),
+          coalesce(col("size_class"), lit("ALL")).as("size_g"),
+          col("n_docs"), col("total_chars"))
+        .orderBy("lang_g", "size_g")),
     "q14_top_customers" -> ((s, dir) =>
       t(s, dir, "customer")
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -618,6 +633,18 @@ object SparkEntry {
         |      lag(cast(epoch(ts) as bigint)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
         |    FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q17_rollup" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN n_chars >= 1000 THEN 'long' ELSE 'short' END AS size_class,
+        |    n_chars
+        |  FROM documents)
+        |SELECT coalesce(lang, 'ALL') AS lang_g,
+        |  coalesce(size_class, 'ALL') AS size_g,
+        |  count(*) AS n_docs,
+        |  cast(sum(cast(n_chars as bigint)) as bigint) AS total_chars
+        |FROM d GROUP BY ROLLUP(lang, size_class)
+        |ORDER BY lang_g, size_g""".stripMargin,
     "q14_top_customers" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
