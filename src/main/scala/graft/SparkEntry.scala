@@ -346,6 +346,20 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
     }),
+    "x_asof_join" -> ((s, dir) => {
+      // as-of join over the events stream: each even event matched to the
+      // user's latest odd event at-or-before its timestamp. One shuffle on
+      // user_id (union + running last-value window) — no range-join blowup.
+      val e = t(s, dir, "events")
+      val leftE = e.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val rightE = e.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("ts"), col("event_id").as("matched_event_id"))
+      graft.ops.AsOfJoin.asOf(leftE, rightE, Seq("user_id"), "ts")
+        .select(col("event_id"),
+          coalesce(col("matched_event_id"), lit(-1L)).as("matched_event_id"))
+        .orderBy("event_id")
+    }),
     "q17_rollup" -> ((s, dir) =>
       // grouping sets: per-(lang, size-class) subtotals + per-lang + grand
       // total in ONE pass (Expand + partial aggregate — no re-scan per
@@ -633,6 +647,17 @@ object SparkEntry {
         |      lag(cast(epoch(ts) as bigint)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
         |    FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x_asof_join" ->
+      // deterministic as-of contract: argmax by (ts, event_id) among prior
+      // odd events of the same user; -1 when no prior row exists
+      """SELECT l.event_id,
+        |  coalesce((SELECT r.event_id FROM events r
+        |            WHERE r.user_id = l.user_id AND r.event_id % 2 = 1
+        |              AND r.ts <= l.ts
+        |            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1), -1)
+        |    AS matched_event_id
+        |FROM events l WHERE l.event_id % 2 = 0
+        |ORDER BY l.event_id""".stripMargin,
     "q17_rollup" ->
       """WITH d AS (
         |  SELECT lang,

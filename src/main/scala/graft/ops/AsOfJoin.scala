@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed AS-OF join: for each left row, the single right row with the
+  * greatest event time <= the left row's time, per key — the "join to the
+  * latest prior state" primitive (features-as-of-label-time, latest model
+  * snapshot per example, price-as-of-trade).
+  *
+  * Composition, not a custom physical operator (brief preference (a)): tag
+  * both sides, UNION on a common schema, and run ONE running last-value
+  * window per key ordered by (ts, side, right-payload). That is a single
+  * shuffle on the key + a sort within partitions — the naive
+  * range-condition join (`l.ts >= r.ts` equi+theta) degenerates to a
+  * per-key cross product at scale, while this stays O(n log n) per key.
+  * Skewed keys fall under the same AQE/salting policy as any window op.
+  *
+  * Contract: `left`/`right` share EXACTLY the `keys` and `ts` columns;
+  * their other columns are disjoint payloads. Right rows must be uniquely
+  * ordered per key by (ts, payload...) — the match is the lexicographic
+  * argmax, ties broken by the payload columns ascending, so the result is
+  * deterministic. Left rows with no prior right row keep null payloads
+  * (left-outer semantics). A right row AT the left row's exact ts matches
+  * (inclusive as-of, DuckDB `ASOF JOIN ... ON l.ts >= r.ts` semantics). */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String): DataFrame = {
+    val common = keys :+ ts
+    val lPayload = left.columns.toSeq.filterNot(common.contains)
+    val rPayload = right.columns.toSeq.filterNot(common.contains)
+    require(lPayload.intersect(rPayload).isEmpty,
+      s"payload columns must be disjoint: ${lPayload.intersect(rPayload)}")
+    val ordered = (common ++ lPayload ++ rPayload) :+ "__is_left"
+
+    val lFull = rPayload.foldLeft(left.withColumn("__is_left", lit(1)))(
+      (d, c) => d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+      .select(ordered.map(col): _*)
+    val rFull = lPayload.foldLeft(right.withColumn("__is_left", lit(0)))(
+      (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(ordered.map(col): _*)
+
+    // right (0) sorts before left (1) at equal ts -> inclusive as-of;
+    // right ties at equal ts resolve by payload ascending -> last() is the
+    // deterministic argmax
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(ts).asc +: col("__is_left").asc +: rPayload.map(col(_).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rPayload.foldLeft(lFull.union(rFull))(
+        (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .filter(col("__is_left") === 1)
+      .select((common ++ lPayload ++ rPayload).map(col): _*)
+  }
+}

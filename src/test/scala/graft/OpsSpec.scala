@@ -218,6 +218,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
   }
 
+  test("as-of join: latest prior right row per key, inclusive, deterministic ties") {
+    import org.apache.spark.sql.types._
+    def df(schema: StructType, rows: Seq[Seq[Any]]) =
+      spark.createDataFrame(java.util.Arrays.asList(
+        rows.map(r => org.apache.spark.sql.Row(r: _*)): _*), schema)
+    val lSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", LongType), StructField("l_id", LongType)))
+    val rSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", LongType), StructField("r_id", LongType)))
+    val left = df(lSchema, Seq(
+      Seq(1L, 10L, 100L), // before any right row -> null
+      Seq(1L, 20L, 101L), // exactly at right ts 20 -> inclusive match
+      Seq(1L, 35L, 102L), // between 30 and 40 -> 30
+      Seq(2L, 50L, 103L))) // other key
+    val right = df(rSchema, Seq(
+      Seq(1L, 20L, 200L),
+      Seq(1L, 30L, 201L),
+      Seq(1L, 30L, 202L), // tie at ts 30: larger r_id wins (argmax)
+      Seq(1L, 40L, 203L),
+      Seq(2L, 49L, 204L)))
+    val out = graft.ops.AsOfJoin.asOf(left, right, Seq("k"), "ts")
+      .collect().map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out == Map(100L -> None, 101L -> Some(200L), 102L -> Some(202L),
+      103L -> Some(204L)), out.toString)
+  }
+
   test("quality score ranks clean text above noise") {
     val clean = "The quick brown fox jumps over the lazy dog and this is a fine sentence with many common words in it."
     val noise = "$$$@@@ 88219 !!%%^^ zzzzzzzzzzzzzzzzzzzzzz 00 11 22 33 ### &&&"
