@@ -244,6 +244,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       103L -> Some(204L)), out.toString)
   }
 
+  test("as-of join edges: clashing payloads rejected, empty sides safe") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", LongType), StructField("v", LongType)))
+    def df(rows: Seq[Seq[Any]]) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => org.apache.spark.sql.Row(r: _*)): _*), schema)
+    // same payload name on both sides is ambiguous -> reject loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.AsOfJoin.asOf(df(Seq(Seq(1L, 1L, 1L))), df(Seq(Seq(1L, 1L, 2L))),
+        Seq("k"), "ts")
+    }
+    val rSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", LongType), StructField("r_v", LongType)))
+    val emptyRight = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rSchema)
+    val out = graft.ops.AsOfJoin.asOf(df(Seq(Seq(1L, 5L, 9L))), emptyRight,
+      Seq("k"), "ts").collect()
+    assert(out.length == 1 && out(0).isNullAt(3)) // left-outer, null payload
+    val emptyLeft = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(graft.ops.AsOfJoin.asOf(emptyLeft,
+      df(Seq(Seq(1L, 1L, 2L))).select(col("k"), col("ts"), col("v").as("r_v")),
+      Seq("k"), "ts").count() == 0)
+  }
+
   test("quality score ranks clean text above noise") {
     val clean = "The quick brown fox jumps over the lazy dog and this is a fine sentence with many common words in it."
     val noise = "$$$@@@ 88219 !!%%^^ zzzzzzzzzzzzzzzzzzzzzz 00 11 22 33 ### &&&"
