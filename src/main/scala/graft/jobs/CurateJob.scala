@@ -1,0 +1,60 @@
+package graft.jobs
+
+import graft.ops.{Dedup, HashExprs, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation over a documents table — the workflow
+  * the ops family exists for, composed as one job:
+  *
+  *   1. language filter      (langId prediction in `keepLangs`)
+  *   2. quality floor        (composite score >= `minQuality`)
+  *   3. exact dedup          (min doc_id per content hash)
+  *   4. near-dup removal     (MinHash-LSH clusters, keeper per cluster)
+  *   5. accounting           (ws/BPE-estimate token counts + fingerprint)
+  *
+  * Shape at scale: the scalar scoring stage is ONE map pass barriered with
+  * localCheckpoint (per-stage counts then read the materialized frame
+  * instead of re-running the UDFs per count); filters 1-2 drop the bulk of
+  * a raw crawl BEFORE the shuffling dedup passes see it; the dedup passes
+  * shuffle only on small keys (hash / band buckets / doc_id). Stats counts
+  * are five cheap actions over materialized frames — at 100 TB they are
+  * the job's audit record, not overhead. */
+object CurateJob {
+
+  final case class CurateStats(
+      nInput: Long, nAfterLang: Long, nAfterQuality: Long,
+      nAfterExact: Long, nCurated: Long, totalWsTokens: Long)
+
+  def curate(docs: DataFrame,
+      keepLangs: Set[String] = Set("en"),
+      minQuality: Double = 0.3,
+      nearThreshold: Double = 0.8,
+      textCol: String = "text"): (DataFrame, CurateStats) = {
+    val nInput = docs.count()
+    val scored = docs
+      .withColumn("lang_pred", TextAnalysis.langIdUdf(col(textCol)))
+      .withColumn("__q", TextAnalysis.qualityUdf(col(textCol)))
+      .withColumn("quality_score", col("__q._7"))
+      .drop("__q")
+      .localCheckpoint() // one evaluation of the scalar stage
+    val langOk = scored.filter(col("lang_pred").isin(keepLangs.toSeq: _*))
+    val nLang = langOk.count()
+    val qualOk = langOk.filter(col("quality_score") >= minQuality)
+    val nQual = qualOk.count()
+    val exact = Dedup.exactDedup(qualOk, textCol)
+    val nExact = exact.count()
+    val near = Dedup.nearDedup(exact, nearThreshold, textCol)
+    val curated = near
+      .withColumn("__t", TextAnalysis.tokenCountsUdf(col(textCol)))
+      .withColumn("ws_tokens", col("__t._1"))
+      .withColumn("bpe_tokens_est", col("__t._2"))
+      .drop("__t")
+      .withColumn("fingerprint", HashExprs.fingerprint64(col(textCol)))
+      .localCheckpoint()
+    val nCurated = curated.count()
+    val totalTokens =
+      curated.agg(sum(col("ws_tokens").cast("long"))).head.getLong(0)
+    (curated, CurateStats(nInput, nLang, nQual, nExact, nCurated, totalTokens))
+  }
+}

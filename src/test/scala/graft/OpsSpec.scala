@@ -269,6 +269,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("k"), "ts").count() == 0)
   }
 
+  test("curation pipeline: filters, dedups and accounts in one composed job") {
+    val clean = "The quick brown fox jumps over the lazy dog and this is a " +
+      "perfectly reasonable English sentence with many common words in it today."
+    val near = clean.replace("today", "yesterday evening")
+    val docs = docsDf(Seq(
+      (1L, clean),                       // keeper
+      (2L, clean),                       // exact dup of 1 -> dropped at stage 3
+      (3L, near),                        // near dup of 1 -> dropped at stage 4
+      (4L, "Der Hund und die Katze sind in das Haus mit dem Mann gegangen und das ist ein Satz."), // de -> dropped at stage 1
+      (5L, "the 912 $$$ !!! ## @@@ 00 11 22 33 44 %% ^^ && ** (( ))"), // junk (en) -> stage 2
+      (6L, "Here is another clean English document that should survive the " +
+        "whole pipeline because it is made of normal words and sentences.")))
+    val (curated, stats) = graft.jobs.CurateJob.curate(
+      docs, keepLangs = Set("en"), minQuality = 0.45, nearThreshold = 0.6)
+    val kept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 6L), s"got $kept")
+    assert(stats.nInput == 6 && stats.nAfterLang == 5 && stats.nAfterQuality == 4
+      && stats.nAfterExact == 3 && stats.nCurated == 2, stats.toString)
+    val row = curated.filter(col("doc_id") === 1L).head
+    assert(row.getAs[Int]("ws_tokens") > 10)
+    assert(row.getAs[String]("lang_pred") == "en")
+    assert(row.getAs[Long]("fingerprint") ==
+      graft.ops.TextAnalysis.fingerprint(clean))
+  }
+
   test("quality score ranks clean text above noise") {
     val clean = "The quick brown fox jumps over the lazy dog and this is a fine sentence with many common words in it."
     val noise = "$$$@@@ 88219 !!%%^^ zzzzzzzzzzzzzzzzzzzzzz 00 11 22 33 ### &&&"
