@@ -244,6 +244,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       103L -> Some(204L)), out.toString)
   }
 
+  test("as-of join agrees with a brute-force reference on generated frames") {
+    import org.apache.spark.sql.types._
+    val lSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", LongType), StructField("l_id", LongType)))
+    val rSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", LongType), StructField("r_id", LongType)))
+    for (seed <- Seq(7L, 8L, 9L)) {
+      def gen(n: Int, salt: Long) = (0 until n).map { i =>
+        val h = graft.jobs.Synth.mix(seed * 10000 + salt * 100 + i)
+        Seq((h & 7L), ((h >>> 8) & 63L), salt * 1000L + i) // key 0-7, ts 0-63
+      }
+      val lRows = gen(80, 1)
+      val rRows = gen(60, 2)
+      val left = spark.createDataFrame(java.util.Arrays.asList(
+        lRows.map(r => org.apache.spark.sql.Row(r: _*)): _*), lSchema)
+      val right = spark.createDataFrame(java.util.Arrays.asList(
+        rRows.map(r => org.apache.spark.sql.Row(r: _*)): _*), rSchema)
+      val got = graft.ops.AsOfJoin.asOf(left, right, Seq("k"), "ts").collect()
+        .map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+      // brute force: argmax (ts, r_id) among right rows with same k, ts <= l.ts
+      val want = lRows.map { l =>
+        val m = rRows.filter(r => r(0) == l(0) && r(1).asInstanceOf[Long] <= l(1).asInstanceOf[Long])
+        (l(2).asInstanceOf[Long],
+          if (m.isEmpty) None
+          else Some(m.maxBy(r => (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long]))(
+            Ordering.Tuple2[Long, Long])(2).asInstanceOf[Long]))
+      }.toMap
+      assert(got == want, s"seed=$seed diff=${(got.toSet -- want.toSet).take(3)}")
+    }
+  }
+
   test("as-of join edges: clashing payloads rejected, empty sides safe") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("k", LongType),
@@ -292,6 +323,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[String]("lang_pred") == "en")
     assert(row.getAs[Long]("fingerprint") ==
       graft.ops.TextAnalysis.fingerprint(clean))
+    // and the curated corpus commits into the manifest table like any batch
+    val out = java.nio.file.Files.createTempDirectory("graft_curated").toString + "/t"
+    graft.table.TranscriptTable.writeBatch(curated, out, "b000",
+      Map("n_turns" -> stats.nCurated.toString))
+    assert(graft.table.TranscriptTable.committedRowCount(out) == stats.nCurated)
+    assert(graft.table.TranscriptTable.read(spark, out).count() == stats.nCurated)
   }
 
   test("quality score ranks clean text above noise") {
