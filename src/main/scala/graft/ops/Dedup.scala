@@ -216,6 +216,21 @@ object Dedup {
     labels
   }
 
+  /** "No silent caps" diagnostic: the (band, bucket, count) rows that
+    * [[minhashPairs]] excludes from candidate generation at this
+    * `maxBucket`. Capped buckets are degenerate clusters (near-empty or
+    * boilerplate-identical docs) whose members exact dedup already
+    * collapses; a pipeline at scale surfaces THIS table in its audit
+    * output next to the pair counts, so a cap never reads as "no
+    * duplicates there". */
+  def minhashCappedBuckets(docs: DataFrame, maxBucket: Int = 1000,
+      textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
+      .select(col("doc_id"), posexplode(bandHashesUdf(col("sig"))).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
   /** Near-duplicate-aware corpus dedup: keep ONE doc per duplicate cluster
     * (the min-doc_id keeper) plus every unclustered doc — the operator a
     * training pipeline actually runs. The drop set (cluster members that

@@ -45,6 +45,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("hot-bucket cap is visible, not silent: capped groups fall to exact dedup") {
+    // 30 identical docs overflow every band bucket at maxBucket=10: the
+    // pair op emits nothing for them, the diagnostic reports the capped
+    // buckets, and exact dedup still collapses the group
+    val docs = docsDf((1L to 30L).map(i => (i, "identical tiny doc")) :+
+      (100L, sentence(91, 80)))
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.7, maxBucket = 10)
+      .collect()
+    assert(pairs.isEmpty, "capped bucket must generate no candidate pairs")
+    val capped = Dedup.minhashCappedBuckets(docs, maxBucket = 10).collect()
+    assert(capped.nonEmpty && capped.forall(_.getLong(2) == 30L),
+      s"diagnostic must surface the capped buckets: ${capped.toSeq}")
+    val groups = Dedup.exactGroups(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups.contains((30L, 1L)), "exact dedup catches the capped group")
+  }
+
   test("exact dedup keeps min doc_id per distinct text") {
     val docs = docsDf(Seq((5L, "same text"), (2L, "same text"), (9L, "same text"),
       (7L, "other text"), (8L, "third text")))
