@@ -49,9 +49,16 @@ object AsOfJoin {
       .orderBy((col(ts).asc +: col("__is_left").asc +: rPayload.map(col(_).asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    rPayload.foldLeft(lFull.union(rFull))(
-        (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    // the payload propagates as ONE struct: per-column last(ignoreNulls)
+    // would TEAR rows when a right row carries a null field (that column
+    // alone would backfill from an older right row); the struct is
+    // non-null exactly on right rows, so the match is row-atomic
+    lFull.union(rFull)
+      .withColumn("__r", when(col("__is_left") === 0,
+        struct(rPayload.map(col): _*)))
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
-      .select((common ++ lPayload ++ rPayload).map(col): _*)
+      .select((common ++ lPayload).map(col) ++
+        rPayload.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

@@ -292,6 +292,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("as-of join: multi-column payload with nulls is row-atomic (no tearing)") {
+    import org.apache.spark.sql.types._
+    val lSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", LongType), StructField("l_id", LongType)))
+    val rSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", LongType), StructField("r_id", LongType),
+      StructField("r_tag", StringType)))
+    val left = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, 50L, 100L)), lSchema)
+    val right = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, 10L, 200L, "old"),
+      org.apache.spark.sql.Row(1L, 40L, 201L, null)), rSchema) // latest has null tag
+    val row = graft.ops.AsOfJoin.asOf(left, right, Seq("k"), "ts").head
+    // the match is the LATEST right ROW as a unit: r_id=201 AND r_tag=null
+    // (a per-column fill would smear "old" into the newer row's null slot)
+    assert(row.getAs[Long]("r_id") == 201L, row.toString)
+    assert(row.isNullAt(row.fieldIndex("r_tag")), row.toString)
+  }
+
   test("as-of join edges: clashing payloads rejected, empty sides safe") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("k", LongType),
