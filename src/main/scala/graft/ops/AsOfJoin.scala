@@ -61,4 +61,69 @@ object AsOfJoin {
       .select((common ++ lPayload).map(col) ++
         rPayload.map(c => col(s"__r.$c").as(c)): _*)
   }
+
+  /** Skew-hardened as-of: identical contract to [[asOf]], but the running
+    * window partitions on (key, ts-bucket) so ONE hot key spreads across
+    * buckets instead of serializing into a single window task; a second
+    * pass over one row per (key, bucket) — tiny by construction — carries
+    * the last right row across bucket boundaries, and a left row whose
+    * bucket holds no prior right row takes that carry-in.
+    *
+    * `bucketExpr` must be a deterministic non-decreasing function of the
+    * `ts` column with orderable values (e.g. `date_trunc("hour", ts)`,
+    * `floor(col(ts) / width)`). Bucket width trades skew protection
+    * against carry-table size. */
+  def asOfBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, bucketExpr: org.apache.spark.sql.Column): DataFrame = {
+    val common = keys :+ ts
+    val lPayload = left.columns.toSeq.filterNot(common.contains)
+    val rPayload = right.columns.toSeq.filterNot(common.contains)
+    require(lPayload.intersect(rPayload).isEmpty,
+      s"payload columns must be disjoint: ${lPayload.intersect(rPayload)}")
+    val ordered = (common ++ lPayload ++ rPayload) :+ "__is_left"
+
+    val lFull = rPayload.foldLeft(left.withColumn("__is_left", lit(1)))(
+      (d, c) => d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+      .select(ordered.map(col): _*)
+    val rFull = lPayload.foldLeft(right.withColumn("__is_left", lit(0)))(
+      (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(ordered.map(col): _*)
+    val u = lFull.union(rFull)
+      .withColumn("__b", bucketExpr)
+      .withColumn("__r", when(col("__is_left") === 0,
+        struct(rPayload.map(col): _*)))
+
+    val rawOrder = col(ts) +: col("__is_left") +: rPayload.map(col(_))
+    // pass 1: local running last within (key, bucket) — skew bounded by
+    // the bucket width, not by the key's total volume
+    val wLocal = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(rawOrder.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localFilled = u.withColumn("__local", last(col("__r"), ignoreNulls = true).over(wLocal))
+
+    // pass 2 (tiny): one row per (key, bucket) = the bucket's FINAL right
+    // row; running last over bucket order gives each bucket its carry-in
+    // from all earlier buckets
+    val wInBucketDesc = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(rawOrder.map(_.desc_nulls_last): _*)
+    val bucketLast = u.filter(col("__is_left") === 0)
+      .withColumn("__rn", row_number().over(wInBucketDesc))
+      .filter(col("__rn") === 1)
+      .select((keys :+ "__b").map(col) :+ col("__r").as("__carry"): _*)
+    val allBuckets = u.select((keys :+ "__b").map(col): _*).distinct()
+    val wCarry = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = allBuckets
+      .join(bucketLast, keys :+ "__b", "left")
+      .withColumn("__carry_in", last(col("__carry"), ignoreNulls = true).over(wCarry))
+      .select((keys :+ "__b").map(col) :+ col("__carry_in"): _*)
+
+    localFilled
+      .join(carryIn, keys :+ "__b")
+      .filter(col("__is_left") === 1)
+      .withColumn("__r", coalesce(col("__local"), col("__carry_in")))
+      .select((common ++ lPayload).map(col) ++
+        rPayload.map(c => col(s"__r.$c").as(c)): _*)
+  }
 }

@@ -311,6 +311,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.isNullAt(row.fieldIndex("r_tag")), row.toString)
   }
 
+  test("bucketed (skew-hardened) as-of equals the plain form") {
+    import org.apache.spark.sql.types._
+    val lSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", LongType), StructField("l_id", LongType)))
+    val rSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", LongType), StructField("r_id", LongType)))
+    for (seed <- Seq(21L, 22L)) {
+      def gen(n: Int, salt: Long) = (0 until n).map { i =>
+        val h = graft.jobs.Synth.mix(seed * 10000 + salt * 100 + i)
+        // key skew: 2/3 of rows land on key 0
+        val k = if ((h & 3L) != 3L) 0L else (h >>> 2) & 3L
+        Seq(k, ((h >>> 8) & 63L), salt * 1000L + i)
+      }
+      val left = spark.createDataFrame(java.util.Arrays.asList(
+        gen(100, 1).map(r => org.apache.spark.sql.Row(r: _*)): _*), lSchema)
+      val right = spark.createDataFrame(java.util.Arrays.asList(
+        gen(70, 2).map(r => org.apache.spark.sql.Row(r: _*)): _*), rSchema)
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+      val plain = toMap(graft.ops.AsOfJoin.asOf(left, right, Seq("k"), "ts"))
+      // 8-wide ts buckets: carries must cross ~8 bucket boundaries
+      val bucketed = toMap(graft.ops.AsOfJoin.asOfBucketed(
+        left, right, Seq("k"), "ts", floor(col("ts") / 8)))
+      assert(bucketed == plain, s"seed=$seed")
+      // degenerate widths: one row per bucket / everything in one bucket
+      val fine = toMap(graft.ops.AsOfJoin.asOfBucketed(
+        left, right, Seq("k"), "ts", col("ts")))
+      val coarse = toMap(graft.ops.AsOfJoin.asOfBucketed(
+        left, right, Seq("k"), "ts", lit(0)))
+      assert(fine == plain && coarse == plain, s"seed=$seed degenerate widths")
+    }
+  }
+
   test("as-of join edges: clashing payloads rejected, empty sides safe") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("k", LongType),
