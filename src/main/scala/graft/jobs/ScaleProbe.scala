@@ -1,6 +1,6 @@
 package graft.jobs
 
-import graft.ops.{AnnIndex, Dedup, Similarity}
+import graft.ops.{AnnIndex, AsOfJoin, Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,26 @@ object ScaleProbe {
       Similarity.cosinePairs(vecsP, threshold = 0.9, nBits = 12).count())
     out(s"vecs_${nVecs}_neardup_pairs") = nd
     out(s"vecs_${nVecs}_neardup_sec") = tNd
+
+    // as-of skew probe: ~94% of 1M left rows on ONE key — the plain form
+    // serializes that key into a single window task; the bucketed form
+    // spreads it over ts-buckets + a tiny carry pass
+    {
+      import spark.implicits._
+      def gen(n: Int, salt: Long) = spark.range(0, n, 1, cpus.toInt).map { id =>
+        val h = Synth.mix(id * 31 + salt)
+        val k = if ((h & 15L) != 15L) 0L else (h >>> 4) & 63L
+        (k, (h >>> 16) & 0xFFFFFL, id)
+      }
+      val lAsof = gen(1000000, 1).toDF("k", "ts", "l_id").localCheckpoint()
+      val rAsof = gen(100000, 2).toDF("k", "ts", "r_id").localCheckpoint()
+      val (np, tPlain) = time(AsOfJoin.asOf(lAsof, rAsof, Seq("k"), "ts").count())
+      val (nb, tBuck) = time(AsOfJoin.asOfBucketed(lAsof, rAsof, Seq("k"), "ts",
+        floor(col("ts") / 4096)).count())
+      require(np == nb, s"skew probe mismatch: $np vs $nb")
+      out("asof_1m_hotkey_plain_sec") = tPlain
+      out("asof_1m_hotkey_bucketed_sec") = tBuck
+    }
 
     val json = out.map {
       case (k, v: Double) => f""""$k":$v%.3f"""
