@@ -53,8 +53,10 @@ object CurateJob {
       .withColumn("fingerprint", HashExprs.fingerprint64(col(textCol)))
       .localCheckpoint()
     val nCurated = curated.count()
-    val totalTokens =
-      curated.agg(sum(col("ws_tokens").cast("long"))).head.getLong(0)
+    // sum() is SQL NULL on an empty frame (everything filtered/deduped away)
+    val totalTokens = curated
+      .agg(coalesce(sum(col("ws_tokens").cast("long")), lit(0L)))
+      .head.getLong(0)
     (curated, CurateStats(nInput, nLang, nQual, nExact, nCurated, totalTokens))
   }
 }

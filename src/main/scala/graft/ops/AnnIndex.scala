@@ -236,27 +236,20 @@ object AnnIndex {
   // the Hadoop FS API driver-side: probing or freshness-checking an index
   // runs ZERO Spark jobs for its metadata (a parquet meta table would cost a
   // job per read and re-enter the DataSource path for an underscore dir).
-  // Write is temp + rename (atomic on HDFS-like stores; single-writer per
-  // dir assumed, as stated on build*).
+  // Write is temp + one atomic overwrite-rename (FsAtomic): a reader racing
+  // the writer sees the old meta or the new meta, never a missing file.
+  // Single-writer per dir still assumed for the DATA (as stated on build*).
   private def writeMeta(spark: SparkSession, dir: String, kind: String,
       param: Int, token: Long, nRows: Long,
       centroids: Array[Array[Double]] = Array.empty): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val metaDir = new org.apache.hadoop.fs.Path(s"$dir/_graft_meta")
-    val fs = metaDir.getFileSystem(conf)
-    val tmpP = new org.apache.hadoop.fs.Path(metaDir, ".meta.tmp")
-    val finalP = new org.apache.hadoop.fs.Path(metaDir, "meta.properties")
     // Double.toString/parseDouble round-trips exactly, so centroid geometry
     // survives the text encoding bit-for-bit
     val cent = if (centroids.isEmpty) ""
       else "centroids=" + centroids.map(_.mkString(",")).mkString(";") + "\n"
-    val out = fs.create(tmpP, true)
-    out.write((s"kind=$kind\nparam=$param\ntoken=$token\nn_rows=$nRows\n" + cent)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    fs.delete(finalP, false)
-    if (!fs.rename(tmpP, finalP))
-      throw new java.io.IOException(s"meta commit failed for $dir")
+    graft.util.FsAtomic.overwriteFile(spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_meta/meta.properties"),
+      (s"kind=$kind\nparam=$param\ntoken=$token\nn_rows=$nRows\n" + cent)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private def readMeta(spark: SparkSession, dir: String): Meta = {

@@ -160,17 +160,11 @@ object Bpe {
     * the tokenizer is a BUILD ARTIFACT — trained once, loaded by every
     * encode job — not a per-job computation. */
   def save(spark: org.apache.spark.sql.SparkSession, model: Model,
-      path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-    val out = fs.create(tmp, true)
-    out.write(model.merges.map { case (a, b) => s"$a $b" }.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) throw new java.io.IOException(s"bpe save failed: $path")
-  }
+      path: String): Unit =
+    graft.util.FsAtomic.overwriteFile(spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(path),
+      model.merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -1,9 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the 64-bit content hashes the dedup /
@@ -18,6 +19,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  // reject `simhash64(123)`-style SQL at ANALYSIS time with a clear error
+  // instead of a codegen ClassCastException at execution (AbstractDataType /
+  // ExpectsInputTypes are private[sql], so the public check hook is used)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
   override protected def nullSafeEval(input: Any): Any =
     Dedup.simhashUtf8(input.asInstanceOf[UTF8String])
 
@@ -31,6 +40,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "fingerprint64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(input: Any): Any =
     TextAnalysis.fingerprintUtf8(input.asInstanceOf[UTF8String])

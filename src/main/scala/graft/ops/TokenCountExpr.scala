@@ -1,10 +1,11 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: whitespace token count over a string column.
@@ -18,6 +19,13 @@ case class WsTokenCount(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "ws_token_count"
+
+  // reject non-string arguments at ANALYSIS time (clear error), not as a
+  // codegen ClassCastException at execution time
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(input: Any): Any =
     WsTokenCount.count(input.asInstanceOf[UTF8String])

@@ -43,9 +43,17 @@ object StreamingSessions {
             Iterator(ClosedSession(user, new Timestamp(s.start),
               new Timestamp(s.last), s.n))
           } else {
+            // flatMapGroupsWithState does NOT drop late rows itself (unlike
+            // the built-in stateful operators): an event below the current
+            // watermark may belong to a session that already closed — merging
+            // it into the newer open session would diverge from the batch
+            // q13 semantics, so it is dropped here, exactly the contract the
+            // watermark declares
+            val wm = state.getCurrentWatermarkMs()
             // per-batch events for this user, in event-time order (the
             // iterator is NOT ordered; a batch may span several sessions)
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = evs.filter(_.ts.getTime >= wm)
+              .toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var open = state.getOption
             val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
             sorted.foreach { e =>

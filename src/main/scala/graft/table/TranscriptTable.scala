@@ -2,7 +2,7 @@ package graft.table
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Iceberg-*like* table: partitioned Parquet + an atomic per-batch commit
@@ -87,11 +87,25 @@ object TranscriptTable {
         s"""  "n_files": ${files.length}""",
         s"""  "files": [\n$fileList\n  ]""") ++ extras).mkString("{\n", ",\n", "\n}\n")
     }
-    val tmp = mdir.resolve(s".manifest-$batchId.json.tmp")
+    // writer-unique tmp: two racing committers of the same batch id must
+    // never share a staging file, or the winner could publish the loser's
+    // half-written bytes
+    val tmp = mdir.resolve(
+      s".manifest-$batchId.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp, json.getBytes(UTF_8))
-    // atomic visibility flip
-    Files.move(tmp, mdir.resolve(s"manifest-$batchId.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // CAS visibility flip: hard-linking into place is create-EXCLUSIVE, so
+    // when two writers race on one batch id exactly one wins and the loser
+    // gets a clean error — never a torn or silently overwritten manifest.
+    // (A plain ATOMIC_MOVE rename REPLACES an existing target on POSIX.)
+    val manifest = mdir.resolve(s"manifest-$batchId.json")
+    try Files.createLink(manifest, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"concurrent commit: batch $batchId already committed in $table")
+    }
+    Files.delete(tmp)
   }
 
   private def manifestJson(table: String, b: String): String =
@@ -148,6 +162,11 @@ object TranscriptTable {
     require(batchIds.forall(isCommitted(table, _)),
       s"compact requires committed batches: $batchIds")
     require(!isCommitted(table, newBatchId), s"$newBatchId already committed")
+    // time travel resolves retirement from manifests with id <= asOf, so a
+    // compaction manifest must sort AFTER everything it replaces — otherwise
+    // a snapshot between newBatchId and the replaced ids would double-read
+    require(batchIds.forall(_ < newBatchId),
+      s"compacted batch id $newBatchId must sort after the batches it replaces")
     val retired = replacedBatches(table)
     require(batchIds.forall(!retired.contains(_)),
       "a batch can be compacted only once")

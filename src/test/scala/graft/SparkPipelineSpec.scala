@@ -178,6 +178,47 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get(TranscriptTable.dataDir(out, "b000"))))
     assert(TranscriptTable.read(spark, out).count() == n1)
     assert(digest() == d1, "post-vacuum snapshot unchanged")
+
+    // a compaction id must sort AFTER the batches it replaces, or asOf
+    // snapshots between them would double-read
+    intercept[IllegalArgumentException] {
+      TranscriptTable.compact(spark, out, Seq("b003"), "a000")
+    }
+    rmrf(out)
+  }
+
+  test("manifest commit is CAS: two racing writers -> one winner, clean loser") {
+    val out = "/tmp/graft_test_race"
+    rmrf(out)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    TranscriptTable.writeData(df, out, "b000") // staged, uncommitted
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        barrier.await()
+        try {
+          TranscriptTable.commit(out, "b000", Map("writer" -> i.toString))
+          results.add(s"ok-$i")
+        } catch {
+          case _: IllegalStateException => results.add(s"lost-$i")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val rs = results.toArray.map(_.toString).toSeq
+    assert(rs.count(_.startsWith("ok")) == 1, rs.toString)
+    assert(rs.count(_.startsWith("lost")) == 1, rs.toString)
+    // exactly one manifest, fully parseable, no tmp litter
+    assert(TranscriptTable.committedBatches(out) == Seq("b000"))
+    val mdir = TranscriptTable.manifestDir(out).toFile
+    assert(mdir.listFiles().count(_.getName.endsWith(".tmp")) == 0)
+    val manifest = new String(Files.readAllBytes(
+      TranscriptTable.manifestDir(out).resolve("manifest-b000.json")), "UTF-8")
+    assert(manifest.contains("\"batch_id\": \"b000\"") && manifest.endsWith("}\n"))
+    assert(TranscriptTable.read(spark, out).count() == 2)
     rmrf(out)
   }
 
@@ -268,6 +309,13 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaFn = docs.collect()
       .map(r => (r.getAs[Long]("doc_id"), graft.ops.Dedup.simhash(r.getAs[String]("text")))).toMap
     assert(viaExpr == viaFn)
+    // non-string arguments are rejected at ANALYSIS time (clear error),
+    // matching built-in expression behavior — not a codegen ClassCastException
+    for (bad <- Seq("SELECT simhash64(123)", "SELECT fingerprint64(array(1,2))",
+        "SELECT ws_token_count(123)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] { spark.sql(bad).collect() }
+      assert(e.getMessage.contains("requires a string argument"), s"$bad -> ${e.getMessage}")
+    }
   }
 
   test("typed lineage aggregator merges across partitions") {

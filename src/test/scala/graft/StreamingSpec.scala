@@ -143,4 +143,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!all.exists(_.user_id == 2L), all.toString)
     } finally q.stop()
   }
+
+  test("streaming sessionization drops cross-batch late events below the watermark") {
+    val sp = spark
+    import sp.implicits._
+    import graft.streaming.{ClosedSession, SessionEvent, StreamingSessions}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+    val input = MemoryStream[SessionEvent]
+    val q = StreamingSessions.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("graft_sessions_late")
+      .outputMode("append").start()
+    try {
+      // user 1 opens a session [0, 10]
+      input.addData(SessionEvent(1L, 1L, ts(0)), SessionEvent(1L, 2L, ts(10)))
+      q.processAllAvailable()
+      // another user pushes the watermark to ts(90) (visible one batch later)
+      input.addData(SessionEvent(2L, 3L, ts(100)))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, 4L, ts(101)))
+      q.processAllAvailable()
+      // ts(20) is now BELOW the watermark: without the late filter it would
+      // stretch user 1's open session to [0, 20] before ts(200) closes it —
+      // diverging from the batch q13 semantics the watermark contract pins
+      input.addData(SessionEvent(1L, 5L, ts(20)), SessionEvent(1L, 6L, ts(200)))
+      q.processAllAvailable()
+      val all = spark.table("graft_sessions_late").as[ClosedSession].collect().toSeq
+      assert(all.contains(ClosedSession(1L, ts(0), ts(10), 2)), all.toString)
+      assert(!all.exists(s => s.user_id == 1L && s.session_end == ts(20)), all.toString)
+    } finally q.stop()
+  }
 }
