@@ -83,4 +83,29 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     Bpe.save(spark, loaded, path)
     assert(Bpe.load(spark, path).merges.toSeq == model.merges.toSeq)
   }
+
+  test("trainCached: repeat call on unchanged input runs ZERO Spark jobs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe_c").toString + "/model.bpe"
+    val m1 = Bpe.trainCached(docs, path, nMerges = 48) // cold: trains + saves
+    assert(Bpe.readHeader(spark, path).contains("token"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val m2 = try {
+      val m = Bpe.trainCached(docs, path, nMerges = 48) // warm: header match
+      Thread.sleep(1000) // listener bus is async; drain before asserting
+      m
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      s"warm trainCached must load, not retrain (ran ${jobs.get()} jobs)")
+    assert(m2.merges.toSeq == m1.merges.toSeq)
+    // changed trainer params -> header mismatch -> retrains
+    val m3 = Bpe.trainCached(docs, path, nMerges = 32)
+    assert(m3.merges.length <= 32)
+    assert(Bpe.readHeader(spark, path)("nMerges") == "32")
+  }
 }
