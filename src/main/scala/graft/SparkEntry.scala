@@ -104,6 +104,18 @@ object SparkEntry {
         .orderBy("doc_id")),
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)),
+    "x_simhash_pairs" -> ((s, dir) =>
+      // driver-verifiable simhash contract: the SAME pigeonhole blocking +
+      // hamming pairing as x_dedup_simhash, with the token hash swapped to
+      // md5-lower-64 — which DuckDB recomputes exactly (md5_number_lower) —
+      // so the oracle brute-forces all-pairs hamming and verifies BOTH the
+      // simhash bit-aggregation math AND the pigeonhole candidate
+      // completeness. The production FNV kernel differs only in the token
+      // hash (shared simhashWith kernel; pinned by the pigeonhole==brute-
+      // force local test).
+      Dedup.simhashPairs(t(s, dir, "documents").filter(col("doc_id") < 1000),
+          maxDist = 3, hashFn = c => Dedup.simhashMd5Udf(c))
+        .orderBy("doc_a", "doc_b")),
     "x_ann_brute" -> ((s, dir) => {
       // oracle-checkable form: integer rank + 6-decimal cosine (engines
       // differ by ~1 ulp in fp64 accumulation; rank gaps are >=8e-6 on this
@@ -157,6 +169,27 @@ object SparkEntry {
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_lsh_sf${sfOf(dir)}"
       AnnIndex.buildLsh(emb, idx, nBits = 8)
       AnnIndex.probeLsh(s, idx, q, 50)
+    }),
+    "x_ann_ivf_build" -> ((s, dir) => {
+      // the persisted IVF twin of x_ann_index_build: k-means centroids +
+      // cell-partitioned write, committed metadata (incl. the KB-sized
+      // centroid table) in _graft_meta. Sorts before x_ann_ivf_probe in the
+      // alphabetical sweep, so the probe row measures probe cost.
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_ivf_sf${sfOf(dir)}"
+      AnnIndex.buildIvf(emb, idx, nCells = 16)
+      AnnIndex.describe(s, idx)
+    }),
+    "x_ann_ivf_probe" -> ((s, dir) => {
+      // probe trusts the committed meta: centroid ranking is driver-side
+      // math over the committed centroids, the scan reads ONLY the probed
+      // cell partitions (adaptive nProbe from the committed row count)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").select("embedding").head
+        .getSeq[Float](0).toArray
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_ivf_sf${sfOf(dir)}"
+      AnnIndex.buildIvf(emb, idx, nCells = 16)
+      AnnIndex.probeIvf(s, idx, q, 50)
     }),
     "x_embed_neardup" -> ((s, dir) =>
       Similarity.cosineTopPairs(t(s, dir, "embeddings"), k = 100)),
@@ -474,11 +507,46 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "x_simhash_pairs" ->
+      // full recomputation of the md5-token-hash simhash in SQL: per-doc
+      // unigram counts -> signed bit votes over all 64 bits -> packed hash,
+      // then brute-force all-pairs hamming via bit_count(xor()). The Spark
+      // side must emit EXACTLY these pairs (pigeonhole completeness).
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 1000),
+        |cnt AS (
+        |  SELECT doc_id, tok, count(*)::BIGINT AS w
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        |  GROUP BY doc_id, tok),
+        |packed AS (
+        |  SELECT doc_id, list(struct_pack(h := md5_number_lower(tok), w := w)) AS hw
+        |  FROM cnt GROUP BY doc_id),
+        |sim0 AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(generate_series(0, 63), b ->
+        |      CASE WHEN list_sum(list_transform(hw, s ->
+        |             CASE WHEN (s.h >> b) & 1 = 1 THEN s.w ELSE -s.w END)) > 0
+        |           THEN (1::UBIGINT << b) ELSE 0::UBIGINT END))::UBIGINT AS sh
+        |  FROM packed),
+        |sim AS (
+        |  SELECT t.doc_id, coalesce(s.sh, 0::UBIGINT) AS sh
+        |  FROM toks t LEFT JOIN sim0 s ON t.doc_id = s.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  cast(bit_count(xor(a.sh, b.sh)) as int) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "x_ann_index_build" ->
       // the build commits (kind, nBits, row count, centroid count) as index
       // metadata; the oracle pins the committed cardinality to the table's
       """SELECT 'lsh' AS kind, 8 AS param, count(*) AS n_rows,
         |  0 AS n_centroids FROM embeddings""".stripMargin,
+    "x_ann_ivf_build" ->
+      // k-means always returns exactly nCells centers (empty cells keep
+      // their previous center), so the committed centroid count is pinned
+      """SELECT 'ivf' AS kind, 16 AS param, count(*) AS n_rows,
+        |  16 AS n_centroids FROM embeddings""".stripMargin,
     "x_dedup_minhash" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t

@@ -245,14 +245,16 @@ object Dedup {
   }
 
   // -------------------------------------------------------------- simhash
-  /** 64-bit SimHash over token unigrams (token frequency weighted). */
-  def simhash(text: String): Long = {
+  /** 64-bit SimHash over token unigrams (token frequency weighted),
+    * parametrized by the per-token hash so the oracle variant below can
+    * swap in a DuckDB-recomputable hash without duplicating the kernel. */
+  def simhashWith(text: String, tokenHash: String => Long): Long = {
     val counts = scala.collection.mutable.HashMap.empty[String, Int]
     text.toLowerCase.split("\\W+").filter(_.nonEmpty)
       .foreach(t => counts(t) = counts.getOrElse(t, 0) + 1)
     val acc = new Array[Int](64)
     counts.foreach { case (t, w) =>
-      val h = xx(t)
+      val h = tokenHash(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
@@ -265,7 +267,25 @@ object Dedup {
     out
   }
 
+  /** Production kernel: FNV-1a token hash (allocation-free, fastest). */
+  def simhash(text: String): Long = simhashWith(text, xx)
+
+  /** DuckDB `md5_number_lower` semantics: LAST 8 bytes of the md5 digest,
+    * little-endian — the token hash the driver's oracle can recompute. */
+  def md5Lower64(tok: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
+  /** Oracle-checkable simhash: same bit-aggregation math, md5 token hash. */
+  def simhashMd5(text: String): Long = simhashWith(text, md5Lower64)
+
   val simhashUdf = udf((text: String) => simhash(text))
+  val simhashMd5Udf = udf((text: String) => simhashMd5(text))
 
   /** Static entry for the [[SimHash64]] codegen path (same kernel). */
   def simhashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
@@ -275,16 +295,18 @@ object Dedup {
     * blocking: split the 64-bit hash into (maxDist+1) segments; any pair
     * within maxDist must agree on at least one segment — join per segment. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, textCol: String = "text",
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      hashFn: Column => Column = HashExprs.simhash64): DataFrame = {
     val nSeg = maxDist + 1
     val segWidth = 64 / nSeg
     val segUdf = udf((h: Long) =>
       (0 until nSeg).map(s => (s.toLong << 32) | ((h >>> (s * segWidth)) & ((1L << segWidth) - 1))))
     // barrier: one simhash evaluation per doc (the self-join below would
     // otherwise re-derive it on both branches); (doc_id, long) is tiny.
-    // Native SimHash64 expression: stays inside whole-stage codegen.
+    // Default hashFn is the native SimHash64 expression: stays inside
+    // whole-stage codegen.
     val hashes = docs.select(col("doc_id"),
-        HashExprs.simhash64(col(textCol)).as("simhash"))
+        hashFn(col(textCol)).as("simhash"))
       .localCheckpoint()
     val hashed0 = hashes.withColumn("seg", explode(segUdf(col("simhash"))))
     val hotSegs = hashed0.groupBy(col("seg")).count()

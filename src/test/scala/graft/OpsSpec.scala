@@ -105,6 +105,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "ground truth should contain planted near-dups")
   }
 
+  test("md5Lower64 matches DuckDB md5_number_lower; md5 kernel shares the math") {
+    // pinned against `SELECT md5_number_lower('abc')` (last 8 digest bytes,
+    // little-endian) — the token hash the x_simhash_pairs oracle recomputes
+    assert(Dedup.md5Lower64("abc") == 8250560606382298838L)
+    // both kernels are simhashWith: identical tokenization + bit votes
+    val t = "the quick brown fox jumps over the lazy dog"
+    assert(Dedup.simhashMd5(t) == Dedup.simhashWith(t, Dedup.md5Lower64))
+    assert(Dedup.simhash(t) != Dedup.simhashMd5(t)) // different token hash
+  }
+
   test("ngram jaccard verification discriminates") {
     val base = sentence(21, 100)
     val near = base.split(" ").toSeq.patch(10, Seq("x"), 1).mkString(" ")
