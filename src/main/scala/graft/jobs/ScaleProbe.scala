@@ -117,6 +117,16 @@ object ScaleProbe {
       require(np == nb, s"skew probe mismatch: $np vs $nb")
       out("asof_1m_hotkey_plain_sec") = tPlain
       out("asof_1m_hotkey_bucketed_sec") = tBuck
+      // auto-routing: the bounded skew probe must see the ~94%-hot key and
+      // route this shape to the bucketed form
+      val (share, sampled) = AsOfJoin.keySkew(lAsof, rAsof, Seq("k"))
+      require(share >= 0.2, s"skew probe must detect the hot key: $share")
+      val (na, tAuto) = time(AsOfJoin.asOfAuto(lAsof, rAsof, Seq("k"), "ts",
+        floor(col("ts") / 4096)).count())
+      require(na == np, s"auto probe mismatch: $na vs $np")
+      out("asof_skew_top_share") = share
+      out("asof_skew_sampled_rows") = sampled
+      out("asof_1m_hotkey_auto_sec") = tAuto
     }
 
     val json = out.map {

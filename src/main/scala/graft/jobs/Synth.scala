@@ -221,6 +221,30 @@ object Synth {
   private val MonthsFrAbbr = Vector("janv.", "févr.", "mars", "avr.", "mai",
     "juin", "juil.", "août", "sept.", "oct.", "nov.", "déc.")
 
+  private val MonthsRu = Vector("января", "февраля", "марта", "апреля",
+    "мая", "июня", "июля", "августа", "сентября", "октября", "ноября",
+    "декабря")
+  private val MonthsRuAbbr = Vector("янв.", "фев.", "мар.", "апр.", "мая",
+    "июн.", "июл.", "авг.", "сен.", "окт.", "ноя.", "дек.")
+
+  /** Form-wheel notches 8-15: ru genitive/abbr, zh/ja 年月日, ko 년월일,
+    * and timezone-offset ISO/RFC-1123 datetimes (literal wall-clock). */
+  private def intlDate2(iso: String, form: Int, k: Long): String = {
+    val d = java.time.LocalDate.parse(iso)
+    val hh = ((k >>> 12) & 0x7fffL) % 24
+    val mm = ((k >>> 27) & 0x7fffL) % 60
+    form match {
+      case 8  => s"${d.getDayOfMonth} ${MonthsRu(d.getMonthValue - 1)} ${d.getYear}"
+      case 9  => s"${d.getDayOfMonth} ${MonthsRuAbbr(d.getMonthValue - 1)} ${d.getYear} г."
+      case 10 => s"${d.getYear}年${d.getMonthValue}月${d.getDayOfMonth}日"
+      case 11 => s"${d.getYear}년 ${d.getMonthValue}월 ${d.getDayOfMonth}일"
+      case 12 => f"${iso}T$hh%02d:$mm%02d:00+02:00"
+      case 13 => f"${iso}T$hh%02d:$mm%02d:07Z"
+      case 14 => rfc1123(iso).stripSuffix("GMT") + "+0200"
+      case _  => s"${d.getDayOfMonth} ${MonthsRu(d.getMonthValue - 1)} ${d.getYear} г."
+    }
+  }
+
   /** de/fr/es day-first visible date forms (+ ISO datetime with clock). */
   private def intlDate(iso: String, lang: Int): String = {
     val d = java.time.LocalDate.parse(iso)
@@ -245,16 +269,19 @@ object Synth {
     // pinned validate_date quirk, so it is removed in these variants)
     val variant = ((k >>> 7) & 3L).toInt
     val ordinalForm = ((k >>> 9) & 1L) == 1L
-    // variant-0 form wheel widened (bits 9-11): forms 0/1 keep the exact
-    // pre-widening shapes (rfc1123 / ordinal), 2-6 are the de/fr/es
-    // day-first forms, 7 is an ISO datetime with a clock time
-    val form0 = ((k >>> 9) & 7L).toInt
+    // variant-0 form wheel, widened twice: bits 9-11 give forms 0-7 (0/1
+    // keep the exact pre-widening shapes, 2-6 de/fr/es day-first, 7 ISO
+    // datetime with clock); bit 42 is the round-4 high bit selecting forms
+    // 8-15 (ru/zh/ko + timezone-offset datetimes) — a previously-unused
+    // bit, so forms 0-7 keep their exact old assignment when it is 0
+    val form0 = ((k >>> 9) & 7L).toInt + (((k >>> 42) & 1L).toInt << 3)
     val timeEl = variant match {
       case 0 => form0 match {
         case 0 => s"\n<time>${rfc1123(isoDate(k + 9))}</time>"
         case 1 => s"\n<time>${ordinalDate(isoDate(k + 9), dayFirst = false)}</time>"
         case 7 => s"\n<time>${isoDate(k + 9)} ${"%02d:%02d".format(
           ((k >>> 12) & 0x7fffL) % 24, ((k >>> 27) & 0x7fffL) % 60)}</time>"
+        case f if f >= 8 => s"\n<time>${intlDate2(isoDate(k + 9), f, k)}</time>"
         case f => s"\n<time>${intlDate(isoDate(k + 9), f - 2)}</time>"
       }
       case 1 =>

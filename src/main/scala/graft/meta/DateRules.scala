@@ -76,7 +76,33 @@ object DateRules {
       ")(?!\\p{L})\\.?\\s+(?:de\\s+)?(\\d{4})",
     Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
 
-  // clock time for the datetime-preserving parse: "09:05", "09:05:07"
+  // Russian genitive month names + common abbreviations — the date form
+  // ("3 января 2008 г.") the engine's langId 'ru' claims; reached in the
+  // reference through dateparser.parse (pipeline.py:104)
+  private val RuMonths: Map[String, Int] = Map(
+    "января" -> 1, "янв" -> 1, "февраля" -> 2, "фев" -> 2, "марта" -> 3,
+    "мар" -> 3, "апреля" -> 4, "апр" -> 4, "мая" -> 5, "май" -> 5,
+    "июня" -> 6, "июн" -> 6, "июля" -> 7, "июл" -> 7, "августа" -> 8,
+    "авг" -> 8, "сентября" -> 9, "сен" -> 9, "сент" -> 9, "октября" -> 10,
+    "окт" -> 10, "ноября" -> 11, "ноя" -> 11, "декабря" -> 12, "дек" -> 12)
+  private val RuMonthAlt = RuMonths.keys.toSeq.sortBy(-_.length).mkString("|")
+  private val RuDayFirst = Pattern.compile(
+    "(\\d{1,2})\\.?\\s+(" + RuMonthAlt + ")(?!\\p{L})\\.?\\s+(\\d{4})",
+    Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
+
+  // CJK numeric-era forms: zh/ja "2008年6月3日", ko "2008년 6월 3일" —
+  // year-first with explicit unit suffixes, no month-name table needed
+  private val CjkDate = Pattern.compile(
+    "(\\d{4})\\s*年\\s*(\\d{1,2})\\s*月\\s*(\\d{1,2})\\s*日")
+  private val KoDate = Pattern.compile(
+    "(\\d{4})\\s*년\\s*(\\d{1,2})\\s*월\\s*(\\d{1,2})\\s*일")
+
+  // clock time for the datetime-preserving parse: "09:05", "09:05:07".
+  // Timezone-offset datetimes ("...T09:05:07+02:00", "... 09:05:07 GMT",
+  // "... +0200") keep the LITERAL clock time: find() takes the leftmost
+  // time, so the offset's own digits never win — matching dateparser, which
+  // returns the literal wall-clock with tzinfo attached (the pipeline
+  // formats the wall-clock, it does not normalize to UTC)
   private val TimeOfDay = Pattern.compile(
     "(?<![0-9:])(\\d{1,2}):(\\d{2})(?::(\\d{2}))?(?![0-9])")
 
@@ -137,6 +163,15 @@ object DateRules {
       val mon = IntlMonths.getOrElse(m6.group(2).toLowerCase(java.util.Locale.ROOT), 0)
       if (mon > 0) return valid(m6.group(3).toInt, mon, m6.group(1).toInt)
     }
+    val m7 = RuDayFirst.matcher(s)
+    if (m7.find()) {
+      val mon = RuMonths.getOrElse(m7.group(2).toLowerCase(java.util.Locale.ROOT), 0)
+      if (mon > 0) return valid(m7.group(3).toInt, mon, m7.group(1).toInt)
+    }
+    val m8 = CjkDate.matcher(s)
+    if (m8.find()) return valid(m8.group(1).toInt, m8.group(2).toInt, m8.group(3).toInt)
+    val m9 = KoDate.matcher(s)
+    if (m9.find()) return valid(m9.group(1).toInt, m9.group(2).toInt, m9.group(3).toInt)
     None
   }
 

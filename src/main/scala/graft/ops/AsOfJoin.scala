@@ -126,4 +126,48 @@ object AsOfJoin {
       .select((common ++ lPayload).map(col) ++
         rPayload.map(c => col(s"__r.$c").as(c)): _*)
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Cheap key-skew probe: top-key share of a BOUNDED uniform sample of the
+    * two inputs' key columns (column-pruned scan; Bernoulli `sample` needs
+    * no prior count, and `maxSampleRows` hard-bounds what reaches the
+    * aggregate). Returns (topKeyShare, sampledRows).
+    *
+    * The sample must be per-ROW Bernoulli, NOT a hash of the key columns:
+    * hashing the key keeps or drops every row of a key together, turning
+    * the probe into a sample of KEYS — it would miss the hot key 99% of
+    * the time and report a meaningless share for whichever key survived
+    * (caught by ScaleProbe: share=1.0 from a single sampled tail key). */
+  private[graft] def keySkew(left: DataFrame, right: DataFrame,
+      keys: Seq[String], sampleFraction: Double = 0.01,
+      maxSampleRows: Int = 100000): (Double, Long) = {
+    val probe = left.select(keys.map(col): _*)
+      .unionByName(right.select(keys.map(col): _*))
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+      .limit(maxSampleRows)
+    val agg = probe.groupBy(keys.map(col): _*).count()
+      .agg(max(col("count")).as("top"), sum(col("count")).as("total")).head
+    if (agg.isNullAt(1) || agg.getLong(1) == 0L) (0.0, 0L)
+    else (agg.getLong(0).toDouble / agg.getLong(1), agg.getLong(1))
+  }
+
+  /** Auto-routing as-of join: probes key skew and picks [[asOf]] (one
+    * window shuffle — wins whenever no key dominates) or [[asOfBucketed]]
+    * (skew insurance — a dominant key would serialize the plain form's
+    * window into one straggler task). The measured local crossover
+    * (BENCH.md as-of probe) favors plain well past 10M rows per key, so
+    * the default `hotKeyShare` routes to bucketed only for the pathological
+    * shapes the bucketed form exists for. The decision is logged. */
+  def asOfAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, bucketExpr: org.apache.spark.sql.Column,
+      hotKeyShare: Double = 0.2, sampleFraction: Double = 0.01,
+      maxSampleRows: Int = 100000): DataFrame = {
+    val (share, sampled) = keySkew(left, right, keys, sampleFraction, maxSampleRows)
+    val useBucketed = sampled > 0 && share >= hotKeyShare
+    log.info(s"asOfAuto: topKeyShare=$share over $sampled sampled rows -> " +
+      (if (useBucketed) "BUCKETED (skew-hardened)" else "PLAIN (single window)"))
+    if (useBucketed) asOfBucketed(left, right, keys, ts, bucketExpr)
+    else asOf(left, right, keys, ts)
+  }
 }

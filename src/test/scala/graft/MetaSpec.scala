@@ -293,6 +293,38 @@ class MetaSpec extends AnyFunSuite {
     assert(parseAny("June 3, 2008") == Some("2008-06-03"))
   }
 
+  test("date grammar: ru genitive, zh/ja/ko numeric-era, tz-offset datetimes") {
+    import graft.meta.DateRules.{parseAny, parseDateTime}
+    import java.time.LocalDateTime
+    // Russian genitive (full + abbreviated, optional trailing "г.")
+    assert(parseAny("3 января 2008") == Some("2008-01-03"))
+    assert(parseAny("15 августа 2020 г.") == Some("2020-08-15"))
+    assert(parseAny("5 авг. 2019 г.") == Some("2019-08-05"))
+    assert(parseAny("12 мая 2021") == Some("2021-05-12"))
+    assert(parseAny("28 сент. 2019") == Some("2019-09-28"))
+    // month token must be a whole word ("мартин" is not "марта"/"мар")
+    assert(parseAny("3 мартин 2008") == None)
+    // zh/ja 年月日 and ko 년월일 (year-first, unit suffixes)
+    assert(parseAny("2008年6月3日") == Some("2008-06-03"))
+    assert(parseAny("2020年12月31日") == Some("2020-12-31"))
+    assert(parseAny("2008년 6월 3일") == Some("2008-06-03"))
+    assert(parseAny("2021년 1월 9일") == Some("2021-01-09"))
+    // timezone-offset datetimes keep the LITERAL wall-clock (dateparser
+    // semantics: tz-aware result, wall-clock formatted — no UTC shift);
+    // the leftmost-time rule keeps the offset's digits from winning
+    assert(parseDateTime("2024-03-05T10:00:00+02:00") ==
+      Some(LocalDateTime.of(2024, 3, 5, 10, 0, 0)))
+    assert(parseDateTime("2024-03-05T10:30:00-05:30") ==
+      Some(LocalDateTime.of(2024, 3, 5, 10, 30, 0)))
+    assert(parseDateTime("Tue, 03 Jun 2008 09:05:07 +0200") ==
+      Some(LocalDateTime.of(2008, 6, 3, 9, 5, 7)))
+    // ru/CJK date-only forms stay midnight through parseDateTime
+    assert(parseDateTime("3 января 2008") ==
+      Some(LocalDateTime.of(2008, 1, 3, 0, 0)))
+    assert(parseDateTime("2008年6月3日") ==
+      Some(LocalDateTime.of(2008, 6, 3, 0, 0)))
+  }
+
   test("parseDateTime preserves time-of-day; date-only stays midnight") {
     import graft.meta.DateRules.parseDateTime
     import java.time.LocalDateTime

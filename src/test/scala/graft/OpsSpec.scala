@@ -351,6 +351,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val coarse = toMap(graft.ops.AsOfJoin.asOfBucketed(
         left, right, Seq("k"), "ts", lit(0)))
       assert(fine == plain && coarse == plain, s"seed=$seed degenerate widths")
+
+      // auto-routing: the skew probe sees key 0 holding ~2/3 of rows ->
+      // routes to the bucketed form; a de-skewed copy routes plain. Either
+      // way the result is the plain result (equivalence pinned above).
+      val (share, sampled) = graft.ops.AsOfJoin.keySkew(
+        left, right, Seq("k"), sampleFraction = 1.0)
+      assert(sampled == 170 && share > 0.5, s"share=$share sampled=$sampled")
+      val auto = toMap(graft.ops.AsOfJoin.asOfAuto(left, right, Seq("k"), "ts",
+        floor(col("ts") / 8), sampleFraction = 1.0))
+      assert(auto == plain, s"seed=$seed auto routing must preserve semantics")
+      val uniqLeft = left.withColumn("k", col("l_id")) // every key distinct
+      val (share2, _) = graft.ops.AsOfJoin.keySkew(
+        uniqLeft, right.withColumn("k", col("r_id")), Seq("k"), sampleFraction = 1.0)
+      assert(share2 < 0.2, s"uniform keys must read as unskewed: $share2")
     }
   }
 
