@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("fingerprint64"),
       new ExpressionInfo(classOf[ops.Fingerprint64].getName, "fingerprint64"),
       (exprs: Seq[Expression]) => ops.Fingerprint64(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[ops.CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => ops.CosineSim(exprs.head, exprs(1))))
   }
 }

@@ -249,6 +249,23 @@ object SparkEntry {
         .orderBy("doc_id")),
     "x_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"))),
+    "x_text_stats" -> ((s, dir) =>
+      // the oracled projection of x_text_analysis: every double is the
+      // SAME IEEE expression tree in both engines (int/int divisions,
+      // left-assoc adds — the x_curate score technique), rounded to 6
+      // decimals on both sides like x_cosine_pairs. bpe_tokens_est and
+      // fingerprint stay rows-only (RE2 has no lookahead; FNV rolling
+      // hash is not SQL-expressible).
+      TextAnalysis.analyze(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+          round(col("mean_word_len"), 6).as("mean_word_len_r6"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio_r6"),
+          round(col("punct_ratio"), 6).as("punct_ratio_r6"),
+          round(col("digit_ratio"), 6).as("digit_ratio_r6"),
+          round(col("upper_ratio"), 6).as("upper_ratio_r6"),
+          round(col("quality_score"), 6).as("quality_score_r6"),
+          col("ws_tokens"))
+        .orderBy("doc_id")),
     "x_langid_pred" -> ((s, dir) =>
       // per-doc language-ID prediction with a DuckDB oracle replicating the
       // heuristic's Latin path exactly (stopword-hit argmax with the
@@ -728,6 +745,57 @@ object SparkEntry {
         |SELECT doc_id, lang_pred, ws_tokens FROM ex
         |WHERE doc_id NOT IN (SELECT doc_id FROM drop_set)
         |ORDER BY doc_id""".stripMargin,
+    "x_text_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'), x -> x <> '') AS wtoks,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS ltoks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, text, wtoks, ltoks,
+        |    len(list_filter(ltoks, x -> list_contains(['the','and','of','to','in','is','that','for','with','was','are','this'], x))) AS n_en,
+        |    len(list_filter(ltoks, x -> list_contains(['le','la','les','et','des','est','dans','que','pour','une','qui','sur'], x))) AS n_fr,
+        |    len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist','von','den','mit','auf','ein','nicht'], x))) AS n_de,
+        |    len(list_filter(ltoks, x -> list_contains(['el','la','los','las','y','de','que','en','es','por','con','para'], x))) AS n_es,
+        |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \t\n\r\x0B\f]', '', 'g')) AS n_punct,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_letter
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN NOT regexp_matches(text, '[A-Za-z]') THEN 'und'
+        |    WHEN greatest(n_en, n_fr, n_de, n_es) = 0 THEN 'la'
+        |    WHEN n_en >= n_fr AND n_en >= n_de AND n_en >= n_es THEN 'en'
+        |    WHEN n_fr >= n_de AND n_fr >= n_es THEN 'fr'
+        |    WHEN n_de >= n_es THEN 'de'
+        |    ELSE 'es' END AS lang_pred,
+        |  cast(len(wtoks) as int) AS n_tokens,
+        |  round(CASE WHEN len(wtoks) = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(wtoks, x -> length(x))) / cast(len(wtoks) as double) END, 6) AS mean_word_len_r6,
+        |  round(CASE WHEN len(ltoks) = 0 THEN 0.0
+        |    ELSE n_en / cast(len(ltoks) as double) END, 6) AS stopword_ratio_r6,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE n_punct / cast(length(text) as double) END, 6) AS punct_ratio_r6,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE n_digit / cast(length(text) as double) END, 6) AS digit_ratio_r6,
+        |  round(CASE WHEN n_letter = 0 THEN 0.0
+        |    ELSE n_upper / cast(n_letter as double) END, 6) AS upper_ratio_r6,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    greatest(0.0, least(1.0,
+        |      0.3 * least(1.0, len(wtoks) / 50.0)
+        |      + 0.25 * (CASE WHEN len(wtoks) > 0
+        |          AND list_sum(list_transform(wtoks, x -> length(x))) / cast(len(wtoks) as double) >= 3
+        |          AND list_sum(list_transform(wtoks, x -> length(x))) / cast(len(wtoks) as double) <= 10
+        |        THEN 1.0 ELSE 0.4 END)
+        |      + 0.25 * least(1.0, (CASE WHEN len(ltoks) = 0 THEN 0.0
+        |          ELSE n_en / cast(len(ltoks) as double) END) * 4)
+        |      + 0.2 * (1.0 - least(1.0,
+        |          (n_punct / cast(length(text) as double)) * 3
+        |        + (n_digit / cast(length(text) as double)) * 2))))
+        |  END, 6) AS quality_score_r6,
+        |  cast(len(wtoks) as int) AS ws_tokens
+        |FROM hits ORDER BY doc_id""".stripMargin,
     "x_cosine_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(cast(a.embedding AS DOUBLE[]),

@@ -49,14 +49,22 @@ object ScaleProbe {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Incremental progress line so a crashed run still shows which step it
+    * died in (the JSON summary only prints at the end). */
+  private def mark(step: String, sec: Double): Unit =
+    println(f"[probe] $step done in $sec%.1f s")
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(50000)
     val nVecs = if (args.length > 1) args(1).toInt else 100000
     val cpus = if (args.length > 2) args(2) else "32"
+    // optional section filter (docs|vecs|asof) to isolate one family
+    val sections: Set[String] = if (args.length > 3) args(3).split(',').toSet
+      else Set("docs", "vecs", "asof")
     val spark = graft.Bench.session(cpus)
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
 
-    for (n <- Seq(500, nDocs)) {
+    for (n <- Seq(500, nDocs) if sections("docs")) {
       // localCheckpoint inside the ops materializes the synth once per op;
       // write-to-parquet-first would hide the synth cost identically at
       // both sizes, so keep it in (it is the same per-row work as a scan)
@@ -74,9 +82,11 @@ object ScaleProbe {
         graft.ops.Bpe.tokenCounts(docs, model)
           .agg(sum(col("bpe_tokens"))).head.getLong(0)
       }
+      mark(s"docs_$n", tp + tc + ts + te + tb)
       out(s"docs_${n}_bpe_total_tokens") = bpeTok; out(s"docs_${n}_bpe_sec") = tb
     }
 
+    if (sections("vecs")) {
     val vecs = synthVecs(spark, nVecs, 64, cpus.toInt)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_ann"
     graft.table.TranscriptTable // touch nothing; keep imports minimal
@@ -89,20 +99,38 @@ object ScaleProbe {
     val (probeRows, tProbe) = time(AnnIndex.probeLsh(spark, dir, q, 50).count())
     val (_, tBrute) = time(Similarity.bruteForceTopK(vecsP, q, 50).count())
     val (_, tFresh) = time(AnnIndex.buildLsh(vecsP, dir, nBits = 10)) // no-op
+    mark("index_build", tBuild)
     out(s"vecs_${nVecs}_index_build_sec") = tBuild
     out(s"vecs_${nVecs}_probe_rows") = probeRows
     out(s"vecs_${nVecs}_probe_sec") = tProbe
+    mark("probe+brute", tProbe + tBrute)
     out(s"vecs_${nVecs}_brute_sec") = tBrute
     out(s"vecs_${nVecs}_fresh_rebuild_sec") = tFresh
+    // fixed-bit form CAPPED at 200k: per-bucket work is quadratic in
+    // n/2^nBits, and at 1M uniform vectors the 12-bit form degenerates
+    // (244-row buckets, 122M array-carrying candidates -> 237 s on a good
+    // run, GC livelock on a loaded one — measured, which is the point)
+    val nFixed = math.min(nVecs, 200000)
+    val vecsFixed = if (nFixed == nVecs) vecsP
+      else vecsP.filter(col("vec_id") < nFixed)
     val (nd, tNd) = time(
-      Similarity.cosinePairs(vecsP, threshold = 0.9, nBits = 12).count())
-    out(s"vecs_${nVecs}_neardup_pairs") = nd
-    out(s"vecs_${nVecs}_neardup_sec") = tNd
+      Similarity.cosinePairs(vecsFixed, threshold = 0.9, nBits = 12).count())
+    mark("neardup_fixedbit", tNd)
+    out(s"vecs_${nFixed}_neardup_fixedbit_pairs") = nd
+    out(s"vecs_${nFixed}_neardup_fixedbit_sec") = tNd
+    // the scale form runs at FULL size: count-driven bucket sizing +
+    // 6-table OR — work stays linear in n with recall held
+    val (nds, tNds) = time(
+      Similarity.cosinePairsScaled(vecsP, threshold = 0.9).count())
+    mark("neardup_scaled", tNds)
+    out(s"vecs_${nVecs}_neardup_scaled_pairs") = nds
+    out(s"vecs_${nVecs}_neardup_scaled_sec") = tNds
+    }
 
     // as-of skew probe: ~94% of 1M left rows on ONE key — the plain form
     // serializes that key into a single window task; the bucketed form
     // spreads it over ts-buckets + a tiny carry pass
-    {
+    if (sections("asof")) {
       import spark.implicits._
       def gen(n: Int, salt: Long) = spark.range(0, n, 1, cpus.toInt).map { id =>
         val h = Synth.mix(id * 31 + salt)

@@ -1,7 +1,43 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native cosine over two array<float> columns — static-call codegen into
+  * the shared fp64 kernel (same accumulation order as Similarity.cosine,
+  * bit-parity pinned in OpsSpec). The UDF form boxes every element into a
+  * Seq[Float] per row; in a 10^8-candidate LSH verify loop that boxing IS
+  * the bottleneck (GC livelock observed at 1M vectors in ScaleProbe). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Similarity.cosineArrayData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.Similarity.cosineArrayData($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
 
 /** Similarity search over an embedding column (Array[Float]).
   * Brute-force cosine top-k is the exact baseline (one map + one top-k
@@ -22,6 +58,29 @@ object Similarity {
     }
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
+
+  /** Static entry for the [[CosineSim]] codegen path: same accumulation
+    * order as [[cosine]] over the unsafe array format — no boxing. */
+  def cosineArrayData(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Column API for [[CosineSim]]. */
+  def cosineSimExpr(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.toColumn(CosineSim(
+      org.apache.spark.sql.graftbridge.toExpression(a),
+      org.apache.spark.sql.graftbridge.toExpression(b)))
 
   /** Native-functions cosine over two Array[Float] columns — zip_with +
     * aggregate higher-order functions, no UDF serialization boundary, pure
@@ -58,19 +117,21 @@ object Similarity {
     * computed ONCE per JVM per (nBits, dim) — the per-row cost of srpBucket
     * is then just nBits dot products, no hash mixing in the row loop. */
   private val srpCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
 
-  def srpProjection(nBits: Int, dim: Int): Array[Array[Double]] =
-    srpCache.computeIfAbsent((nBits, dim), { case (nb, d) =>
+  /** `table` selects an independent hyperplane family (multi-table LSH);
+    * table 0 reproduces the original single-table projection exactly. */
+  def srpProjection(nBits: Int, dim: Int, table: Int = 0): Array[Array[Double]] =
+    srpCache.computeIfAbsent((nBits, dim, table), { case (nb, d, t) =>
       Array.tabulate(nb, d) { (b, i) =>
-        val r = graft.jobs.Synth.mix(b * 100003L + i)
+        val r = graft.jobs.Synth.mix(t * 0x9E3779B97F4A7C15L + b * 100003L + i)
         (r >>> 11).toDouble / (1L << 53).toDouble - 0.5
       }
     })
 
   /** Deterministic sign-random-projection bucket id (nBits hyperplanes). */
-  def srpBucket(v: Seq[Float], nBits: Int): Int = {
-    val proj = srpProjection(nBits, v.length)
+  def srpBucket(v: Seq[Float], nBits: Int, table: Int = 0): Int = {
+    val proj = srpProjection(nBits, v.length, table)
     var bucket = 0
     var b = 0
     while (b < nBits) {
@@ -222,11 +283,65 @@ object Similarity {
     val bucketed = bucketed0.join(hot, Seq("srp_bucket"), "left_anti")
     val a = bucketed.select(col("srp_bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = bucketed.select(col("srp_bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    val cosUdf = udf((x: Seq[Float], y: Seq[Float]) => cosine(x, y))
+    // native CosineSim: the within-bucket candidate stream is the hot loop,
+    // and per-candidate Seq[Float] UDF boxing was its measured bottleneck
     a.join(b, Seq("srp_bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", cosUdf(col("emb_a"), col("emb_b")))
+      .withColumn("cosine", cosineSimExpr(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** Recall-controlled embedding near-dup for UNBOUNDED corpus sizes —
+    * the form [[cosinePairs]] becomes at scale. Two defects of a fixed
+    * single-table bucketing, both caught by the 1M-vector ScaleProbe:
+    *
+    *  1. fixed nBits makes per-bucket work QUADRATIC in n (1M uniform
+    *     vectors at 12 bits = 244-row buckets = 237 s / GC livelock; at
+    *     10^9 every bucket blows past the hot cap and is silently skipped);
+    *  2. raising nBits alone collapses recall (P[same bucket] =
+    *     (1-θ/π)^nBits vanishes for borderline pairs).
+    *
+    * Fix: size nBits from the row count so expected bucket size stays
+    * ~targetBucket (candidate volume ~ L·n·targetBucket, LINEAR in n), and
+    * recover recall with L independent hyperplane tables OR-ed together —
+    * P[miss] = (1-p^nBits)^L. For true near-dups (cos >= 0.98, p >= .955)
+    * the defaults give >= 98% recall at any n; every emitted pair is
+    * exact-verified, so precision is exact regardless.
+    *
+    * Plan discipline (the second 1M lesson): candidates NEVER cross an
+    * exchange. A first cut ran ids-only candidates into a global distinct
+    * before verification — a 1.9·10^8-row shuffle (55 GB of spill) to
+    * dedup rows that the verify filter would have crushed for free. Here
+    * the exact cosine runs INSIDE the join stage via the codegen'd
+    * [[CosineSim]] (no per-candidate boxing), the threshold filter drops
+    * candidates in the same whole-stage pipeline, and only verified
+    * near-dup pairs reach the final cross-table dropDuplicates. */
+  def cosinePairsScaled(embeddings: DataFrame, threshold: Double = 0.95,
+      tables: Int = 6, targetBucket: Int = 32, maxBucket: Int = 2000): DataFrame = {
+    val n = embeddings.count()
+    val nBits = math.max(4, math.min(24,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2)).toInt))
+    val nt = tables
+    // one UDF evaluation emits all L bucket ids, table index in the high
+    // bits so one explode + one shuffle covers every table
+    val bucketsUdf = udf((v: Seq[Float]) =>
+      (0 until nt).map(t => (t.toLong << 32) |
+        (srpBucket(v, nBits, t).toLong & 0xffffffffL)))
+    val bucketed0 = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("tb", explode(bucketsUdf(col("embedding"))))
+      .localCheckpoint() // barrier: L projections run once per row
+    val hot = bucketed0.groupBy(col("tb")).count()
+      .filter(col("count") > maxBucket).select(col("tb"))
+    val bucketed = bucketed0.join(hot, Seq("tb"), "left_anti")
+    val a = bucketed.select(col("tb"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = bucketed.select(col("tb"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("tb"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosineSimExpr(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .dropDuplicates("vec_a", "vec_b") // cross-table dups; survivors only
   }
 }

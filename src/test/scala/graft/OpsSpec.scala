@@ -238,11 +238,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = a.join(b, Seq("vec_a"))
       .select(
         Similarity.cosineColumn(col("emb_a"), col("emb_b")).as("native"),
-        cosUdf(col("emb_a"), col("emb_b")).as("viaUdf"))
+        cosUdf(col("emb_a"), col("emb_b")).as("viaUdf"),
+        Similarity.cosineSimExpr(col("emb_a"), col("emb_b")).as("viaExpr"))
       .collect()
     assert(rows.nonEmpty)
     // same fp64 accumulation order -> exactly equal, not just close
-    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+    // (all THREE entries: HOF column, boxed UDF, codegen'd CosineSim)
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), r.toString)
+      assert(r.getDouble(2) == r.getDouble(1), r.toString)
+    }
+    // CosineSim rejects non-array<float> args at analysis time
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      emb.select(Similarity.cosineSimExpr(col("vec_id"), col("embedding"))).collect()
+    }
+    assert(e.getMessage.contains("array<float>"), e.getMessage)
   }
 
   test("as-of join: latest prior right row per key, inclusive, deterministic ties") {
@@ -479,5 +489,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hits2 = graft.ops.Similarity.ivfTopK(emb, q, 20, nCells = 16, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(hits.toSeq == hits2.toSeq)
+  }
+
+  test("cosinePairsScaled: multi-table SRP finds every planted near-dup") {
+    // 2000 unit vectors, every 10th a tiny perturbation of its predecessor
+    // (cos > 0.99). Auto-sized bits (log2(2000/32)=6) would give a single
+    // table only ~60% recall here; the 6-table OR must find ALL planted
+    // pairs, and the exact-verify stage must keep precision exact.
+    val sp = spark
+    import sp.implicits._
+    val dim = 32
+    def vec(seed: Long): Array[Float] = {
+      val v = Array.tabulate(dim)(i =>
+        ((graft.jobs.Synth.mix(seed * 131 + i) >>> 11).toDouble / (1L << 53) - 0.5).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = (0L until 2000L).map { id =>
+      if (id % 10 == 1) {
+        val base = vec(id - 1)
+        base(0) = base(0) + 0.02f // tiny nudge; cos stays > 0.999
+        (id, base.toSeq)
+      } else (id, vec(id).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding").localCheckpoint()
+    val got = graft.ops.Similarity.cosinePairsScaled(emb, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    val planted = (0L until 2000L).filter(_ % 10 == 1).map(id => (id - 1, id)).toSet
+    assert(planted.subsetOf(gotPairs),
+      s"missed ${planted -- gotPairs} of ${planted.size} planted pairs")
+    assert(got.forall(_._3 >= 0.99), "exact verify must enforce the threshold")
+    // random unit vectors at dim 32 essentially never reach cos 0.99
+    assert(gotPairs == planted, s"unexpected extras: ${gotPairs -- planted}")
   }
 }

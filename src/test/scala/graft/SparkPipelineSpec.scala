@@ -309,6 +309,13 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaFn = docs.collect()
       .map(r => (r.getAs[Long]("doc_id"), graft.ops.Dedup.simhash(r.getAs[String]("text")))).toMap
     assert(viaExpr == viaFn)
+    // cosine_sim from SQL (the fourth injected native function)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => graft.ops.CosineSim(exprs.head, exprs(1)), "scala_udf")
+    val c = spark.sql(
+      "SELECT cosine_sim(array(cast(3.0 as float), cast(4.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS c").head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12, c.toString)
     // non-string arguments are rejected at ANALYSIS time (clear error),
     // matching built-in expression behavior — not a codegen ClassCastException
     for (bad <- Seq("SELECT simhash64(123)", "SELECT fingerprint64(array(1,2))",
