@@ -10,6 +10,10 @@ final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
 /** Per-user open-session state: millis epoch bounds + event count. */
 final case class OpenSession(start: Long, last: Long, n: Long)
 
+/** Buffered-mode state: the user's not-yet-finalized events. */
+final case class BufEvent(ts: Long, id: Long)
+final case class SessionBuf(events: Seq[BufEvent])
+
 /** A closed session, emitted once (Append mode). */
 final case class ClosedSession(user_id: Long, session_start: Timestamp,
     session_end: Timestamp, n_events: Long)
@@ -77,6 +81,62 @@ object StreamingSessions {
             }
             closed.iterator
           }
+      }
+  }
+
+  /** EXACT batch-q13 semantics under out-of-order, cross-batch arrival:
+    * events are BUFFERED in state and a session is emitted only once the
+    * watermark passes `last + gap` — the point after which no allowed event
+    * (ts >= watermark) can extend it, land in the gap after it, or merge it
+    * with a later session. [[sessionize]] closes eagerly when a later event
+    * crosses the gap, so a late-but-allowed event arriving after that close
+    * is mis-attributed to the newer session; here it lands in the buffer
+    * and sessionization is recomputed from the full surviving event set.
+    *
+    * The trade: emission latency is one watermark delay + gap (vs eager),
+    * and state holds every event inside the (gap + lateness) horizon per
+    * user — still bounded by construction, keyed on the well-distributed
+    * user_id. Below-watermark events are dropped in both variants (the
+    * lateness contract the watermark declares). */
+  def sessionizeBuffered(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    val gapMs = gapMinutes * 60000L
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[SessionBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.map(_.events).getOrElse(Seq.empty)
+          val incoming =
+            if (state.hasTimedOut) Seq.empty
+            else evs.filter(_.ts.getTime >= wm)
+              .map(e => BufEvent(e.ts.getTime, e.event_id)).toSeq
+          val all = (prior ++ incoming).sortBy(e => (e.ts, e.id))
+          // split the buffer into gap-delimited sessions
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[Seq[BufEvent]]
+          var cur = scala.collection.mutable.ArrayBuffer.empty[BufEvent]
+          all.foreach { e =>
+            if (cur.nonEmpty && e.ts - cur.last.ts > gapMs) {
+              sessions += cur.toSeq
+              cur = scala.collection.mutable.ArrayBuffer.empty[BufEvent]
+            }
+            cur += e
+          }
+          if (cur.nonEmpty) sessions += cur.toSeq
+          // a session is FINAL once wm > last + gap: any event that could
+          // still extend/merge it would have ts < wm, i.e. dropped above
+          val (finalized, open) = sessions.partition(_.last.ts + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionBuf(open.flatten.toSeq))
+            // wake at the earliest future finalization horizon
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.last.ts).min + gapMs, wm + 1))
+          }
+          finalized.iterator.map(s => ClosedSession(user,
+            new Timestamp(s.head.ts), new Timestamp(s.last.ts), s.length))
       }
   }
 }

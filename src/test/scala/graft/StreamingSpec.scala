@@ -176,4 +176,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!all.exists(s => s.user_id == 1L && s.session_end == ts(20)), all.toString)
     } finally q.stop()
   }
+
+  test("buffered sessionization attributes late-but-allowed events exactly") {
+    val sp = spark
+    import sp.implicits._
+    import graft.streaming.{ClosedSession, SessionEvent, StreamingSessions}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+    val input = MemoryStream[SessionEvent]
+    // 300-minute allowed lateness: the scenario needs an event that is out
+    // of order across batches yet still above the watermark
+    val q = StreamingSessions.sessionizeBuffered(input.toDS(), gapMinutes = 30,
+        watermark = "300 minutes")
+      .writeStream.format("memory").queryName("graft_sessions_buf")
+      .outputMode("append").start()
+    try {
+      // u1 opens [0, 10]
+      input.addData(SessionEvent(1L, 1L, ts(0)), SessionEvent(1L, 2L, ts(10)))
+      q.processAllAvailable()
+      // ts(320) crosses the gap: the EAGER variant would close [0,10] HERE;
+      // the buffered variant keeps it (10+30 > wm, still extendable).
+      // Watermark advances to 320-300 = 20 (visible next batch).
+      input.addData(SessionEvent(1L, 3L, ts(320)))
+      q.processAllAvailable()
+      assert(spark.table("graft_sessions_buf").count() == 0)
+      // late-but-ALLOWED event (ts(30) >= wm 20) arrives after the crossing
+      // event: batch truth merges it into [0..30]; the eager variant would
+      // mis-attribute it to the newer [320] session
+      input.addData(SessionEvent(1L, 4L, ts(30)))
+      q.processAllAvailable()
+      // push the watermark far past every horizon; timeouts finalize all
+      input.addData(SessionEvent(2L, 5L, ts(700)))
+      q.processAllAvailable()
+      val all = spark.table("graft_sessions_buf").as[ClosedSession].collect().toSeq
+      assert(all.contains(ClosedSession(1L, ts(0), ts(30), 3)),
+        s"late event must extend the ORIGINAL session: $all")
+      assert(all.contains(ClosedSession(1L, ts(320), ts(320), 1)), all.toString)
+      assert(!all.exists(s => s.user_id == 1L && s.n_events == 2), all.toString)
+    } finally q.stop()
+  }
 }
