@@ -154,9 +154,70 @@ object UrlUtils {
     (generated ++ specific).toSet
   }
 
-  /** extract_domain (url_utils.py:93-102): registrable domain, www-stripped.
-    * tld-library behavior approximated with a fixed two-level-TLD table
-    * (fixture domains constrained to it). */
+  /** Multi-level public suffixes beyond the two-level table (PSL public
+    * section: au state education registries, jp prefectures) plus the
+    * POPULAR PRIVATE-SECTION suffixes — the `tld` library the reference
+    * uses (url_utils.py:93-102) searches the private section by default,
+    * so `foo.github.io` must yield `foo.github.io`, not `github.io`. */
+  private val ExtraSuffixes: Set[String] = Set(
+    // .au state education registries
+    "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au", "sa.edu.au",
+    "tas.edu.au", "vic.edu.au", "wa.edu.au",
+    // .jp prefecture registries (major subset)
+    "tokyo.jp", "osaka.jp", "kyoto.jp", "hokkaido.jp", "okinawa.jp",
+    "aichi.jp", "fukuoka.jp", "hiroshima.jp", "nagano.jp", "niigata.jp",
+    "saitama.jp", "chiba.jp", "kanagawa.jp", "hyogo.jp", "shizuoka.jp",
+    // private section: hosting / platform suffixes (high-traffic subset)
+    "github.io", "gitlab.io", "wordpress.com", "tumblr.com", "weebly.com",
+    "blogspot.com", "blogspot.co.uk", "blogspot.de", "blogspot.fr",
+    "blogspot.it", "blogspot.nl", "blogspot.se", "blogspot.jp",
+    "blogspot.in", "blogspot.mx", "blogspot.com.br", "blogspot.com.au",
+    "herokuapp.com", "azurewebsites.net", "cloudfront.net",
+    "elasticbeanstalk.com", "firebaseapp.com", "web.app", "netlify.app",
+    "vercel.app", "pages.dev", "workers.dev", "s3.amazonaws.com",
+    "appspot.com", "cloudfunctions.net", "glitch.me", "readthedocs.io",
+    "neocities.org", "ngrok.io", "duckdns.org", "dyndns.org", "wixsite.com")
+
+  /** Wildcard rules `*.X`: EVERY label under X is itself a public suffix
+    * (PSL wildcard TLDs; the jp city registries; *.sch.uk; EC2). */
+  private val WildcardSuffixes: Set[String] = Set(
+    "bd", "ck", "er", "fj", "gu", "jm", "kh", "mm", "np", "pg",
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp", "sapporo.jp",
+    "sendai.jp", "yokohama.jp", "sch.uk", "compute.amazonaws.com")
+
+  /** Exception rules `!X`: X is registrable even though a wildcard covers
+    * it (PSL: www.ck and the jp city governments). */
+  private val ExceptionRules: Set[String] = Set(
+    "www.ck", "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
+
+  /** Label count of the prevailing public suffix of `labels`, per the PSL
+    * algorithm: exceptions beat everything (suffix = exception minus its
+    * leftmost label), else the longest matching plain/wildcard rule, else
+    * the implicit 1-label default rule. */
+  private def publicSuffixLabels(labels: Array[String]): Int = {
+    var k = labels.length
+    while (k >= 1) {
+      if (ExceptionRules.contains(labels.takeRight(k).mkString("."))) return k - 1
+      k -= 1
+    }
+    var best = 1
+    k = 2
+    while (k <= labels.length) {
+      val tail = labels.takeRight(k).mkString(".")
+      if (TwoLevelTlds.contains(tail) || ExtraSuffixes.contains(tail)) best = k
+      if (WildcardSuffixes.contains(labels.takeRight(k - 1).mkString("."))) best = k
+      k += 1
+    }
+    best
+  }
+
+  /** extract_domain (url_utils.py:93-102): registrable domain, www-stripped
+    * like the reference's DOMAIN_PREFIX sub on the fld. Suffix resolution
+    * is a real PSL matcher (longest match, wildcard and exception rules,
+    * private section included — the `tld` library's default) over an
+    * embedded subset of the public list. */
   def extractDomain(url: String): String = {
     if (url == null) return null
     val hostStart = url.indexOf("://")
@@ -173,11 +234,10 @@ object UrlUtils {
     host = host.toLowerCase
     val labels = host.split("\\.").filter(_.nonEmpty)
     if (labels.length < 2) return null
-    val lastTwo = labels.takeRight(2).mkString(".")
-    val fld =
-      if (TwoLevelTlds.contains(lastTwo) && labels.length >= 3)
-        labels.takeRight(3).mkString(".")
-      else lastTwo
+    val ns = publicSuffixLabels(labels)
+    // host == suffix keeps the old fixture-pinned behavior (return as-is);
+    // otherwise registrable = suffix + one label
+    val fld = labels.takeRight(math.min(labels.length, ns + 1)).mkString(".")
     DomainPrefix.matcher(fld).replaceFirst("").toLowerCase
   }
 

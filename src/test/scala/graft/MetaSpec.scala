@@ -140,6 +140,23 @@ class MetaSpec extends AnyFunSuite {
     assert(UrlUtils.extractDomain("https://www.gov.uk/") == "gov.uk") // www-stripped
     assert(UrlUtils.extractDomain("https://x.gouv.fr/") == "x.gouv.fr")
     assert(UrlUtils.extractDomain("https://shop.example.co.nz/p") == "example.co.nz")
+    // PSL private section (the tld library searches it by default)
+    assert(UrlUtils.extractDomain("https://foo.github.io/repo") == "foo.github.io")
+    assert(UrlUtils.extractDomain("https://myblog.blogspot.com/x") == "myblog.blogspot.com")
+    assert(UrlUtils.extractDomain("https://app.herokuapp.com/") == "app.herokuapp.com")
+    assert(UrlUtils.extractDomain("https://x.s3.amazonaws.com/") == "x.s3.amazonaws.com")
+    // wildcard rules: every label under *.ck / *.np is itself a suffix
+    assert(UrlUtils.extractDomain("https://foo.bar.ck/") == "foo.bar.ck")
+    assert(UrlUtils.extractDomain("https://site.weird.np/") == "site.weird.np")
+    // exception rule !www.ck: registrable is www.ck (www-stripped like the
+    // reference's DOMAIN_PREFIX sub on the fld)
+    assert(UrlUtils.extractDomain("https://www.ck/") == "ck")
+    // jp city wildcards + city.X.jp exceptions
+    assert(UrlUtils.extractDomain("https://a.ward.yokohama.jp/") == "a.ward.yokohama.jp")
+    assert(UrlUtils.extractDomain("https://x.city.yokohama.jp/") == "city.yokohama.jp")
+    // jp prefecture + au state-education multi-level suffixes
+    assert(UrlUtils.extractDomain("https://metro.tokyo.jp/") == "metro.tokyo.jp")
+    assert(UrlUtils.extractDomain("https://x.school.nsw.edu.au/") == "school.nsw.edu.au")
     assert(UrlUtils.extractDomain("https://uol.com.br/") == "uol.com.br")
   }
 
