@@ -423,7 +423,12 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("event_id"))
       val rightE = e.filter(col("event_id") % 2 === 1)
         .select(col("user_id"), col("ts"), col("event_id").as("matched_event_id"))
-      graft.ops.AsOfJoin.asOf(leftE, rightE, Seq("user_id"), "ts")
+      // asOfAuto exercises the strategy selector on the driver surface: the
+      // events keys are unskewed, so the bounded Bernoulli probe routes to
+      // the plain one-shuffle form (both forms are equivalence-pinned, so
+      // the oracle holds regardless of the routing decision)
+      graft.ops.AsOfJoin.asOfAuto(leftE, rightE, Seq("user_id"), "ts",
+          date_trunc("hour", col("ts")))
         .select(col("event_id"),
           coalesce(col("matched_event_id"), lit(-1L)).as("matched_event_id"))
         .orderBy("event_id")

@@ -67,7 +67,29 @@ object DateRules {
     "abril" -> 4, "abr" -> 4, "mayo" -> 5, "may" -> 5, "junio" -> 6,
     "julio" -> 7, "agosto" -> 8, "ago" -> 8, "septiembre" -> 9,
     "setiembre" -> 9, "octubre" -> 10, "noviembre" -> 11,
-    "diciembre" -> 12, "dic" -> 12)
+    "diciembre" -> 12, "dic" -> 12,
+    // Italian (r4; shared tokens — mar/apr/ago/dic-class — agree on the
+    // month number across all languages in this map, checked at init)
+    "gennaio" -> 1, "gen" -> 1, "febbraio" -> 2, "maggio" -> 5,
+    "giugno" -> 6, "giu" -> 6, "luglio" -> 7, "lug" -> 7,
+    "settembre" -> 9, "set" -> 9, "ottobre" -> 10, "ott" -> 10,
+    "dicembre" -> 12,
+    // Portuguese (r4)
+    "janeiro" -> 1, "fevereiro" -> 2, "fev" -> 2, "março" -> 3,
+    "marco" -> 3, "maio" -> 5, "junho" -> 6, "julho" -> 7,
+    "setembro" -> 9, "outubro" -> 10, "out" -> 10, "novembro" -> 11,
+    "dezembro" -> 12, "dez" -> 12,
+    // Dutch (r4)
+    "januari" -> 1, "februari" -> 2, "maart" -> 3, "mei" -> 5,
+    "augustus" -> 8, "oktober" -> 10,
+    // Polish genitive (r4)
+    "stycznia" -> 1, "sty" -> 1, "lutego" -> 2, "lut" -> 2,
+    "marca" -> 3, "kwietnia" -> 4, "kwi" -> 4, "maja" -> 5,
+    "czerwca" -> 6, "cze" -> 6, "lipca" -> 7, "lip" -> 7,
+    "sierpnia" -> 8, "sie" -> 8, "września" -> 9, "wrzesnia" -> 9,
+    "wrz" -> 9, "października" -> 10, "pazdziernika" -> 10, "paź" -> 10,
+    "paz" -> 10, "listopada" -> 11, "lis" -> 11, "grudnia" -> 12,
+    "gru" -> 12)
   // longest-first so "janvier" wins over "janv"/"jan" at the same position
   private val IntlMonthAlt =
     IntlMonths.keys.toSeq.sortBy(-_.length).mkString("|")

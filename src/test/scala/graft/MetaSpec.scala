@@ -306,6 +306,21 @@ class MetaSpec extends AnyFunSuite {
     // month token must be a whole word, not a prefix of something else
     assert(parseAny("3 marsupial 2008 count") == None)
     assert(parseAny("7 janvx 2020") == None)
+    // Italian
+    assert(parseAny("3 giugno 2008") == Some("2008-06-03"))
+    assert(parseAny("15 dicembre 2020") == Some("2020-12-15"))
+    assert(parseAny("2 ott. 2019") == Some("2019-10-02"))
+    // Portuguese
+    assert(parseAny("3 de junho de 2008") == Some("2008-06-03"))
+    assert(parseAny("15 de março de 2021") == Some("2021-03-15"))
+    assert(parseAny("9 out 2020") == Some("2020-10-09"))
+    // Dutch
+    assert(parseAny("3 mei 2008") == Some("2008-05-03"))
+    assert(parseAny("14 maart 2019") == Some("2019-03-14"))
+    // Polish genitive
+    assert(parseAny("3 stycznia 2008") == Some("2008-01-03"))
+    assert(parseAny("21 września 2020") == Some("2020-09-21"))
+    assert(parseAny("8 października 2019") == Some("2019-10-08"))
     // English behavior is untouched by the appended cascade
     assert(parseAny("June 3, 2008") == Some("2008-06-03"))
   }
