@@ -454,14 +454,17 @@ object SparkEntry {
         .limit(10)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))),
     "q15_customer_activity" -> ((s, dir) => {
-      // semi/anti join: customers with vs without orders
+      // customers with vs without orders in ONE action: left-outer to the
+      // distinct order keys, then a conditional aggregate — the prior
+      // semi+anti two-action form scanned customer/orders twice
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders").select(col("o_custkey")).distinct()
-      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
-      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
-      val spark = s
-      import spark.implicits._
-      Seq((withO, withoutO)).toDF("with_orders", "without_orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .agg(
+          sum(when(col("o_custkey").isNotNull, 1).otherwise(0))
+            .cast("long").as("with_orders"),
+          sum(when(col("o_custkey").isNull, 1).otherwise(0))
+            .cast("long").as("without_orders"))
     }),
     "q16_event_deltas" -> ((s, dir) => {
       // lag-based per-event value delta, fixed-point, summed by type

@@ -89,7 +89,21 @@ object DateRules {
     "sierpnia" -> 8, "sie" -> 8, "września" -> 9, "wrzesnia" -> 9,
     "wrz" -> 9, "października" -> 10, "pazdziernika" -> 10, "paź" -> 10,
     "paz" -> 10, "listopada" -> 11, "lis" -> 11, "grudnia" -> 12,
-    "gru" -> 12)
+    "gru" -> 12,
+    // Greek genitive (r4 — the last language the engine's langId claims
+    // without a date grammar; diacritic and plain iota forms both listed)
+    "ιανουαρίου" -> 1, "ιανουαριου" -> 1, "ιαν" -> 1,
+    "φεβρουαρίου" -> 2, "φεβρουαριου" -> 2, "φεβ" -> 2,
+    "μαρτίου" -> 3, "μαρτιου" -> 3, "μαρ" -> 3,
+    "απριλίου" -> 4, "απριλιου" -> 4, "απρ" -> 4,
+    "μαΐου" -> 5, "μαιου" -> 5, "μαϊ" -> 5,
+    "ιουνίου" -> 6, "ιουνιου" -> 6, "ιουν" -> 6,
+    "ιουλίου" -> 7, "ιουλιου" -> 7, "ιουλ" -> 7,
+    "αυγούστου" -> 8, "αυγουστου" -> 8, "αυγ" -> 8,
+    "σεπτεμβρίου" -> 9, "σεπτεμβριου" -> 9, "σεπ" -> 9,
+    "οκτωβρίου" -> 10, "οκτωβριου" -> 10, "οκτ" -> 10,
+    "νοεμβρίου" -> 11, "νοεμβριου" -> 11, "νοε" -> 11,
+    "δεκεμβρίου" -> 12, "δεκεμβριου" -> 12, "δεκ" -> 12)
   // longest-first so "janvier" wins over "janv"/"jan" at the same position
   private val IntlMonthAlt =
     IntlMonths.keys.toSeq.sortBy(-_.length).mkString("|")

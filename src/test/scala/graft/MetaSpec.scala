@@ -321,6 +321,11 @@ class MetaSpec extends AnyFunSuite {
     assert(parseAny("3 stycznia 2008") == Some("2008-01-03"))
     assert(parseAny("21 września 2020") == Some("2020-09-21"))
     assert(parseAny("8 października 2019") == Some("2019-10-08"))
+    // Greek genitive (with and without the iota diacritic)
+    assert(parseAny("3 Ιανουαρίου 2008") == Some("2008-01-03"))
+    assert(parseAny("15 Μαΐου 2020") == Some("2020-05-15"))
+    assert(parseAny("15 Μαιου 2020") == Some("2020-05-15"))
+    assert(parseAny("28 Δεκεμβρίου 2019") == Some("2019-12-28"))
     // English behavior is untouched by the appended cascade
     assert(parseAny("June 3, 2008") == Some("2008-06-03"))
   }
