@@ -432,6 +432,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map("n_turns" -> stats.nCurated.toString))
     assert(graft.table.TranscriptTable.committedRowCount(out) == stats.nCurated)
     assert(graft.table.TranscriptTable.read(spark, out).count() == stats.nCurated)
+
+    // everything filtered away: stats report zeros, not an NPE from the
+    // SQL-NULL sum over the empty curated frame
+    val (emptyCur, emptyStats) = graft.jobs.CurateJob.curate(
+      docsDf(Seq((1L, "nur deutsche Wörter und das ist kein Englisch"))),
+      keepLangs = Set("en"), minQuality = 0.45, nearThreshold = 0.6)
+    assert(emptyCur.count() == 0)
+    assert(emptyStats.nCurated == 0 && emptyStats.totalWsTokens == 0L, emptyStats.toString)
   }
 
   test("quality score ranks clean text above noise") {
