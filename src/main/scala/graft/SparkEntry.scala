@@ -148,6 +148,36 @@ object SparkEntry {
         .getSeq[Float](0).toArray
       Similarity.ivfTopK(emb, q, 50)
     }),
+    "x_ann_lsh_exhaustive" -> ((s, dir) => {
+      // partition-completeness invariant, DuckDB-oracled: probing EVERY
+      // bucket (probeHamming = nBits) must reproduce the exact brute-force
+      // top-k — i.e. SRP bucketing partitions the table with no vector
+      // lost or duplicated. The adaptive-radius form keeps its recall-floor
+      // spec; this row pins the bucketing algebra itself.
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").select("embedding").head
+        .getSeq[Float](0).toArray
+      val w = Window.partitionBy(pmod(col("vec_id"), lit(1)))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      Similarity.lshTopK(emb, q, 50, nBits = 4, probeHamming = 4)
+        .withColumn("rank", row_number().over(w))
+        .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
+        .orderBy("rank")
+    }),
+    "x_ann_ivf_exhaustive" -> ((s, dir) => {
+      // same invariant for IVF: probing all nCells cells == brute force
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").select("embedding").head
+        .getSeq[Float](0).toArray
+      val w = Window.partitionBy(pmod(col("vec_id"), lit(1)))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      Similarity.ivfTopK(emb, q, 50, nCells = 16, nProbe = 16)
+        .withColumn("rank", row_number().over(w))
+        .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
+        .orderBy("rank")
+    }),
     "x_ann_index_build" -> ((s, dir) => {
       // the explicit index-build job (one pass + partitioned write). Sorts
       // before x_ann_index_probe, so in the alphabetical bench/verify sweep
@@ -810,6 +840,25 @@ object SparkEntry {
         |        cast(b.embedding AS DOUBLE[])), 6) AS cosine_r6
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY vec_a""".stripMargin,
+    "x_ann_lsh_exhaustive" ->
+      // exhaustive probe == brute force (bucketing completeness)
+      """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+        |c AS (SELECT vec_id,
+        |        list_cosine_similarity(cast(embedding AS DOUBLE[]), cast(qv AS DOUBLE[])) AS cos
+        |      FROM embeddings, q)
+        |SELECT vec_id,
+        |  cast(row_number() OVER (ORDER BY cos DESC, vec_id) as int) AS rank,
+        |  round(cos, 6) AS cosine_r6
+        |FROM c ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin,
+    "x_ann_ivf_exhaustive" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+        |c AS (SELECT vec_id,
+        |        list_cosine_similarity(cast(embedding AS DOUBLE[]), cast(qv AS DOUBLE[])) AS cos
+        |      FROM embeddings, q)
+        |SELECT vec_id,
+        |  cast(row_number() OVER (ORDER BY cos DESC, vec_id) as int) AS rank,
+        |  round(cos, 6) AS cosine_r6
+        |FROM c ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin,
     "x_ann_brute" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
         |c AS (SELECT vec_id,
