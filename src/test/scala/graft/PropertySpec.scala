@@ -146,4 +146,32 @@ class PropertySpec extends AnyFunSuite {
     val r = graft.pipeline.Extract.extract(sb.toString)
     assert(r.error == null && r.nBlocks >= 19999)
   }
+
+  test("PSL matcher invariants over generated hosts") {
+    import graft.meta.UrlUtils.extractDomain
+    val tlds = Seq("com", "org", "co.uk", "com.au", "ac.jp", "github.io",
+      "blogspot.com", "tokyo.jp", "de", "np", "ck")
+    val words = Seq("alpha", "beta", "gamma", "delta", "news", "shop", "x1")
+    for (t <- tlds; depth <- 1 to 3; w <- words.take(3)) {
+      val labels = (0 until depth).map(i => words((i + w.length) % words.length))
+      val host = (labels :+ w).mkString(".") + "." + t
+      val d = extractDomain(s"https://$host/p")
+      assert(d != null, host)
+      // the registrable domain is always a dot-suffix of the host
+      // (modulo the reference's DOMAIN_PREFIX strip of a leading www\d*.)
+      assert(host.endsWith(d) || host.endsWith("www." + d), s"$host -> $d")
+      // never just the public suffix when a longer host exists
+      assert(d != t || host == t, s"$host -> $d must include a registrable label")
+      // deterministic
+      assert(extractDomain(s"https://$host/other?q=1") == d)
+    }
+    // exception beats wildcard; wildcard beats default
+    assert(extractDomain("https://a.b.ck/") == "a.b.ck")
+    assert(extractDomain("https://x.www.ck/") == "ck") // !www.ck, www-stripped
+    // scheme restrictions and junk are null, never a throw
+    assert(extractDomain("ftp://x.com/") == null)
+    assert(extractDomain("https://") == null)
+    assert(extractDomain("https://..../") == null)
+    assert(extractDomain(null) == null)
+  }
 }
