@@ -342,6 +342,14 @@ object SparkEntry {
       curated.select(col("doc_id"), col("lang_pred"), col("ws_tokens"))
         .orderBy("doc_id")
     }),
+    "x_split_assign" -> ((s, dir) =>
+      // reproducible train/val/test split by salted md5 hash bucket —
+      // engine-independent BY CONSTRUCTION, so the oracle verifies exact
+      // membership (DuckDB recomputes every bucket), not just the rates
+      graft.ops.Sampling.assignSplits(t(s, dir, "documents"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "graft")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
     "x_token_count_native" -> ((s, dir) =>
       // native codegen'd Catalyst expression (no UDF boxing)
       t(s, dir, "documents").select(col("doc_id"),
@@ -834,6 +842,15 @@ object SparkEntry {
         |  END, 6) AS quality_score_r6,
         |  cast(len(wtoks) as int) AS ws_tokens
         |FROM hits ORDER BY doc_id""".stripMargin,
+    "x_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 800000 THEN 'train'
+        |       WHEN b < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        md5_number_lower('graft:' || cast(doc_id as varchar)) % 1000000 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "x_cosine_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(cast(a.embedding AS DOUBLE[]),

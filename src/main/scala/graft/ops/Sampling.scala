@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling and dataset splitting for
+  * training-data pipelines — the operator family behind "10% eval slice"
+  * and "train/val/test split" decisions that must be STABLE across reruns,
+  * cluster sizes and engines (a Bernoulli `sample()` is none of those: it
+  * depends on partitioning and seed plumbing).
+  *
+  * Mechanism: a per-row key is hashed with md5-lower-64 (the same
+  * DuckDB-recomputable hash the simhash oracle uses, [[Dedup.md5Lower64]])
+  * salted by a caller string, reduced to a bucket in [0, 1e6) with
+  * UNSIGNED remainder (matching DuckDB's UBIGINT semantics bit-for-bit),
+  * and compared against rate thresholds. Properties that matter at scale:
+  *
+  *  - map-only (no shuffle, no state); the decision is a pure function of
+  *    (key, salt), so adding executors or re-running changes nothing;
+  *  - split assignment is BY KEY: all rows of a key land in one split —
+  *    no leakage between train and eval for grouped data;
+  *  - different salts give independent samples (doc overlap ~ rate²);
+  *  - fully SQL-recomputable, so the driver's DuckDB oracle verifies the
+  *    exact membership, not just the rate. */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Unsigned md5 bucket in [0, 1e6) — bit-equal to DuckDB's
+    * `md5_number_lower(salt || ':' || key) % 1000000`. */
+  def hashBucket(key: String, salt: String): Long =
+    java.lang.Long.remainderUnsigned(Dedup.md5Lower64(salt + ":" + key), Buckets)
+
+  private val bucketUdf = udf((key: String, salt: String) => hashBucket(key, salt))
+
+  def bucketCol(key: Column, salt: String): Column = bucketUdf(key, lit(salt))
+
+  /** Keep ~`rate` of rows, deterministically by key. */
+  def deterministicSample(df: DataFrame, rate: Double, salt: String,
+      keyCol: String = "doc_id"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of range: $rate")
+    df.filter(bucketCol(col(keyCol).cast("string"), salt) <
+      math.round(rate * Buckets))
+  }
+
+  /** Assign every row a split label by cumulative weight ranges over the
+    * hash bucket: weights (("train", .9), ("val", .05), ("test", .05)).
+    * Splits are disjoint and exhaustive by construction. */
+  def assignSplits(df: DataFrame, weights: Seq[(String, Double)], salt: String,
+      keyCol: String = "doc_id", outCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0))
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1: $total")
+    val bounds = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.min(Buckets, math.round(c * Buckets)))
+    val b = bucketCol(col(keyCol).cast("string"), salt)
+    // CASE over cumulative upper bounds; the last arm catches bucket ==
+    // Buckets-1 rounding exactly
+    val expr = weights.zip(bounds).reverse.foldLeft(lit(weights.last._1)) {
+      case (acc, ((name, _), hi)) => when(b < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, expr)
+  }
+}

@@ -499,6 +499,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.toSeq == hits2.toSeq)
   }
 
+  test("deterministic sampling and splits: stable, disjoint, rate-accurate") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 5000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // splits are disjoint + exhaustive and BY KEY (pure hash function)
+    val split = graft.ops.Sampling.assignSplits(docs,
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "s1")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000)
+    assert(math.abs(counts("train") - 4000.0) < 200, counts.toString)
+    assert(math.abs(counts("val") - 500.0) < 120, counts.toString)
+    // rerun + repartition changes nothing (no partitioning dependence)
+    val again = graft.ops.Sampling.assignSplits(docs.repartition(17),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "s1")
+    assert(split.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+    // deterministicSample: membership equals the bucket predicate; two
+    // salts give near-independent samples
+    val s10 = graft.ops.Sampling.deterministicSample(docs, 0.1, "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(math.abs(s10.size - 500.0) < 120, s10.size.toString)
+    assert(s10.forall(id => graft.ops.Sampling.hashBucket(id.toString, "a") < 100000))
+    val s10b = graft.ops.Sampling.deterministicSample(docs, 0.1, "b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val overlap = (s10 & s10b).size.toDouble
+    assert(overlap < 120, s"salted samples must be ~independent: $overlap")
+    // degenerate rates
+    assert(graft.ops.Sampling.deterministicSample(docs, 0.0, "a").count() == 0)
+    assert(graft.ops.Sampling.deterministicSample(docs, 1.0, "a").count() == 5000)
+  }
+
   test("cosinePairsScaled: multi-table SRP finds every planted near-dup") {
     // 2000 unit vectors, every 10th a tiny perturbation of its predecessor
     // (cos > 0.99). Auto-sized bits (log2(2000/32)=6) would give a single
