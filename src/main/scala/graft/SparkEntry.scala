@@ -102,6 +102,16 @@ object SparkEntry {
       Dedup.nearDedup(t(s, dir, "documents"), threshold = 0.7)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    "x_dedup_incremental" -> ((s, dir) => {
+      // incremental ingestion: docs >= 250 are "the new batch", docs < 250
+      // the existing corpus; survivors = new docs with no corpus near-dup
+      // at J >= 0.7. Oracle: DuckDB cross-checks every (new, corpus) pair.
+      val d = t(s, dir, "documents")
+      Dedup.nearDedupAgainst(d.filter(col("doc_id") >= 250),
+          d.filter(col("doc_id") < 250), threshold = 0.7)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)),
     "x_simhash_pairs" -> ((s, dir) =>
@@ -349,6 +359,18 @@ object SparkEntry {
       graft.ops.Sampling.assignSplits(t(s, dir, "documents"),
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "graft")
         .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+    "x_token_budget" -> ((s, dir) =>
+      // pretraining-mix selection: per-language token budgets filled by a
+      // deterministic hash-ordered prefix; DuckDB recomputes the exact
+      // membership (same md5 buckets, same running-sum window)
+      graft.ops.Sampling.tokenBudgetSample(
+          t(s, dir, "documents").withColumn("ws_tokens",
+            graft.ops.WsTokenCount.ws_token_count(col("text"))),
+          budgets = Map("en" -> 30000L, "fr" -> 8000L, "de" -> 8000L,
+            "es" -> 8000L),
+          salt = "mix")
+        .select(col("doc_id"), col("lang"), col("ws_tokens"))
         .orderBy("doc_id")),
     "x_token_count_native" -> ((s, dir) =>
       // native codegen'd Catalyst expression (no UDF boxing)
@@ -625,6 +647,23 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "x_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN t
+        |    ELSE list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+        |  FROM toks),
+        |matched AS (
+        |  SELECT DISTINCT i.doc_id
+        |  FROM g i JOIN g c ON i.doc_id >= 250 AND c.doc_id < 250
+        |  WHERE cast(len(list_intersect(i.grams, c.grams)) as double)
+        |        / len(list_distinct(list_concat(i.grams, c.grams))) >= 0.7)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM matched)
+        |ORDER BY doc_id""".stripMargin,
     "x_dedup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
@@ -842,6 +881,25 @@ object SparkEntry {
         |  END, 6) AS quality_score_r6,
         |  cast(len(wtoks) as int) AS ws_tokens
         |FROM hits ORDER BY doc_id""".stripMargin,
+    "x_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    cast(len(list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'),
+        |      x -> x <> '')) as int) AS ws_tokens,
+        |    md5_number_lower('mix:' || cast(doc_id as varchar)) % 1000000 AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, ws_tokens,
+        |    coalesce(sum(cast(ws_tokens as bigint)) OVER (
+        |      PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM d)
+        |SELECT doc_id, lang, ws_tokens FROM c
+        |WHERE (lang = 'en' AND before < 30000)
+        |   OR (lang = 'fr' AND before < 8000)
+        |   OR (lang = 'de' AND before < 8000)
+        |   OR (lang = 'es' AND before < 8000)
+        |ORDER BY doc_id""".stripMargin,
     "x_split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN b < 800000 THEN 'train'

@@ -244,6 +244,63 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  // ------------------------------------------------- incremental dedup
+  /** Drop from `incoming` every doc that exactly matches a corpus doc —
+    * the per-batch half of incremental ingestion (md5 anti-join; both
+    * hashes computed map-side, one shuffle on the digest). */
+  def exactDedupAgainst(incoming: DataFrame, corpus: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    incoming.withColumn("__h", md5(col(textCol)))
+      .join(seen, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
+  /** Incremental NEAR-dedup: drop from `incoming` every doc whose 3-gram
+    * Jaccard against SOME `corpus` doc reaches `threshold` — "dedup the
+    * new crawl against what we already have", the operator an ongoing
+    * pipeline runs every batch (self-join dedup only covers the first).
+    *
+    * Same plan discipline as [[minhashPairs]]: signatures once per side
+    * behind barriers, banded candidate join carrying ids only, screen by
+    * signature estimate, exact verify on survivors, then ONE anti-join of
+    * `incoming` against the matched-id set. The hot-bucket cap is taken on
+    * the CORPUS side (the unbounded one); capped buckets fall through to
+    * exact incremental dedup semantics like the self-join form. */
+  def nearDedupAgainst(incoming: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8, textCol: String = "text",
+      maxBucket: Int = 1000): DataFrame = {
+    val sigInc = incoming.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
+      .localCheckpoint()
+    val sigCor = corpus.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
+      .localCheckpoint()
+    def banded(sigs: DataFrame, idAs: String) = sigs
+      .select(col("doc_id").as(idAs),
+        posexplode(bandHashesUdf(col("sig"))).as(Seq("band", "bucket")))
+    val bCor0 = banded(sigCor, "cor_id")
+    val hot = bCor0.groupBy(col("band"), col("bucket"))
+      .count().filter(col("count") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val bCor = bCor0.join(hot, Seq("band", "bucket"), "left_anti")
+    val bInc = banded(sigInc, "inc_id").join(hot, Seq("band", "bucket"), "left_anti")
+    val cand = bInc.join(bCor, Seq("band", "bucket"))
+      .select(col("inc_id"), col("cor_id"))
+      .distinct()
+    val estJaccard = udf((x: Seq[Long], y: Seq[Long]) =>
+      x.zip(y).count { case (u, v) => u == v }.toDouble / x.length)
+    val screen = math.max(0.0, threshold - 0.2) // same margin as minhashPairs
+    val matched = cand
+      .join(sigInc.select(col("doc_id").as("inc_id"), col("sig").as("sig_i")), Seq("inc_id"))
+      .join(sigCor.select(col("doc_id").as("cor_id"), col("sig").as("sig_c")), Seq("cor_id"))
+      .filter(estJaccard(col("sig_i"), col("sig_c")) >= screen)
+      .join(incoming.select(col("doc_id").as("inc_id"), col(textCol).as("text_i")), Seq("inc_id"))
+      .join(corpus.select(col("doc_id").as("cor_id"), col(textCol).as("text_c")), Seq("cor_id"))
+      .filter(jaccardUdf(col("text_i"), col("text_c")) >= threshold)
+      .select(col("inc_id").as("doc_id"))
+      .distinct()
+    incoming.join(matched, Seq("doc_id"), "left_anti")
+  }
+
   // -------------------------------------------------------------- simhash
   /** 64-bit SimHash over token unigrams (token frequency weighted),
     * parametrized by the per-token hash so the oracle variant below can

@@ -61,4 +61,36 @@ object Sampling {
     }
     df.withColumn(outCol, expr)
   }
+
+  /** Token-budget data mixing: within each stratum (language, source,
+    * quality band ...) keep a deterministic hash-ordered PREFIX of
+    * documents until the stratum's token budget fills — the "N billion
+    * tokens of English, M of code" selection step of a pretraining mix.
+    * Contract: a doc is kept iff the running token sum of all hash-earlier
+    * docs in its stratum is strictly below the budget (overshoot at most
+    * one doc); strata without a budget are dropped; membership is a pure
+    * function of (key, salt, stratum contents), reproducible anywhere.
+    *
+    * Scale note: the running sum is a per-stratum window — a handful of
+    * huge strata serialize into single tasks. At cluster scale the same
+    * contract runs as the classic two-pass prefix sum (per-partition
+    * partials + broadcast offsets) over the hash-sorted stratum; this
+    * window form is the correct semantics and the right shape up to
+    * strata of ~10^8 rows per task. */
+  def tokenBudgetSample(df: DataFrame, budgets: Map[String, Long],
+      salt: String, stratumCol: String = "lang",
+      tokenCol: String = "ws_tokens", keyCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = bucketCol(col(keyCol).cast("string"), salt)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(b.asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budgetExpr = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__before",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .filter(col("__before") < budgetExpr)
+      .drop("__before")
+  }
 }

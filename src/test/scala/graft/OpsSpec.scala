@@ -499,6 +499,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.toSeq == hits2.toSeq)
   }
 
+  test("incremental dedup against a corpus: exact and near variants") {
+    val base = sentence(301, 90)
+    val near = base.split(" ").toSeq.patch(5, Seq("zzz"), 1).mkString(" ")
+    val corpus = docsDf(Seq((1L, base), (2L, sentence(302, 90))))
+    val incoming = docsDf(Seq(
+      (10L, base),              // exact copy of corpus doc 1
+      (11L, near),              // near-dup of corpus doc 1
+      (12L, sentence(303, 90)), // fresh
+      (13L, sentence(304, 90)))) // fresh
+    val exact = graft.ops.Dedup.exactDedupAgainst(incoming, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(11L, 12L, 13L), exact.toString) // only the exact copy dropped
+    val nearKept = graft.ops.Dedup.nearDedupAgainst(incoming, corpus, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nearKept == Set(12L, 13L), nearKept.toString) // near-dup dropped too
+    // incoming docs near-dup ONLY of each other survive (corpus is the ref)
+    val selfPair = docsDf(Seq((20L, sentence(305, 90)),
+      (21L, sentence(305, 90) + " tail")))
+    val kept2 = graft.ops.Dedup.nearDedupAgainst(selfPair, corpus, threshold = 0.8)
+      .count()
+    assert(kept2 == 2)
+  }
+
+  test("token-budget mixing: hash-prefix per stratum, exact greedy contract") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 200L).map { i =>
+      (i, if (i % 2 == 0) "en" else "fr", 10) // 10 tokens each
+    }.toDF("doc_id", "lang", "ws_tokens")
+    val out = graft.ops.Sampling.tokenBudgetSample(docs,
+      Map("en" -> 250L, "fr" -> 95L), salt = "t")
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: prefix while before < 250 -> exactly 25 docs; fr: before < 95 ->
+    // 10 docs (the 10th has before 90 < 95; overshoot-by-one contract)
+    assert(byLang == Map("en" -> 25L, "fr" -> 10L), byLang.toString)
+    // membership = the hash-order prefix, independently recomputed
+    val enKept = out.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val enExpect = (0L until 200L).filter(_ % 2 == 0)
+      .sortBy(id => (graft.ops.Sampling.hashBucket(id.toString, "t"), id))
+      .take(25).toSet
+    assert(enKept == enExpect)
+    // unbudgeted strata are dropped
+    assert(out.filter(!col("lang").isin("en", "fr")).count() == 0)
+  }
+
   test("deterministic sampling and splits: stable, disjoint, rate-accurate") {
     val sp = spark
     import sp.implicits._
