@@ -266,14 +266,20 @@ object Dedup {
     * signature estimate, exact verify on survivors, then ONE anti-join of
     * `incoming` against the matched-id set. The hot-bucket cap is taken on
     * the CORPUS side (the unbounded one); capped buckets fall through to
-    * exact incremental dedup semantics like the self-join form. */
+    * exact incremental dedup semantics like the self-join form.
+    *
+    * `corpusSigs`: optional precomputed (doc_id, sig) frame (see
+    * [[buildSignatureStore]]) — at scale the corpus signature pass dwarfs
+    * the batch, so an ongoing pipeline computes it ONCE per corpus
+    * version, not once per batch. */
   def nearDedupAgainst(incoming: DataFrame, corpus: DataFrame,
       threshold: Double = 0.8, textCol: String = "text",
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, corpusSigs: Option[DataFrame] = None): DataFrame = {
     val sigInc = incoming.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
       .localCheckpoint()
-    val sigCor = corpus.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
-      .localCheckpoint()
+    val sigCor = corpusSigs.getOrElse(
+      corpus.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
+        .localCheckpoint())
     def banded(sigs: DataFrame, idAs: String) = sigs
       .select(col("doc_id").as(idAs),
         posexplode(bandHashesUdf(col("sig"))).as(Seq("band", "bucket")))
@@ -300,6 +306,40 @@ object Dedup {
       .distinct()
     incoming.join(matched, Seq("doc_id"), "left_anti")
   }
+
+  /** Persisted MinHash signature store: (doc_id, sig) parquet + a
+    * metadata-only freshness token (AnnIndex scheme — input file listing,
+    * no data scan). Build is a one-pass map + write; a repeat call on an
+    * unchanged corpus runs ZERO Spark jobs. The signature pass is the
+    * expensive half of near-dedup, and it depends only on the corpus —
+    * an ongoing ingestion pipeline runs it per corpus VERSION, then feeds
+    * [[nearDedupAgainst]] per batch via `corpusSigs`. */
+  def buildSignatureStore(docs: DataFrame, dir: String,
+      textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val token = AnnIndex.inputToken(docs)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/_graft_meta/meta.properties")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = token.exists { t =>
+      try {
+        val in = fs.open(metaPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.linesIterator.contains(s"token=$t")
+      } catch { case _: Exception => false }
+    }
+    if (fresh) return
+    docs.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/sigs")
+    graft.util.FsAtomic.overwriteFile(spark.sparkContext.hadoopConfiguration,
+      metaPath, s"kind=minhash\ntoken=${token.getOrElse(0L)}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def readSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/sigs")
 
   // -------------------------------------------------------------- simhash
   /** 64-bit SimHash over token unigrams (token frequency weighted),

@@ -522,6 +522,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept2 == 2)
   }
 
+  test("signature store: zero-job warm rebuild; stored sigs reproduce dedup") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 250)
+    val incoming = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") >= 250)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
+    graft.ops.Dedup.buildSignatureStore(corpus, dir) // cold: computes + writes
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.ops.Dedup.buildSignatureStore(corpus, dir) // warm: token match
+      Thread.sleep(1000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0, s"warm signature build must no-op (${jobs.get()} jobs)")
+    // stored signatures give the same incremental dedup result
+    val sigs = graft.ops.Dedup.readSignatureStore(spark, dir)
+    val direct = graft.ops.Dedup.nearDedupAgainst(incoming, corpus, 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stored = graft.ops.Dedup.nearDedupAgainst(incoming, corpus, 0.7,
+        corpusSigs = Some(sigs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored == direct)
+  }
+
   test("token-budget mixing: hash-prefix per stratum, exact greedy contract") {
     val sp = spark
     import sp.implicits._
