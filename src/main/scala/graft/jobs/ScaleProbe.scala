@@ -86,6 +86,34 @@ object ScaleProbe {
       out(s"docs_${n}_bpe_total_tokens") = bpeTok; out(s"docs_${n}_bpe_sec") = tb
     }
 
+    // incremental dedup shape: a 10%-sized batch against the corpus, with
+    // and without the persisted signature store — the stored form must
+    // skip the corpus signature pass (the dominant cost as corpus >> batch)
+    if (sections("docs")) {
+      val corpus = synthDocs(spark, nDocs, cpus.toInt).localCheckpoint()
+      val incoming = synthDocs(spark, nDocs / 10, cpus.toInt)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .localCheckpoint()
+      val (nd1, tDirect) = time(
+        Dedup.nearDedupAgainst(incoming, corpus, threshold = 0.7).count())
+      val sigDir = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_sigs"
+      // corpus is in-memory here (no files -> no freshness token), so the
+      // store build always runs; with a parquet corpus it is once-per-version
+      val (_, tBuild) = time(Dedup.buildSignatureStore(corpus, sigDir))
+      // the caller barriers the read store ONCE per batch: three consumers
+      // (hot count, banded join, estimate join) must not re-scan parquet
+      val (nd2, tStored) = time {
+        val sigs = Dedup.readSignatureStore(spark, sigDir).localCheckpoint()
+        Dedup.nearDedupAgainst(incoming, corpus,
+          threshold = 0.7, corpusSigs = Some(sigs)).count()
+      }
+      require(nd1 == nd2, s"stored-sig dedup mismatch: $nd1 vs $nd2")
+      out("incdedup_direct_sec") = tDirect
+      out("incdedup_sigstore_build_sec") = tBuild
+      out("incdedup_stored_sec") = tStored
+      mark("incremental_dedup", tDirect + tBuild + tStored)
+    }
+
     if (sections("vecs")) {
     val vecs = synthVecs(spark, nVecs, 64, cpus.toInt)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_ann"
