@@ -93,4 +93,41 @@ object Sampling {
       .filter(col("__before") < budgetExpr)
       .drop("__before")
   }
+
+  /** The giant-stratum form of [[tokenBudgetSample]] — IDENTICAL contract,
+    * skew-proof plan (the asOfBucketed two-pass pattern): the hash space
+    * splits into `ranges` monotone buckets, pass 1 computes the running
+    * before-sum WITHIN (stratum, range) so no window task sees more than
+    * ~1/ranges of a stratum, and pass 2 adds each range's carry-in offset
+    * from a tiny per-(stratum, range) totals frame. A 10^9-row stratum
+    * that would serialize into one window task spreads over `ranges`. */
+  def tokenBudgetSampleBucketed(df: DataFrame, budgets: Map[String, Long],
+      salt: String, stratumCol: String = "lang",
+      tokenCol: String = "ws_tokens", keyCol: String = "doc_id",
+      ranges: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = math.max(1L, Buckets / ranges)
+    val tagged = df
+      .withColumn("__b", bucketCol(col(keyCol).cast("string"), salt))
+      .withColumn("__r", (col("__b") / width).cast("long"))
+    val wLocal = Window.partitionBy(col(stratumCol), col("__r"))
+      .orderBy(col("__b").asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCarry = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tagged.groupBy(col(stratumCol), col("__r"))
+      .agg(sum(col(tokenCol).cast("long")).as("__rt"))
+      .withColumn("__off", coalesce(sum(col("__rt")).over(wCarry), lit(0L)))
+      .select(col(stratumCol), col("__r"), col("__off"))
+    val budgetExpr = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    tagged
+      .withColumn("__local",
+        coalesce(sum(col(tokenCol).cast("long")).over(wLocal), lit(0L)))
+      .join(offsets, Seq(stratumCol, "__r"))
+      .filter(col("__local") + col("__off") < budgetExpr)
+      .drop("__b", "__r", "__local", "__off")
+  }
 }

@@ -572,6 +572,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enKept == enExpect)
     // unbudgeted strata are dropped
     assert(out.filter(!col("lang").isin("en", "fr")).count() == 0)
+
+    // the skew-proof bucketed form is contract-identical, across range
+    // widths including the degenerate one-range (= plain window) case
+    for (r <- Seq(1, 7, 64)) {
+      val bucketed = graft.ops.Sampling.tokenBudgetSampleBucketed(docs,
+        Map("en" -> 250L, "fr" -> 95L), salt = "t", ranges = r)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val plain = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bucketed == plain, s"ranges=$r")
+    }
+    // and with realistic uneven token counts on the documents table
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("ws_tokens", graft.ops.WsTokenCount.ws_token_count(col("text")))
+    val p2 = graft.ops.Sampling.tokenBudgetSample(real,
+      Map("en" -> 20000L, "fr" -> 5000L), "m2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b2 = graft.ops.Sampling.tokenBudgetSampleBucketed(real,
+      Map("en" -> 20000L, "fr" -> 5000L), "m2", ranges = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(p2 == b2 && p2.nonEmpty)
   }
 
   test("deterministic sampling and splits: stable, disjoint, rate-accurate") {
