@@ -508,6 +508,19 @@ object SparkEntry {
           coalesce(col("size_class"), lit("ALL")).as("size_g"),
           col("n_docs"), col("total_chars"))
         .orderBy("lang_g", "size_g")),
+    "q18_doc_percentiles" -> ((s, dir) =>
+      // ordered-set aggregates: exact interpolated percentiles of document
+      // length per language. Spark's percentile() and DuckDB's
+      // quantile_cont() share the linear-interpolation definition; int
+      // inputs keep the arithmetic exact across engines.
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          expr("percentile(n_chars, 0.5)").as("p50_chars"),
+          expr("percentile(n_chars, 0.9)").as("p90_chars"),
+          expr("cast(min(n_chars) as bigint)").as("min_chars"),
+          expr("cast(max(n_chars) as bigint)").as("max_chars"))
+        .orderBy("lang")),
     "q14_top_customers" -> ((s, dir) =>
       t(s, dir, "customer")
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -1030,6 +1043,13 @@ object SparkEntry {
         |  cast(sum(cast(n_chars as bigint)) as bigint) AS total_chars
         |FROM d GROUP BY ROLLUP(lang, size_class)
         |ORDER BY lang_g, size_g""".stripMargin,
+    "q18_doc_percentiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.5) AS p50_chars,
+        |  quantile_cont(n_chars, 0.9) AS p90_chars,
+        |  cast(min(n_chars) as bigint) AS min_chars,
+        |  cast(max(n_chars) as bigint) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q14_top_customers" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
