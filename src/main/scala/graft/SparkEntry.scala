@@ -539,6 +539,23 @@ object SparkEntry {
           sum(when(col("o_custkey").isNull, 1).otherwise(0))
             .cast("long").as("without_orders"))
     }),
+    "q19_sliding_hour" -> ((s, dir) => {
+      // RANGE window frame (value-based, not row-based): per event, the
+      // count and fixed-point value sum of the user's events in the
+      // preceding hour — the sliding-window family q4/q13/q16 don't cover.
+      // Integer epoch seconds keep the frame bounds exact across engines.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("es"))
+        .rangeBetween(-3600L, 0L)
+      t(s, dir, "events")
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("n_last_hour", count(lit(1)).over(w).cast("long"))
+        .withColumn("vm_last_hour",
+          sum(expr("cast(floor(value * 1000) as bigint)")).over(w).cast("long"))
+        .select(col("event_id"), col("n_last_hour"), col("vm_last_hour"))
+        .orderBy("event_id")
+    }),
     "q16_event_deltas" -> ((s, dir) => {
       // lag-based per-event value delta, fixed-point, summed by type
       import org.apache.spark.sql.expressions.Window
@@ -1057,6 +1074,14 @@ object SparkEntry {
       """SELECT
         |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS with_orders,
         |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS without_orders""".stripMargin,
+    "q19_sliding_hour" ->
+      """SELECT event_id,
+        |  cast(count(*) OVER w as bigint) AS n_last_hour,
+        |  cast(sum(cast(floor(value * 1000) as bigint)) OVER w as bigint) AS vm_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY cast(epoch(ts) as bigint)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q16_event_deltas" ->
       """SELECT event_type, count(*) AS n, cast(sum(delta) as bigint) AS delta_sum
         |FROM (
