@@ -40,7 +40,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- extraction engine over the transcript table ----------
     "x_extract_turns" -> ((s, dir) => {
-      val turns = Synth.turns(s, math.min(sfOf(dir), 0.01), 16)
+      // full driver SF (the former sf0.01 "Verify-speed cap" predated the
+      // round-2..4 hot-path work; extraction now runs ~40k turns/s, so the
+      // flagship row covers every synthesized turn at the driver's scale)
+      val turns = Synth.turns(s, sfOf(dir), 16)
       turns.withColumn("ex", Udfs.extractTurn(col("text")))
         .select(col("conv_id"), col("turn_idx"), col("role"),
           col("ex.content").as("content"), col("ex.headline").as("headline"),
@@ -54,7 +57,7 @@ object SparkEntry {
       // column, and an array<string> breaks pandas' sort. The block texts
       // are folded into a deterministic digest instead (the raw array form
       // is exercised by BlockifierSpec / the frozen per-turn digests).
-      val turns = Synth.turns(s, math.min(sfOf(dir), 0.01), 16)
+      val turns = Synth.turns(s, sfOf(dir), 16)
       // single blockify pass: CollapseProject keeps the non-cheap UDF in
       // its own Project (3 references), so `bt` is evaluated once per row;
       // the \\u0001 joiner keeps block boundaries inside the digest
@@ -67,7 +70,7 @@ object SparkEntry {
     "x_turn_ordering" -> ((s, dir) => {
       // stable-ordering invariant: turn_idx dense 0..n-1 per conversation
       import org.apache.spark.sql.expressions.Window
-      val turns = Synth.turns(s, math.min(sfOf(dir), 0.01), 16)
+      val turns = Synth.turns(s, sfOf(dir), 16)
       val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
       turns.withColumn("rn", row_number().over(w) - 1)
         .groupBy(col("conv_id"))
@@ -75,7 +78,7 @@ object SparkEntry {
           sum(when(col("rn") === col("turn_idx"), 0).otherwise(1)).as("order_violations"))
     }),
     "x_author_names" -> ((s, dir) => {
-      val turns = Synth.turns(s, math.min(sfOf(dir), 0.01), 16)
+      val turns = Synth.turns(s, sfOf(dir), 16)
       turns.withColumn("ex", Udfs.extractTurn(col("text")))
         .select(col("conv_id"), col("turn_idx"),
           col("ex.rawAuthor").as("raw_author"), col("ex.author").as("author"))
@@ -365,6 +368,19 @@ object SparkEntry {
       // deterministic hash-ordered prefix; DuckDB recomputes the exact
       // membership (same md5 buckets, same running-sum window)
       graft.ops.Sampling.tokenBudgetSample(
+          t(s, dir, "documents").withColumn("ws_tokens",
+            graft.ops.WsTokenCount.ws_token_count(col("text"))),
+          budgets = Map("en" -> 30000L, "fr" -> 8000L, "de" -> 8000L,
+            "es" -> 8000L),
+          salt = "mix")
+        .select(col("doc_id"), col("lang"), col("ws_tokens"))
+        .orderBy("doc_id")),
+    "x_token_budget_bucketed" -> ((s, dir) =>
+      // the skew-proof two-pass form a 100 TB run uses (per-(stratum,
+      // hash-range) windows + tiny carry-in offsets — no giant stratum
+      // serializes into one window task). Contract-identical to
+      // tokenBudgetSample, so the SAME DuckDB membership oracle applies.
+      graft.ops.Sampling.tokenBudgetSampleBucketed(
           t(s, dir, "documents").withColumn("ws_tokens",
             graft.ops.WsTokenCount.ws_token_count(col("text"))),
           budgets = Map("en" -> 30000L, "fr" -> 8000L, "de" -> 8000L,
@@ -912,6 +928,27 @@ object SparkEntry {
         |  cast(len(wtoks) as int) AS ws_tokens
         |FROM hits ORDER BY doc_id""".stripMargin,
     "x_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    cast(len(list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'),
+        |      x -> x <> '')) as int) AS ws_tokens,
+        |    md5_number_lower('mix:' || cast(doc_id as varchar)) % 1000000 AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, ws_tokens,
+        |    coalesce(sum(cast(ws_tokens as bigint)) OVER (
+        |      PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM d)
+        |SELECT doc_id, lang, ws_tokens FROM c
+        |WHERE (lang = 'en' AND before < 30000)
+        |   OR (lang = 'fr' AND before < 8000)
+        |   OR (lang = 'de' AND before < 8000)
+        |   OR (lang = 'es' AND before < 8000)
+        |ORDER BY doc_id""".stripMargin,
+    "x_token_budget_bucketed" ->
+      // contract-identical to x_token_budget (the two-pass bucketed plan
+      // computes the SAME before-sum), so the same membership oracle holds
       """WITH d AS (
         |  SELECT doc_id, lang,
         |    cast(len(list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'),

@@ -131,26 +131,50 @@ object AsOfJoin {
 
   /** Cheap key-skew probe: top-key share of a BOUNDED uniform sample of the
     * two inputs' key columns (column-pruned scan; Bernoulli `sample` needs
-    * no prior count, and `maxSampleRows` hard-bounds what reaches the
-    * aggregate). Returns (topKeyShare, sampledRows).
+    * no prior count). Returns (topKeyShare, sampledRows).
     *
     * The sample must be per-ROW Bernoulli, NOT a hash of the key columns:
     * hashing the key keeps or drops every row of a key together, turning
     * the probe into a sample of KEYS — it would miss the hot key 99% of
     * the time and report a meaningless share for whichever key survived
-    * (caught by ScaleProbe: share=1.0 from a single sampled tail key). */
+    * (caught by ScaleProbe: share=1.0 from a single sampled tail key).
+    *
+    * The row bound is a PER-PARTITION cap (`maxSampleRows / nPartitions`),
+    * not a global `limit`: `limit` satisfies itself from the first
+    * partitions, so a hot key living in later partitions would be
+    * invisible whenever the sampled count exceeds the cap — exactly the
+    * shape the probe exists to catch. With the per-partition cap every
+    * partition contributes, and what the cap truncates is the Bernoulli
+    * sample stream (already row-random within the partition). */
   private[graft] def keySkew(left: DataFrame, right: DataFrame,
       keys: Seq[String], sampleFraction: Double = 0.01,
       maxSampleRows: Int = 100000): (Double, Long) = {
-    val probe = left.select(keys.map(col): _*)
+    val sampled = left.select(keys.map(col): _*)
       .unionByName(right.select(keys.map(col): _*))
       .sample(withReplacement = false, sampleFraction, seed = 42L)
-      .limit(maxSampleRows)
-    val agg = probe.groupBy(keys.map(col): _*).count()
+      .select(concat_ws("", keys.map(col(_).cast("string")): _*).as("k"))
+    import sampled.sparkSession.implicits._
+    val ks = sampled.as[String]
+    val perPart = math.max(1,
+      maxSampleRows / math.max(1, ks.rdd.getNumPartitions))
+    val probe = ks.mapPartitions(_.take(perPart)).toDF("k")
+    val agg = probe.groupBy(col("k")).count()
       .agg(max(col("count")).as("top"), sum(col("count")).as("total")).head
     if (agg.isNullAt(1) || agg.getLong(1) == 0L) (0.0, 0L)
     else (agg.getLong(0).toDouble / agg.getLong(1), agg.getLong(1))
   }
+
+  /** Routing-decision cache for [[asOfAuto]]: the skew probe costs a
+    * bounded but real job (~1 s at sf0.1 — measured round 4), and an
+    * ongoing pipeline re-joins the SAME file-backed inputs every run, so
+    * the decision is memoized per (left-token, right-token, keys,
+    * threshold) using the AnnIndex metadata-only freshness token (input
+    * file listing — no data scan). In-memory frames have no provable
+    * version (token None) and always re-probe. */
+  // values are java.lang.Boolean: a primitive-valued Scala CHM would unbox
+  // a missing key's null to `false` and read as a cached PLAIN decision
+  private val routeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long, Seq[String], Double), java.lang.Boolean]()
 
   /** Auto-routing as-of join: probes key skew and picks [[asOf]] (one
     * window shuffle — wins whenever no key dominates) or [[asOfBucketed]]
@@ -158,15 +182,42 @@ object AsOfJoin {
     * window into one straggler task). The measured local crossover
     * (BENCH.md as-of probe) favors plain well past 10M rows per key, so
     * the default `hotKeyShare` routes to bucketed only for the pathological
-    * shapes the bucketed form exists for. The decision is logged. */
+    * shapes the bucketed form exists for. The decision is logged.
+    *
+    * Probe amortization: `skewHint = Some(isSkewed)` skips the probe
+    * entirely (the caller already knows its key distribution); otherwise
+    * the decision is cached per (input tokens, keys, threshold) so only
+    * the FIRST invocation on a given input version pays the probe job. */
   def asOfAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, bucketExpr: org.apache.spark.sql.Column,
       hotKeyShare: Double = 0.2, sampleFraction: Double = 0.01,
-      maxSampleRows: Int = 100000): DataFrame = {
-    val (share, sampled) = keySkew(left, right, keys, sampleFraction, maxSampleRows)
-    val useBucketed = sampled > 0 && share >= hotKeyShare
-    log.info(s"asOfAuto: topKeyShare=$share over $sampled sampled rows -> " +
-      (if (useBucketed) "BUCKETED (skew-hardened)" else "PLAIN (single window)"))
+      maxSampleRows: Int = 100000,
+      skewHint: Option[Boolean] = None): DataFrame = {
+    val useBucketed = skewHint match {
+      case Some(hint) =>
+        log.info(s"asOfAuto: caller skew hint -> " +
+          (if (hint) "BUCKETED" else "PLAIN"))
+        hint
+      case None =>
+        val cacheKey = for {
+          lt <- AnnIndex.inputToken(left)
+          rt <- AnnIndex.inputToken(right)
+        } yield (lt, rt, keys, hotKeyShare)
+        cacheKey.flatMap(k => Option(routeCache.get(k))) match {
+          case Some(cached) =>
+            log.info(s"asOfAuto: cached routing decision -> " +
+              (if (cached.booleanValue) "BUCKETED" else "PLAIN"))
+            cached.booleanValue
+          case None =>
+            val (share, sampled) =
+              keySkew(left, right, keys, sampleFraction, maxSampleRows)
+            val d = sampled > 0 && share >= hotKeyShare
+            log.info(s"asOfAuto: topKeyShare=$share over $sampled sampled rows -> " +
+              (if (d) "BUCKETED (skew-hardened)" else "PLAIN (single window)"))
+            cacheKey.foreach(k => routeCache.put(k, d))
+            d
+        }
+    }
     if (useBucketed) asOfBucketed(left, right, keys, ts, bucketExpr)
     else asOf(left, right, keys, ts)
   }

@@ -265,8 +265,12 @@ object Dedup {
     * behind barriers, banded candidate join carrying ids only, screen by
     * signature estimate, exact verify on survivors, then ONE anti-join of
     * `incoming` against the matched-id set. The hot-bucket cap is taken on
-    * the CORPUS side (the unbounded one); capped buckets fall through to
-    * exact incremental dedup semantics like the self-join form.
+    * the CORPUS side (the unbounded one); capped buckets genuinely skip
+    * NEAR-dup detection, but an EXACT md5 fallback
+    * ([[exactDedupAgainst]], `exactFallback = true`) is composed in so an
+    * incoming doc byte-identical to a capped-bucket corpus doc still
+    * drops, and [[nearDedupAgainstCappedBuckets]] surfaces the skipped
+    * buckets as an audit table ("no silent caps").
     *
     * `corpusSigs`: optional precomputed (doc_id, sig) frame (see
     * [[buildSignatureStore]]) — at scale the corpus signature pass dwarfs
@@ -274,8 +278,12 @@ object Dedup {
     * version, not once per batch. */
   def nearDedupAgainst(incoming: DataFrame, corpus: DataFrame,
       threshold: Double = 0.8, textCol: String = "text",
-      maxBucket: Int = 1000, corpusSigs: Option[DataFrame] = None): DataFrame = {
-    val sigInc = incoming.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
+      maxBucket: Int = 1000, corpusSigs: Option[DataFrame] = None,
+      exactFallback: Boolean = true): DataFrame = {
+    val base =
+      if (exactFallback) exactDedupAgainst(incoming, corpus, textCol)
+      else incoming
+    val sigInc = base.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
       .localCheckpoint()
     val sigCor = corpusSigs.getOrElse(
       corpus.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
@@ -299,13 +307,24 @@ object Dedup {
       .join(sigInc.select(col("doc_id").as("inc_id"), col("sig").as("sig_i")), Seq("inc_id"))
       .join(sigCor.select(col("doc_id").as("cor_id"), col("sig").as("sig_c")), Seq("cor_id"))
       .filter(estJaccard(col("sig_i"), col("sig_c")) >= screen)
-      .join(incoming.select(col("doc_id").as("inc_id"), col(textCol).as("text_i")), Seq("inc_id"))
+      .join(base.select(col("doc_id").as("inc_id"), col(textCol).as("text_i")), Seq("inc_id"))
       .join(corpus.select(col("doc_id").as("cor_id"), col(textCol).as("text_c")), Seq("cor_id"))
       .filter(jaccardUdf(col("text_i"), col("text_c")) >= threshold)
       .select(col("inc_id").as("doc_id"))
       .distinct()
-    incoming.join(matched, Seq("doc_id"), "left_anti")
+    base.join(matched, Seq("doc_id"), "left_anti")
   }
+
+  /** "No silent caps" audit twin of [[nearDedupAgainst]]: the (band,
+    * bucket, n_docs) corpus buckets that the incremental near-dedup skips
+    * at this `maxBucket` — mirror of [[minhashCappedBuckets]] for the
+    * corpus side. A pipeline surfaces this table next to its drop counts
+    * so a cap never reads as "no near-duplicates there"; exact matches
+    * inside capped buckets are still covered by the composed
+    * [[exactDedupAgainst]] fallback. */
+  def nearDedupAgainstCappedBuckets(corpus: DataFrame, maxBucket: Int = 1000,
+      textCol: String = "text"): DataFrame =
+    minhashCappedBuckets(corpus, maxBucket, textCol)
 
   /** Persisted MinHash signature store: (doc_id, sig) parquet + a
     * metadata-only freshness token (AnnIndex scheme — input file listing,

@@ -125,9 +125,16 @@ object StreamingSessions {
             cur += e
           }
           if (cur.nonEmpty) sessions += cur.toSeq
-          // a session is FINAL once wm > last + gap: any event that could
-          // still extend/merge it would have ts < wm, i.e. dropped above
-          val (finalized, open) = sessions.partition(_.last.ts + gapMs <= wm)
+          // a session is FINAL once wm > last + gap (STRICT): the filter
+          // above accepts ts == wm, and at ts == last + gap the batch split
+          // rule (strictly > gap) would EXTEND the session — so at
+          // wm == last + gap a boundary event could still merge and the
+          // session must stay open. (Spark 4.1's flatMapGroupsWithState
+          // happens to drop ts <= watermark rows upstream — instrumented in
+          // StreamingSpec — which makes the boundary unreachable today; the
+          // strict form stays correct under either late-row convention
+          // instead of leaning on that engine detail.)
+          val (finalized, open) = sessions.partition(_.last.ts + gapMs < wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionBuf(open.flatten.toSeq))

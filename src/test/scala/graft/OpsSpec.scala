@@ -658,4 +658,120 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // random unit vectors at dim 32 essentially never reach cos 0.99
     assert(gotPairs == planted, s"unexpected extras: ${gotPairs -- planted}")
   }
+
+  test("nearDedupAgainst: exact fallback covers capped corpus buckets") {
+    // 30 identical corpus docs overflow every band bucket at maxBucket=10,
+    // so the LSH path generates NO candidates for them — but an incoming
+    // byte-identical copy must still drop (composed exactDedupAgainst),
+    // and the capped buckets must be queryable, not silent
+    // 40 tokens -> 38 3-gram shingles, so "+ tail" keeps J = 38/39 ~ 0.97
+    val hot = sentence(400, 40)
+    val corpus = docsDf((1L to 30L).map(i => (i, hot)) :+ (100L, sentence(401, 80)))
+    val nearOfHot = hot + " tail"
+    val incoming = docsDf(Seq(
+      (200L, hot),          // exact copy of the capped group
+      (201L, nearOfHot),    // NEAR-dup of the capped group (documented skip)
+      (202L, sentence(402, 80))))
+    val kept = Dedup.nearDedupAgainst(incoming, corpus, threshold = 0.8,
+        maxBucket = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(200L), "exact copy of capped-bucket doc must drop")
+    assert(kept.contains(202L), "fresh doc must survive")
+    val keptNoFb = Dedup.nearDedupAgainst(incoming, corpus, threshold = 0.8,
+        maxBucket = 10, exactFallback = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNoFb.contains(200L),
+      "without the fallback the capped exact copy silently survives (the documented trade)")
+    val capped = Dedup.nearDedupAgainstCappedBuckets(corpus, maxBucket = 10).collect()
+    assert(capped.nonEmpty && capped.forall(_.getLong(2) == 30L),
+      s"capped-bucket audit table must surface the skipped group: ${capped.toSeq}")
+    // uncapped, the near-dup drops too (sanity that only the cap skipped it)
+    val keptUncapped = Dedup.nearDedupAgainst(incoming, corpus, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptUncapped == Set(202L), keptUncapped.toString)
+  }
+
+  test("keySkew: hot key in the LAST partitions is still detected") {
+    // 9 range partitions of distinct keys + a 10th holding one hot key.
+    // A global limit() would satisfy the row cap from the FIRST partitions
+    // and miss the hot key entirely; the per-partition cap samples every
+    // partition, so the probe sees the hot key's share.
+    val sp = spark
+    import sp.implicits._
+    val rows = (1 to 900).map(i => (i, i.toLong)) ++
+      (901 to 1000).map(i => (i, 999999L)) // hot key: 10% of rows, at the end
+    val df = rows.toDF("ord", "user_id")
+      .repartitionByRange(10, col("ord"))
+      .select("user_id")
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "drop").select("user_id")
+    val (share, sampled) = graft.ops.AsOfJoin.keySkew(df, empty,
+      Seq("user_id"), sampleFraction = 1.0, maxSampleRows = 100)
+    assert(sampled > 0 && sampled <= 110, s"sampled=$sampled must honor the cap")
+    assert(share >= 0.05, s"hot key share invisible to the probe: share=$share")
+  }
+
+  test("asOfAuto: probe decision cached per input token; skew hint skips probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_cache").toString
+    val sp = spark
+    import sp.implicits._
+    (1L to 200L).map(i => (i % 7, 1000L + i, i)).toDF("user_id", "ts", "event_id")
+      .write.parquet(s"$dir/l")
+    (1L to 200L).map(i => (i % 7, 990L + i, 100000L + i)).toDF("user_id", "ts", "matched")
+      .write.parquet(s"$dir/r")
+    val l = spark.read.parquet(s"$dir/l")
+    val r = spark.read.parquet(s"$dir/r")
+    // cold call pays the probe job and populates the routing cache
+    val first = graft.ops.AsOfJoin.asOfAuto(l, r, Seq("user_id"), "ts",
+      col("ts"))
+    val firstN = first.count()
+    // warm call on the SAME file-backed inputs must build its plan with
+    // ZERO Spark jobs (the probe is the only eager action inside asOfAuto)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val second =
+      try {
+        val d = graft.ops.AsOfJoin.asOfAuto(l, r, Seq("user_id"), "ts", col("ts"))
+        Thread.sleep(500)
+        d
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0, s"cached routing must skip the probe (${jobs.get()} jobs ran)")
+    assert(second.count() == firstN)
+    // caller-supplied hint skips the probe even for in-memory frames
+    val lm = (1L to 50L).map(i => (i % 3, 100L + i, i)).toDF("user_id", "ts", "event_id")
+    val rm = (1L to 50L).map(i => (i % 3, 90L + i, 1000L + i)).toDF("user_id", "ts", "matched")
+    spark.sparkContext.addSparkListener(listener)
+    val hinted =
+      try {
+        val d = graft.ops.AsOfJoin.asOfAuto(lm, rm, Seq("user_id"), "ts",
+          col("ts"), skewHint = Some(false))
+        Thread.sleep(500)
+        d
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0, s"skew hint must skip the probe (${jobs.get()} jobs ran)")
+    // hinted plain and hinted bucketed agree (equivalence is pinned
+    // elsewhere; here we just confirm both hint paths construct)
+    val plainRows = hinted.orderBy("event_id").collect().toSeq
+    val bucketed = graft.ops.AsOfJoin.asOfAuto(lm, rm, Seq("user_id"), "ts",
+      col("ts"), skewHint = Some(true)).orderBy("event_id").collect().toSeq
+    assert(plainRows == bucketed)
+  }
+
+  test("extension builders enforce arity with a clear error") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val byName = graft.GraftExtensions.functions
+      .map(f => f._1 -> f._3).toMap
+    val lit = Literal("x")
+    // wrong arity -> IllegalArgumentException naming the function, not an
+    // IndexOutOfBoundsException from exprs(1)
+    val e1 = intercept[IllegalArgumentException] { byName("cosine_sim")(Seq(lit)) }
+    assert(e1.getMessage.contains("cosine_sim") && e1.getMessage.contains("expected 2"))
+    val e2 = intercept[IllegalArgumentException] { byName("ws_token_count")(Seq(lit, lit)) }
+    assert(e2.getMessage.contains("expected 1"))
+    // correct arity still constructs
+    assert(byName("simhash64")(Seq(lit)).isInstanceOf[graft.ops.SimHash64])
+  }
 }

@@ -218,4 +218,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!all.exists(s => s.user_id == 1L && s.n_events == 2), all.toString)
     } finally q.stop()
   }
+
+  test("buffered sessionization at wm == last + gap: strict finalize, no session split") {
+    // Boundary case (round-4 ADVICE): finalization is STRICT
+    // (`last + gap < wm`) so a session whose horizon equals the watermark
+    // exactly stays open one more turn — under the function's own
+    // `ts >= wm` acceptance rule a boundary event at ts == wm == last+gap
+    // would still extend it (batch splits only when diff is STRICTLY >
+    // gap). Pinned here: Spark 4.1's flatMapGroupsWithState additionally
+    // drops input rows with ts <= watermark UPSTREAM (verified by
+    // instrumentation: the batch carrying the ts == wm event never invokes
+    // the function), so the boundary event never arrives, NO session is
+    // ever split, and the open session finalizes later via timeout. The
+    // strict comparison keeps the operator correct under BOTH late-row
+    // conventions rather than relying on the upstream equality drop.
+    val sp = spark
+    import sp.implicits._
+    import graft.streaming.{ClosedSession, SessionEvent, StreamingSessions}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+    val input = MemoryStream[SessionEvent]
+    val q = StreamingSessions.sessionizeBuffered(input.toDS(), gapMinutes = 30,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("graft_sessions_boundary")
+      .outputMode("append").start()
+    try {
+      // u1 opens [0]; u2's event at 40 drives the watermark to EXACTLY
+      // 40 - 10 = 30 == u1.last(0) + gap(30) for the next batch
+      input.addData(SessionEvent(1L, 1L, ts(0)), SessionEvent(2L, 2L, ts(40)))
+      q.processAllAvailable()
+      // at wm == 30 the session must NOT have finalized early (strict
+      // test); the boundary event ts(30) == wm is dropped by Spark's
+      // upstream late-row filter before the function sees it
+      input.addData(SessionEvent(1L, 3L, ts(30)))
+      q.processAllAvailable()
+      assert(spark.table("graft_sessions_boundary").count() == 0,
+        "nothing may finalize while wm == last + gap")
+      // flush everything far past all horizons
+      input.addData(SessionEvent(3L, 4L, ts(700)))
+      q.processAllAvailable()
+      input.addData(SessionEvent(3L, 5L, ts(800)))
+      q.processAllAvailable()
+      val u1 = spark.table("graft_sessions_boundary").as[ClosedSession]
+        .collect().toSeq.filter(_.user_id == 1L)
+      // exactly ONE u1 session: the boundary event neither extended it
+      // (upstream drop) nor started a spurious second session (the failure
+      // mode the old `<=` finalize could produce if Spark accepted ts==wm)
+      assert(u1 == Seq(ClosedSession(1L, ts(0), ts(0), 1)),
+        s"expected the single un-split [0] session, got: $u1")
+    } finally q.stop()
+  }
 }
