@@ -98,17 +98,25 @@ object ExtractJob {
         // narrow (5 scalar columns + ex.content), a tiny fraction of the
         // written bytes. The batch stays invisible until commit.
         TranscriptTable.writeData(ordered, outTable, batchId)
-        val written = spark.read.parquet(TranscriptTable.dataDir(outTable, batchId))
-        val linDf = lineage(written, batchId)
-        val lin = linDf.collect() // <= Buckets rows
-        val linStr = lin.sortBy(_.getAs[Int]("conv_bucket")).map(r =>
-          s"${r.getAs[Int]("conv_bucket")}:${r.getAs[Long]("n_turns")}:${r.getAs[Long]("content_digest")}")
-          .mkString(";")
-        TranscriptTable.commitWithLineage(linDf, outTable, batchId,
-          Map("lineage" -> linStr,
-              "n_turns" -> lin.map(_.getAs[Long]("n_turns")).sum.toString))
+        commitStaged(spark, outTable, batchId)
       }
     }
+  }
+
+  /** Derive lineage from a STAGED batch's parquet (narrow columnar re-scan)
+    * and CAS-commit it — the tail of the batch loop, shared verbatim with
+    * the streaming foreachBatch path so both ingest modes get the same
+    * manifest shape (lineage summary + n_turns) and resume story. */
+  def commitStaged(spark: SparkSession, outTable: String, batchId: String): Unit = {
+    val written = spark.read.parquet(TranscriptTable.dataDir(outTable, batchId))
+    val linDf = lineage(written, batchId)
+    val lin = linDf.collect() // <= Buckets rows
+    val linStr = lin.sortBy(_.getAs[Int]("conv_bucket")).map(r =>
+      s"${r.getAs[Int]("conv_bucket")}:${r.getAs[Long]("n_turns")}:${r.getAs[Long]("content_digest")}")
+      .mkString(";")
+    TranscriptTable.commitWithLineage(linDf, outTable, batchId,
+      Map("lineage" -> linStr,
+          "n_turns" -> lin.map(_.getAs[Long]("n_turns")).sum.toString))
   }
 
   def main(args: Array[String]): Unit = {

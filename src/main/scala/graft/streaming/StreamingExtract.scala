@@ -17,15 +17,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamingExtract {
 
   /** Start extraction over a streaming turns DataFrame (schema: conv_id,
-    * turn_idx, role, text, tool, ts). */
+    * turn_idx, role, text, tool, ts). Each micro-batch runs the SAME
+    * stage-then-commit flow as the batch job ([[ExtractJob.run]]): salted
+    * extraction → range-ordered staged write → lineage re-scan →
+    * CAS manifest commit carrying the lineage summary + n_turns. Streaming
+    * ingest therefore gets the identical exactly-once + resume story:
+    * Spark's checkpoint replays a batch id after a crash, `isCommitted`
+    * no-ops committed replays, and a batch killed in the staged-but-
+    * uncommitted window is invisible until the replay overwrites and
+    * commits it (pinned by the kill/restart StreamingSpec test).
+    *
+    * `crashHook` is a test-only failpoint invoked between stage and
+    * commit — production callers leave the default no-op. */
   def start(spark: SparkSession, turnsStream: DataFrame, outTable: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, crashHook: Long => Unit = _ => ()): StreamingQuery = {
     turnsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val extracted = ExtractJob.extractTurns(
-          spark, batch, spark.sparkContext.defaultParallelism)
-        TranscriptTable.writeBatch(extracted.toDF(), outTable, f"s$batchId%06d")
+        val bid = f"s$batchId%06d"
+        if (!TranscriptTable.isCommitted(outTable, bid)) {
+          val parts = spark.sparkContext.defaultParallelism
+          val extracted = ExtractJob.extractTurns(spark, batch, parts)
+          val ordered = extracted.toDF()
+            .repartitionByRange(math.max(1, parts / 4), col("conv_id"), col("turn_idx"))
+            .sortWithinPartitions("conv_id", "turn_idx")
+          TranscriptTable.writeData(ordered, outTable, bid)
+          crashHook(batchId)
+          ExtractJob.commitStaged(spark, outTable, bid)
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
