@@ -227,6 +227,39 @@ object Synth {
   private val MonthsRuAbbr = Vector("янв.", "фев.", "мар.", "апр.", "мая",
     "июн.", "июл.", "авг.", "сен.", "окт.", "ноя.", "дек.")
 
+  // round-5 locale wheel (tr/sv/da/no/cs/sk/ar — VERDICT r4 item 5)
+  private val MonthsTr = Vector("Ocak", "Şubat", "Mart", "Nisan", "Mayıs",
+    "Haziran", "Temmuz", "Ağustos", "Eylül", "Ekim", "Kasım", "Aralık")
+  private val MonthsTrAscii = Vector("Ocak", "Subat", "Mart", "Nisan",
+    "Mayis", "Haziran", "Temmuz", "Agustos", "Eylul", "Ekim", "Kasim",
+    "Aralik")
+  private val MonthsSv = Vector("januari", "februari", "mars", "april",
+    "maj", "juni", "juli", "augusti", "september", "oktober", "november",
+    "december")
+  private val MonthsDa = Vector("januar", "februar", "marts", "april",
+    "maj", "juni", "juli", "august", "september", "oktober", "november",
+    "december")
+  private val MonthsNo = Vector("januar", "februar", "mars", "april", "mai",
+    "juni", "juli", "august", "september", "oktober", "november",
+    "desember")
+  private val MonthsCs = Vector("ledna", "února", "března", "dubna",
+    "května", "června", "července", "srpna", "září", "října", "listopadu",
+    "prosince")
+  private val MonthsCsAscii = Vector("ledna", "unora", "brezna", "dubna",
+    "kvetna", "cervna", "cervence", "srpna", "zari", "rijna", "listopadu",
+    "prosince")
+  private val MonthsSk = Vector("januára", "februára", "marca", "apríla",
+    "mája", "júna", "júla", "augusta", "septembra", "októbra", "novembra",
+    "decembra")
+  private val MonthsSkAscii = Vector("januara", "februara", "marca",
+    "aprila", "maja", "juna", "jula", "augusta", "septembra", "oktobra",
+    "novembra", "decembra")
+  private val MonthsAr = Vector("يناير", "فبراير", "مارس", "أبريل", "مايو",
+    "يونيو", "يوليو", "أغسطس", "سبتمبر", "أكتوبر", "نوفمبر", "ديسمبر")
+  private val MonthsArLev = Vector("كانون الثاني", "شباط", "آذار", "نيسان",
+    "أيار", "حزيران", "تموز", "آب", "أيلول", "تشرين الأول", "تشرين الثاني",
+    "كانون الأول")
+
   /** Form-wheel notches 8-15: ru genitive/abbr, zh/ja 年月日, ko 년월일,
     * and timezone-offset ISO/RFC-1123 datetimes (literal wall-clock). */
   private def intlDate2(iso: String, form: Int, k: Long): String = {
@@ -242,6 +275,36 @@ object Synth {
       case 13 => f"${iso}T$hh%02d:$mm%02d:07Z"
       case 14 => rfc1123(iso).stripSuffix("GMT") + "+0200"
       case _  => s"${d.getDayOfMonth} ${MonthsRu(d.getMonthValue - 1)} ${d.getYear} г."
+    }
+  }
+
+  /** Form-wheel notches 16-31 (round 5): tr/sv/da/no/cs/sk/ar month-name
+    * forms (16-23, 27-31) and extensive-mode free-text numeric forms
+    * (24-26 — these are emitted as a visible <p>, not a <time> element,
+    * so only findDate's extensive sweep can recover them). */
+  private def intlDate3(iso: String, form: Int): String = {
+    val d = java.time.LocalDate.parse(iso)
+    val m = d.getMonthValue - 1
+    val day = d.getDayOfMonth
+    val y = d.getYear
+    form match {
+      case 16 => s"$day ${MonthsTr(m)} $y"
+      case 17 => s"den $day ${MonthsSv(m)} $y"
+      case 18 => s"$day. ${MonthsDa(m)} $y"
+      case 19 => s"$day. ${MonthsCs(m)} $y"
+      case 20 => s"$day. ${MonthsSk(m)} $y"
+      case 21 => s"$day ${MonthsAr(m)} $y"
+      case 22 => s"$day ${MonthsArLev(m)} $y"
+      case 23 => s"$day. ${MonthsNo(m)} $y"
+      case 24 => f"Publicerad $day%02d-${m + 1}%02d-$y" // dashed day-first
+      case 25 => s"Opdateret $day/${m + 1}/$y" // slashed day-first
+      case 26 => // US m/d/yyyy only when unambiguous (day > 12), else dashed
+        if (day > 12) s"Posted ${m + 1}/$day/$y" else f"Posted $day%02d-${m + 1}%02d-$y"
+      case 27 => s"$day. ${MonthsCsAscii(m)} $y"
+      case 28 => s"$day. ${MonthsSkAscii(m)} $y"
+      case 29 => s"$day ${MonthsSv(m)} $y"
+      case 30 => s"$day ${MonthsTrAscii(m)} $y"
+      case _  => s"$day. ${MonthsDa(m).take(3)}. $y"
     }
   }
 
@@ -269,18 +332,26 @@ object Synth {
     // pinned validate_date quirk, so it is removed in these variants)
     val variant = ((k >>> 7) & 3L).toInt
     val ordinalForm = ((k >>> 9) & 1L) == 1L
-    // variant-0 form wheel, widened twice: bits 9-11 give forms 0-7 (0/1
-    // keep the exact pre-widening shapes, 2-6 de/fr/es day-first, 7 ISO
-    // datetime with clock); bit 42 is the round-4 high bit selecting forms
-    // 8-15 (ru/zh/ko + timezone-offset datetimes) — a previously-unused
-    // bit, so forms 0-7 keep their exact old assignment when it is 0
-    val form0 = ((k >>> 9) & 7L).toInt + (((k >>> 42) & 1L).toInt << 3)
+    // variant-0 form wheel, widened three times: bits 9-11 give forms 0-7
+    // (0/1 keep the exact pre-widening shapes, 2-6 de/fr/es day-first, 7
+    // ISO datetime with clock); bit 42 is the round-4 high bit selecting
+    // forms 8-15 (ru/zh/ko + timezone-offset datetimes); bit 43 is the
+    // round-5 high bit selecting forms 16-31 (tr/sv/da/no/cs/sk/ar +
+    // extensive-mode free-text numerics) — each widening uses a
+    // previously-unused bit, so lower forms keep their exact assignment
+    // when it is 0
+    val form0 = ((k >>> 9) & 7L).toInt + (((k >>> 42) & 1L).toInt << 3) +
+      (((k >>> 43) & 1L).toInt << 4)
     val timeEl = variant match {
       case 0 => form0 match {
         case 0 => s"\n<time>${rfc1123(isoDate(k + 9))}</time>"
         case 1 => s"\n<time>${ordinalDate(isoDate(k + 9), dayFirst = false)}</time>"
         case 7 => s"\n<time>${isoDate(k + 9)} ${"%02d:%02d".format(
           ((k >>> 12) & 0x7fffL) % 24, ((k >>> 27) & 0x7fffL) % 60)}</time>"
+        // 24-26: free-text numeric date in a plain paragraph — only the
+        // extensive-mode visible-text sweep can recover it
+        case f if f >= 24 && f <= 26 => s"\n<p>${intlDate3(isoDate(k + 9), f)}</p>"
+        case f if f >= 16 => s"\n<time>${intlDate3(isoDate(k + 9), f)}</time>"
         case f if f >= 8 => s"\n<time>${intlDate2(isoDate(k + 9), f, k)}</time>"
         case f => s"\n<time>${intlDate(isoDate(k + 9), f - 2)}</time>"
       }

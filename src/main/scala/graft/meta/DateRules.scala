@@ -103,7 +103,43 @@ object DateRules {
     "σεπτεμβρίου" -> 9, "σεπτεμβριου" -> 9, "σεπ" -> 9,
     "οκτωβρίου" -> 10, "οκτωβριου" -> 10, "οκτ" -> 10,
     "νοεμβρίου" -> 11, "νοεμβριου" -> 11, "νοε" -> 11,
-    "δεκεμβρίου" -> 12, "δεκεμβριου" -> 12, "δεκ" -> 12)
+    "δεκεμβρίου" -> 12, "δεκεμβριου" -> 12, "δεκ" -> 12,
+    // Turkish (r5 — the next dateparser locales a crawl actually hits,
+    // VERDICT r4 item 5; ASCII fallbacks for the dotted/dotless-ı forms)
+    "ocak" -> 1, "oca" -> 1, "şubat" -> 2, "subat" -> 2, "şub" -> 2,
+    "mart" -> 3, "nisan" -> 4, "nis" -> 4, "mayıs" -> 5, "mayis" -> 5,
+    "haziran" -> 6, "haz" -> 6, "temmuz" -> 7, "tem" -> 7,
+    "ağustos" -> 8, "agustos" -> 8, "eylül" -> 9, "eylul" -> 9, "eyl" -> 9,
+    "ekim" -> 10, "eki" -> 10, "kasım" -> 11, "kasim" -> 11, "kas" -> 11,
+    "aralık" -> 12, "aralik" -> 12, "ara" -> 12,
+    // Swedish / Danish / Norwegian (r5; januari/februari shared with nl,
+    // mars with fr, mai/januar/februar with de — all agree)
+    "maj" -> 5, "augusti" -> 8, "december" -> 12, // sv (+ da maj/december)
+    "marts" -> 3, // da
+    "desember" -> 12, // no
+    // Czech genitive (r5; háček forms + ASCII fallbacks)
+    "ledna" -> 1, "února" -> 2, "unora" -> 2, "března" -> 3, "brezna" -> 3,
+    "dubna" -> 4, "května" -> 5, "kvetna" -> 5, "června" -> 6, "cervna" -> 6,
+    "července" -> 7, "cervence" -> 7, "srpna" -> 8, "září" -> 9, "zari" -> 9,
+    "října" -> 10, "rijna" -> 10, "listopadu" -> 11, "prosince" -> 12,
+    // Slovak genitive (r5; marca/maja shared with pl — agree)
+    "januára" -> 1, "januara" -> 1, "februára" -> 2, "februara" -> 2,
+    "apríla" -> 4, "aprila" -> 4, "mája" -> 5, "júna" -> 6, "juna" -> 6,
+    "júla" -> 7, "jula" -> 7, "augusta" -> 8, "septembra" -> 9,
+    "októbra" -> 10, "oktobra" -> 10, "novembra" -> 11, "decembra" -> 12,
+    // Arabic (r5 — Gregorian loan names + the Levantine month set; hijri
+    // calendar names are EXCLUDED by design, they would need calendar
+    // conversion, not name lookup. Western digits only — the day-first
+    // pattern's \d does not read Arabic-Indic digits (documented subset).)
+    "يناير" -> 1, "فبراير" -> 2, "مارس" -> 3, "أبريل" -> 4, "ابريل" -> 4,
+    "مايو" -> 5, "يونيو" -> 6, "يوليو" -> 7, "أغسطس" -> 8, "اغسطس" -> 8,
+    "سبتمبر" -> 9, "أكتوبر" -> 10, "اكتوبر" -> 10, "نوفمبر" -> 11,
+    "ديسمبر" -> 12,
+    "كانون الثاني" -> 1, "شباط" -> 2, "آذار" -> 3, "اذار" -> 3,
+    "نيسان" -> 4, "أيار" -> 5, "ايار" -> 5, "حزيران" -> 6, "تموز" -> 7,
+    "آب" -> 8, "أيلول" -> 9, "ايلول" -> 9,
+    "تشرين الأول" -> 10, "تشرين الاول" -> 10,
+    "تشرين الثاني" -> 11, "كانون الأول" -> 12, "كانون الاول" -> 12)
   // longest-first so "janvier" wins over "janv"/"jan" at the same position
   private val IntlMonthAlt =
     IntlMonths.keys.toSeq.sortBy(-_.length).mkString("|")
@@ -211,6 +247,41 @@ object DateRules {
     None
   }
 
+  // Extensive-mode free-text numeric forms (htmldate extensive_search
+  // subset growth, VERDICT r4 item 6; reference config pair
+  // metadata.py:443-451 + constant.py:35-36): dashed/slashed
+  // d-m-yyyy with a consistent separator. NOT part of parseAny — meta
+  // values and <time> elements keep the stricter grammar; only the
+  // visible-text sweep (findDate step 5) accepts these, mirroring
+  // htmldate's extensive pattern bank living behind extensive_search.
+  private val NumDayFirst = Pattern.compile(
+    "(?<![0-9])(\\d{1,2})([-/])(\\d{1,2})\\2(\\d{4})(?![0-9])")
+
+  /** [[parseAny]] plus the extensive-only numeric sweep. Ambiguous
+    * d-m-yyyy / d/m/yyyy resolve DAY-FIRST (the European convention of
+    * htmldate's own dotted patterns, and consistent with this file's
+    * Dotted rule); when day-first is implausible (middle field > 12) the
+    * US m/d/yyyy reading is tried, so unambiguous American dates still
+    * parse. All candidates pass the same year/month/day plausibility
+    * bounds as every other rule ([[valid]]); an implausible match does
+    * not stop the scan. */
+  def parseAnyExtensive(s0: String): Option[String] = {
+    val base = parseAny(s0)
+    if (base.isDefined) return base
+    if (s0 == null) return None
+    val s = s0.trim
+    if (!hasYearRun(s)) return None
+    val m = NumDayFirst.matcher(s)
+    while (m.find()) {
+      val a = m.group(1).toInt
+      val b = m.group(3).toInt
+      val y = m.group(4).toInt
+      val r = valid(y, b, a).orElse(valid(y, a, b))
+      if (r.isDefined) return r
+    }
+    None
+  }
+
   /** dateparser.parse stand-in for the ML-candidate path (pipeline.py:104
     * returns full datetimes): the parseAny date grammar, plus time-of-day
     * when the SAME candidate string carries a plausible clock time (ISO
@@ -273,9 +344,10 @@ object DateRules {
       if (fixed != base)
         return f"${fixed.getYear}%04d-${fixed.getMonthValue}%02d-${fixed.getDayOfMonth}%02d"
     }
-    // 5. visible dates (extensive mode)
+    // 5. visible dates (extensive mode: full grammar + the free-text
+    // numeric sweep that exists ONLY behind this flag)
     if (extensiveSearch) {
-      val r = parseAny(tree.textContent)
+      val r = parseAnyExtensive(tree.textContent)
       if (r.isDefined) return r.get
     }
     null

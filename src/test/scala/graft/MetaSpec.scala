@@ -381,6 +381,74 @@ class MetaSpec extends AnyFunSuite {
     assert(parseDateTime("no date 09:05 here") == None)
   }
 
+  test("date grammar r5: tr/sv/da/no/cs/sk/ar day-first forms") {
+    import graft.meta.DateRules.parseAny
+    // Turkish (dotted/dotless-ı forms + ASCII fallbacks + abbreviations)
+    assert(parseAny("3 Mayıs 2008") == Some("2008-05-03"))
+    assert(parseAny("3 Mayis 2008") == Some("2008-05-03"))
+    assert(parseAny("15 Ağustos 2020") == Some("2020-08-15"))
+    assert(parseAny("15 Agustos 2020") == Some("2020-08-15"))
+    assert(parseAny("9 Eki 2019") == Some("2019-10-09"))
+    assert(parseAny("1 Ocak 2021") == Some("2021-01-01"))
+    // Swedish (with and without the "den" article)
+    assert(parseAny("den 3 maj 2008") == Some("2008-05-03"))
+    assert(parseAny("3 augusti 2020") == Some("2020-08-03"))
+    assert(parseAny("14 december 2019") == Some("2019-12-14"))
+    // Danish / Norwegian
+    assert(parseAny("3. marts 2008") == Some("2008-03-03"))
+    assert(parseAny("3. desember 2020") == Some("2020-12-03"))
+    assert(parseAny("5. dec. 2019") == Some("2019-12-05"))
+    // Czech genitive (háčky + ASCII fallbacks)
+    assert(parseAny("3. ledna 2008") == Some("2008-01-03"))
+    assert(parseAny("21. září 2020") == Some("2020-09-21"))
+    assert(parseAny("21. zari 2020") == Some("2020-09-21"))
+    assert(parseAny("8. října 2019") == Some("2019-10-08"))
+    assert(parseAny("8. rijna 2019") == Some("2019-10-08"))
+    // Slovak genitive
+    assert(parseAny("3. januára 2008") == Some("2008-01-03"))
+    assert(parseAny("3. januara 2008") == Some("2008-01-03"))
+    assert(parseAny("15. augusta 2020") == Some("2020-08-15"))
+    assert(parseAny("9. decembra 2021") == Some("2021-12-09"))
+    // Arabic: Gregorian loan names and Levantine month set, Western digits
+    assert(parseAny("3 يناير 2008") == Some("2008-01-03"))
+    assert(parseAny("15 أغسطس 2020") == Some("2020-08-15"))
+    assert(parseAny("15 اغسطس 2020") == Some("2020-08-15"))
+    assert(parseAny("7 آذار 2019") == Some("2019-03-07"))
+    assert(parseAny("22 كانون الأول 2021") == Some("2021-12-22"))
+    assert(parseAny("9 تشرين الثاني 2020") == Some("2020-11-09"))
+    // whole-word guard holds for the new tokens too
+    assert(parseAny("3 martians 2008") == None)
+    assert(parseAny("3 majestic 2008") == None)
+    // English behavior still untouched by the appended entries
+    assert(parseAny("June 3, 2008") == Some("2008-06-03"))
+  }
+
+  test("extensive-mode free-text numeric dates (fast/extensive divergence)") {
+    import graft.meta.DateRules.{parseAny, parseAnyExtensive, findDate}
+    // the numeric sweep exists ONLY behind extensive mode: parseAny (meta
+    // values, <time> elements) must NOT accept these forms
+    assert(parseAny("Publicerad 03-06-2008") == None)
+    assert(parseAny("Opdateret 3/6/2008") == None)
+    assert(parseAnyExtensive("Publicerad 03-06-2008") == Some("2008-06-03"))
+    assert(parseAnyExtensive("Opdateret 3/6/2008") == Some("2008-06-03"))
+    // ambiguous forms resolve day-first; implausible day-first falls back
+    // to the US m/d reading; separator must be consistent
+    assert(parseAnyExtensive("12-10-2008") == Some("2008-10-12"))
+    assert(parseAnyExtensive("Posted 6/25/2008") == Some("2008-06-25"))
+    assert(parseAnyExtensive("13/6-2008") == None)
+    // plausibility bounds: an invalid match does not stop the scan
+    assert(parseAnyExtensive("99-99-2008 then 04-07-2012") == Some("2012-07-04"))
+    assert(parseAnyExtensive("31-13-2008") == None) // no valid reading
+    assert(parseAnyExtensive("phone 555-1234-5678") == None)
+    // full ladder: the page's only date is free text — found in extensive
+    // mode, null in fast mode (the htmldate config pair, metadata.py:443)
+    val html = """<html><head><title>t</title></head>
+      <body><h1>heading</h1><p>Publicerad 03-06-2008</p></body></html>"""
+    val tree = graft.dom.HtmlParser.parse(html)
+    assert(findDate(tree, null, extensiveSearch = true) == "2008-06-03")
+    assert(findDate(tree, null, extensiveSearch = false) == null)
+  }
+
   test("byline prefixes: what the learned CRF actually does") {
     // the CRF (the reference model, decoded exactly) strips en/fr "By"/"Par"
     // markers it saw in training; Dutch "Door" and standalone "Von" were
