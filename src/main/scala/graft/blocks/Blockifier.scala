@@ -391,7 +391,16 @@ object Blockifier {
       doReadability: Boolean = false,
       doTagcount: Boolean = false,
       wordCharFilter: Boolean = true): Vector[Block] = {
-    val enc = if (encoding != null) encoding else guessEncoding(bytes)
+    // encoding ladder (reference load_html + detect_encoding,
+    // utils.py:75-93,105-131): explicit arg > declared XML/meta charset >
+    // utf-8 validation > statistical detection ([[Chardet]]) > utf-8
+    val enc =
+      if (encoding != null) encoding
+      else {
+        val declared = guessEncoding(bytes, null)
+        if (declared != null) declared
+        else Chardet.detect(bytes).headOption.getOrElse("utf-8")
+      }
     val decoded = enc.toLowerCase.replace("-", "").replace("_", "") match {
       case "utf8" => decodeSurrogate(bytes)
       case other =>

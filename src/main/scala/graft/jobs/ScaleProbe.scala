@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   * vectors, dim 64. */
 object ScaleProbe {
 
-  def synthDocs(spark: SparkSession, n: Int, partitions: Int): DataFrame = {
+  def synthDocs(spark: SparkSession, n: Int, partitions: Int,
+      nTokens: Int = 120): DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
       val base: Long = if (id % 20 == 1) id - 1 else id
-      val toks = Array.tabulate(120) { i =>
+      val toks = Array.tabulate(nTokens) { i =>
         "w" + ((Synth.mix(base * 131 + i) & 0xfffL).toHexString)
       }
       if (id % 20 == 1) { // near-dup: replace 3 consecutive tokens
@@ -33,13 +34,21 @@ object ScaleProbe {
     }.toDF("doc_id", "text")
   }
 
-  def synthVecs(spark: SparkSession, n: Int, dim: Int, partitions: Int): DataFrame = {
+  /** `plantEvery > 0`: every plantEvery-th vector is a near-dup of its
+    * predecessor (first component nudged 0.02 — cos stays > 0.999), giving
+    * the scaled near-dup probe a known recall target at any size. */
+  def synthVecs(spark: SparkSession, n: Int, dim: Int, partitions: Int,
+      plantEvery: Int = 0): DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
+      val planted = plantEvery > 0 && id % plantEvery == 1
+      val base: Long = if (planted) id - 1 else id
       val v = Array.tabulate(dim)(i =>
-        ((Synth.mix(id * 257 + i) >>> 11).toDouble / (1L << 53) - 0.5).toFloat)
+        ((Synth.mix(base * 257 + i) >>> 11).toDouble / (1L << 53) - 0.5).toFloat)
       val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
-      (id, v.map(_ / norm))
+      val u = v.map(_ / norm)
+      if (planted) u(0) = u(0) + 0.02f
+      (id, u)
     }.toDF("vec_id", "embedding")
   }
 
@@ -153,6 +162,60 @@ object ScaleProbe {
     mark("neardup_scaled", tNds)
     out(s"vecs_${nVecs}_neardup_scaled_pairs") = nds
     out(s"vecs_${nVecs}_neardup_scaled_sec") = tNds
+    }
+
+    // one more decade on the embedding probe (VERDICT r4 item 8a): the
+    // scaled SRP form at nVecs (run with 10M), with planted near-dups so
+    // the run measures recall as well as shape. Pass `vecsbig` explicitly.
+    if (sections("vecsbig")) {
+      val src = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_vecsbig"
+      synthVecs(spark, nVecs, 64, cpus.toInt * 4, plantEvery = 1000)
+        .write.mode("overwrite").parquet(src)
+      val vecsP = spark.read.parquet(src)
+      val planted = (nVecs - 2) / 1000 + 1 // ids 1, 1001, 2001, ...
+      val (nds, tNds) = time(
+        Similarity.cosinePairsScaled(vecsP, threshold = 0.9).count())
+      mark(s"neardup_scaled_$nVecs", tNds)
+      require(nds >= (planted * 0.95).toLong,
+        s"recall collapsed at $nVecs: $nds pairs vs $planted planted")
+      out(s"vecs_${nVecs}_neardup_scaled_pairs") = nds
+      out(s"vecs_${nVecs}_neardup_scaled_planted") = planted
+      out(s"vecs_${nVecs}_neardup_scaled_sec") = tNds
+    }
+
+    // signature-store probe on a LONG-document corpus (VERDICT r4 item 8b):
+    // at sf-scale doc lengths the corpus signature pass is too cheap for
+    // the store to matter (BENCH.md documents the null result); with
+    // ~3000-token docs the shingle+minhash pass dominates and the
+    // persisted store must WIN. The corpus is parquet-backed, so the warm
+    // build is also exercised as a zero-job freshness no-op.
+    if (sections("sigstore")) {
+      val corpusSrc = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_longdocs"
+      synthDocs(spark, nDocs, cpus.toInt, nTokens = 3000)
+        .write.mode("overwrite").parquet(corpusSrc)
+      val corpus = spark.read.parquet(corpusSrc)
+      val incoming = synthDocs(spark, nDocs / 10, cpus.toInt, nTokens = 3000)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .localCheckpoint()
+      val (nd1, tDirect) = time(
+        Dedup.nearDedupAgainst(incoming, corpus, threshold = 0.7).count())
+      mark("longdocs_direct", tDirect)
+      // no cleanup needed: the corpus parquet was just rewritten, so a
+      // stale store's freshness token can never match — the build runs cold
+      val sigDir = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_longsigs"
+      val (_, tBuild) = time(Dedup.buildSignatureStore(corpus, sigDir))
+      val (_, tWarm) = time(Dedup.buildSignatureStore(corpus, sigDir)) // token no-op
+      val (nd2, tStored) = time {
+        val sigs = Dedup.readSignatureStore(spark, sigDir).localCheckpoint()
+        Dedup.nearDedupAgainst(incoming, corpus,
+          threshold = 0.7, corpusSigs = Some(sigs)).count()
+      }
+      mark("longdocs_stored", tBuild + tStored)
+      require(nd1 == nd2, s"stored-sig long-doc dedup mismatch: $nd1 vs $nd2")
+      out("longdocs_direct_sec") = tDirect
+      out("longdocs_sigstore_build_sec") = tBuild
+      out("longdocs_sigstore_warm_sec") = tWarm
+      out("longdocs_stored_sec") = tStored
     }
 
     // as-of skew probe: ~94% of 1M left rows on ONE key — the plain form

@@ -1,0 +1,75 @@
+package graft
+
+import graft.blocks.{Blockifier, Chardet}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Statistical charset detection (the detect_encoding subset upgrade,
+  * reference utils.py:75-93): BOMs, strict utf-8 validation, BOM-less
+  * utf-16, and single-byte statistical scoring over the cp1252 / latin-2 /
+  * cp1251 / koi8-r / greek candidates — including the classic confusion
+  * pairs (cp1251 vs koi8-r case flip, Greek vs Cyrillic full-range
+  * plausibility) that need the frequency profile, not just "is a letter". */
+class ChardetSpec extends AnyFunSuite {
+
+  private val french =
+    "Le café était très agréable, le garçon déjà présent. Où êtes-vous allé cet été ?"
+  private val czech =
+    "příliš žluťoučký kůň úpěl ďábelské ódy, zvlášť zákeřný učeň běží podél zóny"
+  private val russian =
+    "съешь же ещё этих мягких французских булок да выпей чаю, широкая электрификация"
+  private val greek =
+    "η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί και τρέχει μακριά"
+
+  test("utf-8: validation accepts real utf-8, rejects malformed") {
+    assert(Chardet.isUtf8("plain ascii".getBytes("UTF-8")))
+    assert(Chardet.isUtf8(russian.getBytes("UTF-8")))
+    assert(Chardet.isUtf8("日本語テキスト".getBytes("UTF-8")))
+    assert(!Chardet.isUtf8(Array(0x80.toByte))) // bare continuation
+    assert(!Chardet.isUtf8(Array(0xC0.toByte, 0xAF.toByte))) // overlong
+    assert(!Chardet.isUtf8(Array(0xED.toByte, 0xA0.toByte, 0x80.toByte))) // surrogate
+    assert(!Chardet.isUtf8(russian.getBytes("windows-1251")))
+    assert(Chardet.detect(russian.getBytes("UTF-8")) == Seq("utf-8"))
+    assert(Chardet.detect("just ascii text".getBytes("UTF-8")) == Seq("utf-8"))
+  }
+
+  test("BOMs and BOM-less utf-16") {
+    assert(Chardet.detect(Array(0xEF, 0xBB, 0xBF, 'a', 'b').map(_.toByte)) == Seq("utf-8"))
+    assert(Chardet.detect("hello html page".getBytes("UTF-16LE")).head == "utf-16le")
+    assert(Chardet.detect("hello html page".getBytes("UTF-16BE")).head == "utf-16be")
+    // with BOM
+    assert(Chardet.detect(("﻿" + "x").getBytes("UTF-16LE")).head == "utf-16le")
+    assert(Chardet.detect(("﻿" + "x").getBytes("UTF-16BE")).head == "utf-16be")
+  }
+
+  test("single-byte statistical: the five candidate charsets round-trip") {
+    assert(Chardet.detect(french.getBytes("windows-1252")).head == "windows-1252")
+    assert(Chardet.detect(czech.getBytes("ISO-8859-2")).head == "iso-8859-2")
+    assert(Chardet.detect(russian.getBytes("windows-1251")).head == "windows-1251")
+    assert(Chardet.detect(russian.getBytes("KOI8-R")).head == "koi8-r")
+    assert(Chardet.detect(greek.getBytes("ISO-8859-7")).head == "iso-8859-7")
+  }
+
+  test("blockifyBytes: undeclared non-utf8 bytes decode via statistical detection") {
+    // no XML decl, no meta charset, invalid as utf-8 -> the old ladder
+    // fell back to utf-8 surrogate-escape and DROPPED the text node; the
+    // statistical step recovers it
+    val html = s"<html><body><p>$russian</p></body></html>"
+    val blocks = Blockifier.blockifyBytes(html.getBytes("windows-1251"))
+    assert(blocks.map(_.text) == Seq(russian))
+    val blocksK = Blockifier.blockifyBytes(html.getBytes("KOI8-R"))
+    assert(blocksK.map(_.text) == Seq(russian))
+    val htmlCz = s"<html><body><p>$czech</p></body></html>"
+    assert(Blockifier.blockifyBytes(htmlCz.getBytes("ISO-8859-2"))
+      .map(_.text) == Seq(czech))
+    // declared charset still wins over statistics (the reference ladder)
+    val declared = ("<html><head><meta charset=\"windows-1251\"></head>" +
+      s"<body><p>$russian</p></body></html>").getBytes("windows-1251")
+    assert(Blockifier.blockifyBytes(declared).map(_.text) == Seq(russian))
+    // explicit arg still wins over everything
+    assert(Blockifier.blockifyBytes(html.getBytes("KOI8-R"), "KOI8-R")
+      .map(_.text) == Seq(russian))
+    // valid utf-8 without declaration keeps the utf-8 fast path
+    assert(Blockifier.blockifyBytes(html.getBytes("UTF-8"))
+      .map(_.text) == Seq(russian))
+  }
+}
