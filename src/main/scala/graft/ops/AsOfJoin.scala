@@ -165,16 +165,70 @@ object AsOfJoin {
   }
 
   /** Routing-decision cache for [[asOfAuto]]: the skew probe costs a
-    * bounded but real job (~1 s at sf0.1 — measured round 4), and an
-    * ongoing pipeline re-joins the SAME file-backed inputs every run, so
-    * the decision is memoized per (left-token, right-token, keys,
-    * threshold) using the AnnIndex metadata-only freshness token (input
-    * file listing — no data scan). In-memory frames have no provable
-    * version (token None) and always re-probe. */
+    * bounded but real job (~1 s at sf0.1 — measured round 4; in a cold
+    * JVM it is mostly probe-plan codegen), and an ongoing pipeline
+    * re-joins the SAME file-backed inputs every run, so the decision is
+    * memoized per (left-token, right-token, keys, threshold) using the
+    * AnnIndex metadata-only freshness token (input file listing — no data
+    * scan). In-memory frames have no provable version (token None) and
+    * always re-probe. The cache is also PERSISTED (tiny properties file
+    * in java.io.tmpdir, best-effort) so repeat runs in fresh JVMs —
+    * scheduled pipeline invocations, bench sweeps — skip the probe too;
+    * a token change (new input version) changes the key, so staleness is
+    * impossible by construction. */
   // values are java.lang.Boolean: a primitive-valued Scala CHM would unbox
   // a missing key's null to `false` and read as a cached PLAIN decision
   private val routeCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Long, Seq[String], Double), java.lang.Boolean]()
+
+  private val routeCacheFile = new java.io.File(
+    System.getProperty("java.io.tmpdir"), "graft_asof_routes.properties")
+  @volatile private var routeCacheLoaded = false
+
+  private def persistKey(k: (Long, Long, Seq[String], Double)): String =
+    s"${k._1}:${k._2}:${k._3.mkString("+")}:${k._4}"
+
+  private def loadPersistedRoutes(): Unit = if (!routeCacheLoaded) synchronized {
+    if (routeCacheLoaded) return
+    try {
+      if (routeCacheFile.exists()) {
+        val p = new java.util.Properties()
+        val in = new java.io.FileInputStream(routeCacheFile)
+        try p.load(in) finally in.close()
+        p.forEach { (k, v) =>
+          k.toString.split(':') match {
+            case Array(lt, rt, ks, th) =>
+              routeCache.putIfAbsent((lt.toLong, rt.toLong,
+                ks.split('+').toSeq.filter(_.nonEmpty), th.toDouble),
+                java.lang.Boolean.valueOf(v.toString))
+            case _ => ()
+          }
+        }
+      }
+    } catch { case _: Exception => () } // best-effort cache, never fatal
+    routeCacheLoaded = true
+  }
+
+  private def persistRoute(k: (Long, Long, Seq[String], Double), d: Boolean): Unit =
+    synchronized {
+      try {
+        val p = new java.util.Properties()
+        if (routeCacheFile.exists()) {
+          val in = new java.io.FileInputStream(routeCacheFile)
+          try p.load(in) finally in.close()
+        }
+        p.setProperty(persistKey(k), d.toString)
+        val tmp = java.io.File.createTempFile("graft_asof_routes", ".tmp",
+          routeCacheFile.getParentFile)
+        val os = new java.io.FileOutputStream(tmp)
+        try p.store(os, "asOfAuto routing decisions keyed by input freshness tokens")
+        finally os.close()
+        if (!tmp.renameTo(routeCacheFile)) { // same-dir rename is atomic on POSIX
+          java.nio.file.Files.move(tmp.toPath, routeCacheFile.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      } catch { case _: Exception => () }
+    }
 
   /** Auto-routing as-of join: probes key skew and picks [[asOf]] (one
     * window shuffle — wins whenever no key dominates) or [[asOfBucketed]]
@@ -199,6 +253,7 @@ object AsOfJoin {
           (if (hint) "BUCKETED" else "PLAIN"))
         hint
       case None =>
+        loadPersistedRoutes()
         val cacheKey = for {
           lt <- AnnIndex.inputToken(left)
           rt <- AnnIndex.inputToken(right)
@@ -214,7 +269,7 @@ object AsOfJoin {
             val d = sampled > 0 && share >= hotKeyShare
             log.info(s"asOfAuto: topKeyShare=$share over $sampled sampled rows -> " +
               (if (d) "BUCKETED (skew-hardened)" else "PLAIN (single window)"))
-            cacheKey.foreach(k => routeCache.put(k, d))
+            cacheKey.foreach { k => routeCache.put(k, d); persistRoute(k, d) }
             d
         }
     }
