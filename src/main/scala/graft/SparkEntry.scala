@@ -236,6 +236,24 @@ object SparkEntry {
     }),
     "x_embed_neardup" -> ((s, dir) =>
       Similarity.cosineTopPairs(t(s, dir, "embeddings"), k = 100)),
+    "x_embed_neardup_exhaustive" -> ((s, dir) => {
+      // exhaustive (all-pairs) embedding near-dup at a threshold the
+      // driver embeddings actually reach — engine-independent, so fully
+      // DuckDB-oracled (the x_ann_*_exhaustive pattern applied to the
+      // PAIR contract: LSH bucketing is the scale path, this row pins the
+      // exact pair set it approximates). Membership filters on the
+      // ROUNDED cosine: x_cosine_pairs pins r6 equality across engines,
+      // so >= on the rounded value is cross-engine exact while >= on the
+      // raw double could disagree in the 1e-16 tail.
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(Similarity.cosineColumn(col("emb_a"), col("emb_b")), 6).as("cosine_r6"))
+        .filter(col("cosine_r6") >= 0.3)
+        .orderBy("vec_a", "vec_b")
+    }),
     "x_cosine_pairs" -> ((s, dir) => {
       // consecutive-pair cosine via NATIVE higher-order functions
       // (zip_with + aggregate — no UDF boundary), oracle-checked against
@@ -982,6 +1000,14 @@ object SparkEntry {
         |        cast(b.embedding AS DOUBLE[])), 6) AS cosine_r6
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY vec_a""".stripMargin,
+    "x_embed_neardup_exhaustive" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(cast(a.embedding AS DOUBLE[]),
+        |        cast(b.embedding AS DOUBLE[])), 6) AS cosine_r6
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(cast(a.embedding AS DOUBLE[]),
+        |        cast(b.embedding AS DOUBLE[])), 6) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "x_ann_lsh_exhaustive" ->
       // exhaustive probe == brute force (bucketing completeness)
       """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),

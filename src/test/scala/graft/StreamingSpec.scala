@@ -273,6 +273,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("buffered streaming sessionization == batch q13 on the real events table") {
+    // end-to-end parity: the driver's sf0.001 events table pushed through
+    // the streaming sessionizer must produce EXACTLY the per-user
+    // (n_sessions, n_events) that the batch q13 window query computes —
+    // the contract sessionizeBuffered exists for. Events arrive in
+    // event_id order (NOT time order), all in one micro-batch, so the
+    // within-batch sort + buffer logic does the reordering; a far-future
+    // sentinel then drives the watermark past every horizon so all
+    // sessions finalize by timeout.
+    val sp = spark
+    import sp.implicits._
+    import graft.streaming.{ClosedSession, SessionEvent, StreamingSessions}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("user_id", "event_id", "ts").as[SessionEvent]
+      .collect().toSeq.sortBy(_.event_id)
+    val maxTs = events.map(_.ts.getTime).max
+
+    val input = MemoryStream[SessionEvent]
+    val q = StreamingSessions.sessionizeBuffered(input.toDS(), gapMinutes = 30,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("graft_sessions_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      input.addData(SessionEvent(999999L, 999999L, new Timestamp(maxTs + 86400000L)))
+      q.processAllAvailable()
+      input.addData(SessionEvent(999999L, 999998L, new Timestamp(maxTs + 2 * 86400000L)))
+      q.processAllAvailable()
+      val streamed = spark.table("graft_sessions_parity").as[ClosedSession]
+        .collect().toSeq.filter(_.user_id != 999999L)
+        .groupBy(_.user_id)
+        .map { case (u, ss) => (u, ss.size.toLong, ss.map(_.n_events).sum) }
+        .toSet
+      val batch = SparkEntry.queries("q13_sessionize")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"streaming/batch divergence: only-streamed=${streamed -- batch} only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("buffered sessionization at wm == last + gap: strict finalize, no session split") {
     // Boundary case (round-4 ADVICE): finalization is STRICT
     // (`last + gap < wm`) so a session whose horizon equals the watermark
