@@ -150,8 +150,22 @@ object UrlUtils {
       "idv.hk", "inc.hk",
       "fin.ec", "info.ec", "med.ec", "pro.ec", "k12.ec",
       "name.ae", "pro.ae", "sch.ae",
-      "med.sa", "pub.sa", "sch.sa")
-    (generated ++ specific).toSet
+      "med.sa", "pub.sa", "sch.sa",
+      // round-5 growth toward the full list (all real PSL rules):
+      // Costa Rica registry set
+      "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+      // Turkey beyond the common pattern
+      "k12.tr", "bel.tr", "pol.tr", "av.tr", "dr.tr", "gen.tr",
+      "web.tr", "name.tr", "info.tr", "biz.tr", "tv.tr", "tel.tr",
+      // Ukraine city registries (PSL ua section)
+      "kyiv.ua", "lviv.ua", "odesa.ua", "odessa.ua", "kharkiv.ua",
+      "kharkov.ua", "dnipropetrovsk.ua", "donetsk.ua", "zaporizhzhe.ua")
+    // China province second-levels (PSL cn section: 2-letter codes)
+    val cnProvinces = Seq("ah", "bj", "cq", "fj", "gd", "gs", "gx", "gz",
+      "ha", "hb", "he", "hi", "hl", "hn", "jl", "js", "jx", "ln", "nm",
+      "nx", "qh", "sc", "sd", "sh", "sn", "sx", "tj", "xj", "xz", "yn",
+      "zj").map(p => s"$p.cn")
+    (generated ++ specific ++ cnProvinces).toSet
   }
 
   /** Multi-level public suffixes beyond the two-level table (PSL public
@@ -163,10 +177,17 @@ object UrlUtils {
     // .au state education registries
     "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au", "sa.edu.au",
     "tas.edu.au", "vic.edu.au", "wa.edu.au",
-    // .jp prefecture registries (major subset)
+    // .jp prefecture registries (r5: all 47 prefectures — the full PSL set)
     "tokyo.jp", "osaka.jp", "kyoto.jp", "hokkaido.jp", "okinawa.jp",
     "aichi.jp", "fukuoka.jp", "hiroshima.jp", "nagano.jp", "niigata.jp",
     "saitama.jp", "chiba.jp", "kanagawa.jp", "hyogo.jp", "shizuoka.jp",
+    "aomori.jp", "iwate.jp", "miyagi.jp", "akita.jp", "yamagata.jp",
+    "fukushima.jp", "ibaraki.jp", "tochigi.jp", "gunma.jp", "toyama.jp",
+    "ishikawa.jp", "fukui.jp", "yamanashi.jp", "gifu.jp", "mie.jp",
+    "shiga.jp", "wakayama.jp", "nara.jp", "tottori.jp", "shimane.jp",
+    "okayama.jp", "yamaguchi.jp", "tokushima.jp", "kagawa.jp", "ehime.jp",
+    "kochi.jp", "saga.jp", "nagasaki.jp", "kumamoto.jp", "oita.jp",
+    "miyazaki.jp", "kagoshima.jp",
     // private section: hosting / platform suffixes (high-traffic subset)
     "github.io", "gitlab.io", "wordpress.com", "tumblr.com", "weebly.com",
     "blogspot.com", "blogspot.co.uk", "blogspot.de", "blogspot.fr",
@@ -176,7 +197,12 @@ object UrlUtils {
     "elasticbeanstalk.com", "firebaseapp.com", "web.app", "netlify.app",
     "vercel.app", "pages.dev", "workers.dev", "s3.amazonaws.com",
     "appspot.com", "cloudfunctions.net", "glitch.me", "readthedocs.io",
-    "neocities.org", "ngrok.io", "duckdns.org", "dyndns.org", "wixsite.com")
+    "neocities.org", "ngrok.io", "duckdns.org", "dyndns.org", "wixsite.com",
+    // r5 growth: more high-traffic private-section rules
+    "myshopify.com", "pythonanywhere.com", "surge.sh", "now.sh",
+    "onrender.com", "fly.dev", "deno.dev", "gitbook.io", "bitbucket.io",
+    "streamlit.app", "hf.space", "repl.co", "webflow.io", "ghost.io",
+    "substack.com", "carrd.co", "notion.site")
 
   /** Wildcard rules `*.X`: EVERY label under X is itself a public suffix
     * (PSL wildcard TLDs; the jp city registries; *.sch.uk; EC2). */

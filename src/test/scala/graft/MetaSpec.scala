@@ -158,6 +158,20 @@ class MetaSpec extends AnyFunSuite {
     assert(UrlUtils.extractDomain("https://metro.tokyo.jp/") == "metro.tokyo.jp")
     assert(UrlUtils.extractDomain("https://x.school.nsw.edu.au/") == "school.nsw.edu.au")
     assert(UrlUtils.extractDomain("https://uol.com.br/") == "uol.com.br")
+    // r5 growth: full jp prefecture set, cn provinces, tr/cr/ua registries,
+    // new private-section hosts
+    assert(UrlUtils.extractDomain("https://www.pref.aomori.jp/x") == "pref.aomori.jp")
+    assert(UrlUtils.extractDomain("https://site.gov.bj.cn/") == "gov.bj.cn")
+    assert(UrlUtils.extractDomain("https://okul.k12.tr/") == "okul.k12.tr")
+    assert(UrlUtils.extractDomain("https://x.meb.k12.tr/") == "meb.k12.tr")
+    assert(UrlUtils.extractDomain("https://uni.ac.cr/") == "uni.ac.cr")
+    assert(UrlUtils.extractDomain("https://news.kyiv.ua/") == "news.kyiv.ua")
+    assert(UrlUtils.extractDomain("https://store.myshopify.com/p") == "store.myshopify.com")
+    assert(UrlUtils.extractDomain("https://author.substack.com/") == "author.substack.com")
+    assert(UrlUtils.extractDomain("https://docs.notion.site/page") == "docs.notion.site")
+    // plain TLD hosts unaffected by the growth
+    assert(UrlUtils.extractDomain("https://example.cn/") == "example.cn")
+    assert(UrlUtils.extractDomain("https://example.tr/") == "example.tr")
   }
 
   test("mojibake byline repaired end-to-end through the pipeline") {
