@@ -508,6 +508,40 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
     }),
+    "q20_pivot" -> ((s, dir) =>
+      // PIVOT for a KNOWN vocabulary, written as conditional aggregates:
+      // ONE partial+final hash aggregate producing all 5 count columns.
+      // Dataset.pivot() with the same explicit list compiles to TWO
+      // aggregation exchanges (pre-aggregate on (user, type), re-shuffle
+      // on user for PivotFirst) and the implicit form adds a
+      // values-discovery scan on top — both measured in the plan and
+      // pinned inferior in SparkPipelineSpec; at 100 TB the second
+      // full-row shuffle is the difference. count() never yields null,
+      // so the driver hash is engine-neutral without coalescing.
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("click"),
+          count(when(col("event_type") === "error", 1)).as("error"),
+          count(when(col("event_type") === "purchase", 1)).as("purchase"),
+          count(when(col("event_type") === "signup", 1)).as("signup"),
+          count(when(col("event_type") === "view", 1)).as("view"))
+        .orderBy("user_id")),
+    "q21_set_ops" -> ((s, dir) => {
+      // set difference as a relational operator: customers with no URGENT
+      // order (left ANTI join against a filtered build side — the oracled
+      // twin of the fixture-diff golden in SparkPipelineSpec; "no orders
+      // at all" is vacuously empty at every driver SF). The priority
+      // filter pushes into the orders scan, the anti join shuffles key
+      // columns only; at scale the build side reduces to distinct keys
+      // map-side, no wide rows move.
+      val c = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
     "x_asof_join" -> ((s, dir) => {
       // as-of join over the events stream: each even event matched to the
       // user's latest odd event at-or-before its timestamp. One shuffle on
@@ -1100,6 +1134,20 @@ object SparkEntry {
         |      lag(cast(epoch(ts) as bigint)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
         |    FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q20_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q21_set_ops" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "x_asof_join" ->
       // deterministic as-of contract: argmax by (ts, event_id) among prior
       // odd events of the same user; -1 when no prior row exists

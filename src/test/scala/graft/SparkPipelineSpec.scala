@@ -222,6 +222,28 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmrf(out)
   }
 
+  test("pivot: conditional-aggregate form equals Dataset.pivot with one fewer shuffle") {
+    // q20's known-vocabulary pivot is written as conditional aggregates;
+    // this pins (a) result equality with the built-in pivot operator and
+    // (b) the plan advantage that justifies the choice: pivot() compiles
+    // to TWO hash-partitioning exchanges (pre-aggregate on (user, type),
+    // re-shuffle on user for PivotFirst), the conditional form to ONE
+    val dir = "/root/testdata/sf0.001"
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val q20 = SparkEntry.queries("q20_pivot")(spark, dir)
+    val piv = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy("user_id")
+    assert(q20.collect().toSeq == piv.collect().toSeq)
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "hashpartitioning".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val (sCond, sPivot) = (shuffles(q20), shuffles(piv))
+    assert(sCond < sPivot, s"conditional=$sCond pivot=$sPivot")
+  }
+
   test("catalyst plan quality: pruning, pushdown, broadcast join") {
     val dir = "/root/testdata/sf0.001"
     // column pruning reaches the parquet scan
