@@ -116,7 +116,8 @@ object ExtractJob {
       .mkString(";")
     TranscriptTable.commitWithLineage(linDf, outTable, batchId,
       Map("lineage" -> linStr,
-          "n_turns" -> lin.map(_.getAs[Long]("n_turns")).sum.toString))
+          "n_turns" -> lin.map(_.getAs[Long]("n_turns")).sum.toString,
+          "schema" -> written.schema.json))
   }
 
   def main(args: Array[String]): Unit = {

@@ -51,12 +51,14 @@ object TranscriptTable {
   } + "\""
 
   /** Write one batch then commit it atomically. `manifestExtra` carries the
-    * batch lineage summary into the manifest for audit. */
+    * batch lineage summary into the manifest for audit; the batch SCHEMA
+    * is always recorded (see [[read]] — schema evolution resolves from
+    * manifests alone, the Iceberg model, never from data-file footers). */
   def writeBatch(df: DataFrame, table: String, batchId: String,
       manifestExtra: Map[String, String] = Map.empty): Unit = {
     if (isCommitted(table, batchId)) return // idempotent resume
     writeData(df, table, batchId)
-    commit(table, batchId, manifestExtra)
+    commit(table, batchId, manifestExtra + ("schema" -> df.schema.json))
   }
 
   /** Stage the data files of one batch WITHOUT committing: the batch stays
@@ -140,12 +142,84 @@ object TranscriptTable {
   def read(spark: SparkSession, table: String): DataFrame =
     readAsOf(spark, table, null)
 
+  /** JSON-string unescape for manifest values (inverse of [[jstr]]). */
+  private def junstr(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n'  => b += '\n'; i += 2
+          case 'r'  => b += '\r'; i += 2
+          case 't'  => b += '\t'; i += 2
+          case 'u'  =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case o    => b += o; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** The batch's recorded schema, if its manifest carries one. The escaped
+    * string is scanned manually — a `(?:[^"\\]|\\.)*` regex stack-overflows
+    * on multi-KB schema JSON (backtracking frame per character). */
+  def batchSchema(table: String, batchId: String): Option[org.apache.spark.sql.types.StructType] = {
+    val json = manifestJson(table, batchId)
+    val keyAt = json.indexOf("\"schema\": \"")
+    if (keyAt < 0) return None
+    val start = keyAt + "\"schema\": \"".length
+    var i = start
+    while (i < json.length && json.charAt(i) != '"') {
+      if (json.charAt(i) == '\\') i += 2 else i += 1
+    }
+    if (i >= json.length) return None
+    Some(org.apache.spark.sql.types.DataType.fromJson(junstr(json.substring(start, i)))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Union schema of the given batches per the table's evolution contract:
+    * ADDING columns is supported (old rows read the new column as null);
+    * changing a column's type is not. Resolution is manifest-only —
+    * O(batches) driver-side string reads, never a data-file footer scan
+    * (the parquet `mergeSchema` option reads EVERY footer, which at 100 TB
+    * is a job of its own; Iceberg keeps schema in metadata for the same
+    * reason). Returns None when any batch predates schema recording —
+    * readers then fall back to single-schema behavior. */
+  private def unionSchema(table: String, batches: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val schemas = batches.map(b => batchSchema(table, b))
+    if (schemas.exists(_.isEmpty)) return None
+    val fields = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.StructField]
+    schemas.flatten.foreach(_.fields.foreach { f =>
+      fields.get(f.name) match {
+        case None => fields(f.name) = f.copy(nullable = true)
+        case Some(prev) =>
+          require(prev.dataType == f.dataType,
+            s"schema evolution supports ADDING columns only: ${f.name} is " +
+              s"${prev.dataType.simpleString} in one batch and ${f.dataType.simpleString} in another")
+      }
+    })
+    Some(org.apache.spark.sql.types.StructType(fields.values.toSeq))
+  }
+
   /** Time-travel-ish read: only batches committed up to `asOfBatch`
-    * (inclusive, lexicographic batch-id order — ids are zero-padded). */
+    * (inclusive, lexicographic batch-id order — ids are zero-padded).
+    * Schema evolution: when every live batch's manifest records a schema,
+    * the scan is planned with their UNION (added columns read as null in
+    * batches that predate them), resolved from manifests alone. */
   def readAsOf(spark: SparkSession, table: String, asOfBatch: String): DataFrame = {
     val batches = liveBatches(table, asOfBatch)
     require(batches.nonEmpty, s"no committed batches in $table")
-    spark.read.parquet(batches.map(b => dataDir(table, b)): _*)
+    val dirs = batches.map(b => dataDir(table, b))
+    unionSchema(table, batches) match {
+      case Some(schema) => spark.read.schema(schema).parquet(dirs: _*)
+      case None         => spark.read.parquet(dirs: _*)
+    }
   }
 
   /** Small-file compaction (Iceberg-style table maintenance): rewrite a set
@@ -170,7 +244,12 @@ object TranscriptTable {
     val retired = replacedBatches(table)
     require(batchIds.forall(!retired.contains(_)),
       "a batch can be compacted only once")
-    val df = spark.read.parquet(batchIds.map(b => dataDir(table, b)): _*)
+    // compaction reads with the union schema too: the rewritten batch
+    // must not silently drop a column added mid-history
+    val df = unionSchema(table, batchIds) match {
+      case Some(s) => spark.read.schema(s).parquet(batchIds.map(b => dataDir(table, b)): _*)
+      case None    => spark.read.parquet(batchIds.map(b => dataDir(table, b)): _*)
+    }
     df.coalesce(targetFiles).write.mode(SaveMode.Overwrite)
       .parquet(dataDir(table, newBatchId))
     val withLineage = batchIds.filter(b => Files.exists(Paths.get(lineageDir(table, b))))
@@ -186,7 +265,8 @@ object TranscriptTable {
     }.sum
     commit(table, newBatchId, Map(
       "replaces" -> batchIds.sorted.mkString(","),
-      "n_turns" -> nTurns.toString))
+      "n_turns" -> nTurns.toString,
+      "schema" -> df.schema.json))
   }
 
   /** Reclaim the data/lineage files of compaction-retired batches. After

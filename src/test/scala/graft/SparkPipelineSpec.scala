@@ -129,6 +129,37 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmrf(out)
   }
 
+  test("schema evolution: added columns resolve from manifests, old rows read null") {
+    // Iceberg-model evolution: each manifest records its batch schema;
+    // readers plan the scan with the UNION resolved from manifests ALONE
+    // (no data-file footer scan — the mergeSchema option reads every
+    // footer, a job of its own at 100 TB). Adding columns is supported;
+    // type changes are rejected with a clear error.
+    val out = "/tmp/graft_schema_evo"
+    rmrf(out)
+    val sp = spark
+    import sp.implicits._
+    TranscriptTable.writeBatch(Seq((1L, "x"), (2L, "y")).toDF("id", "text"), out, "b000")
+    TranscriptTable.writeBatch(Seq((3L, "z", "en")).toDF("id", "text", "lang"), out, "b001")
+    val full = TranscriptTable.read(spark, out)
+    assert(full.columns.toSeq == Seq("id", "text", "lang"))
+    val rows = full.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(rows == Seq((1L, "x", None), (2L, "y", None), (3L, "z", Some("en"))))
+    // time travel to BEFORE the column existed: the 2-column schema
+    assert(TranscriptTable.readAsOf(spark, out, "b000").columns.toSeq == Seq("id", "text"))
+    // compaction reads and carries the union — no silent column drop
+    TranscriptTable.compact(spark, out, Seq("b000", "b001"), "b002")
+    val comp = TranscriptTable.read(spark, out)
+    assert(comp.columns.toSeq == Seq("id", "text", "lang"))
+    assert(comp.count() == 3 && comp.filter(col("lang").isNotNull).count() == 1)
+    // a type CHANGE is rejected at planning time with a clear error
+    TranscriptTable.writeBatch(Seq((4L, "w", 7)).toDF("id", "text", "lang"), out, "b003")
+    val e = intercept[IllegalArgumentException] { TranscriptTable.read(spark, out) }
+    assert(e.getMessage.contains("ADDING columns only"), e.getMessage)
+    rmrf(out)
+  }
+
   test("compaction: atomic supersede, resume stays idempotent, vacuum reclaims") {
     val out = "/tmp/graft_test_compact"
     rmrf(out)
