@@ -122,6 +122,37 @@ object AnnIndex {
       token = token.getOrElse(0L), nRows = nRows)
   }
 
+  /** Append a batch to a persisted LSH index WITHOUT the O(corpus)
+    * rebuild — the index-maintenance twin of incremental dedup's
+    * signature store for ongoing ingestion. The new vectors are bucketed
+    * with the SAME deterministic hyperplanes (nBits from the committed
+    * meta), so bucket assignment — and therefore every probe result — is
+    * identical to a fresh rebuild over the union (pinned in AnnIndexSpec);
+    * they land as additional files under their bucket partitions
+    * (O(batch) write, no existing file touched). The committed meta's
+    * token folds in the appended input's token and the row count adds up,
+    * so the probe's adaptive radius stays correctly sized and a matching
+    * single-source `buildLsh` no longer short-circuits (an appended index
+    * is not "the index of frame X" — correct by construction). */
+  def appendLsh(newVecs: DataFrame, dir: String, filesPerBucket: Int = 1): Unit = {
+    val spark = newVecs.sparkSession
+    val meta = readMeta(spark, dir)
+    require(meta.kind == "lsh", s"$dir is a ${meta.kind} index, not lsh")
+    val n = newVecs.count()
+    if (n == 0) return
+    newVecs
+      .withColumn("srp_bucket", Similarity.srpBucketUdf(meta.param)(col("embedding")))
+      .repartition(col("srp_bucket"),
+        pmod(xxhash64(col("vec_id")), lit(filesPerBucket)))
+      .write.mode(SaveMode.Append)
+      .partitionBy("srp_bucket")
+      .parquet(dir)
+    var t = meta.token
+    inputToken(newVecs).foreach { nt => t ^= nt; t *= 0x100000001b3L }
+    writeMeta(spark, dir, kind = "lsh", param = meta.param,
+      token = t, nRows = meta.nRows + n)
+  }
+
   /** Probe trusts the committed meta: ONE pruned scan of the probed bucket
     * partitions, no freshness re-derivation, no job against the source
     * table. `probeHamming < 0` (default) sizes the radius from the row

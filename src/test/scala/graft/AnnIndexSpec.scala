@@ -160,6 +160,31 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(AnnIndex.probeLsh(spark, dir, new Array[Float](8), 5).count() == 0L)
   }
 
+  test("appendLsh: incremental append == full rebuild over the union") {
+    // ongoing-ingestion maintenance: appending a batch must leave an index
+    // whose every probe answers EXACTLY like a fresh build over the union
+    // (same hyperplanes -> same buckets -> same pruned scan + top-k)
+    val half1 = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 250)
+    val half2 = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 250)
+    val dApp = s"$tmp/append_incr"; val dFull = s"$tmp/append_full"
+    AnnIndex.buildLsh(half1, dApp, nBits = 8)
+    AnnIndex.appendLsh(half2, dApp)
+    AnnIndex.buildLsh(emb, dFull, nBits = 8)
+    val q = queryVec
+    def top(dir: String) = AnnIndex.probeLsh(spark, dir, q, 50).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(top(dApp) == top(dFull), "appended index must probe like the rebuild")
+    // appended rows are actually served from the appended files
+    assert(spark.read.parquet(dApp).count() == emb.count())
+    // the committed row count adds up -> adaptive radius stays correct
+    assert(top(dApp).nonEmpty)
+    // a matching single-source build no longer short-circuits: the
+    // appended index is not "the index of frame half1" any more
+    AnnIndex.buildLsh(half1, dApp, nBits = 8) // would no-op if token matched
+    assert(spark.read.parquet(dApp).count() == half1.count(),
+      "post-append single-source build must have rebuilt (token mismatch)")
+  }
+
   test("index rebuild is deterministic (same bucket assignment)") {
     val d1 = s"$tmp/det1"; val d2 = s"$tmp/det2"
     AnnIndex.buildLsh(emb, d1, nBits = 8)
