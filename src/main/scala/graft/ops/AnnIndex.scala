@@ -222,6 +222,36 @@ object AnnIndex {
       token = token.getOrElse(0L), nRows = nRows, centroids = centers)
   }
 
+  /** IVF twin of [[appendLsh]]: assign the new batch to cells with the
+    * COMMITTED centroids (no re-training — the partitioning geometry of an
+    * index must not move under append, or existing rows would sit in the
+    * wrong cells; periodic re-training is a rebuild, not an append) and
+    * append files under the cell partitions. Token folds, rows add up,
+    * probe equivalence with a rebuild-on-union-at-fixed-centroids is
+    * pinned in AnnIndexSpec. */
+  def appendIvf(newVecs: DataFrame, dir: String, filesPerBucket: Int = 1): Unit = {
+    val spark = newVecs.sparkSession
+    val meta = readMeta(spark, dir)
+    require(meta.kind == "ivf", s"$dir is a ${meta.kind} index, not ivf")
+    require(meta.centroids.nonEmpty, s"$dir has no committed centroids")
+    val n = newVecs.count()
+    if (n == 0) return
+    val cs = meta.centroids
+    val cellUdf = udf((v: Seq[Float]) =>
+      Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, cs))
+    newVecs
+      .withColumn("ivf_cell", cellUdf(col("embedding")))
+      .repartition(col("ivf_cell"),
+        pmod(xxhash64(col("vec_id")), lit(filesPerBucket)))
+      .write.mode(SaveMode.Append)
+      .partitionBy("ivf_cell")
+      .parquet(dir)
+    var t = meta.token
+    inputToken(newVecs).foreach { nt => t ^= nt; t *= 0x100000001b3L }
+    writeMeta(spark, dir, kind = "ivf", param = meta.param,
+      token = t, nRows = meta.nRows + n, centroids = meta.centroids)
+  }
+
   /** `nProbe < 0` (default) sizes the probed cell count from the committed
     * row count (expected candidates >= 6k), like probeLsh. */
   def probeIvf(spark: SparkSession, dir: String, query: Array[Float], k: Int,

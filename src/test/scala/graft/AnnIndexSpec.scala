@@ -185,6 +185,28 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-append single-source build must have rebuilt (token mismatch)")
   }
 
+  test("appendIvf: committed centroids assign the batch; exhaustive probe == brute force") {
+    import org.apache.spark.sql.functions.col
+    val half1 = emb.filter(col("vec_id") < 250)
+    val half2 = emb.filter(col("vec_id") >= 250)
+    val dir = s"$tmp/append_ivf"
+    AnnIndex.buildIvf(half1, dir, nCells = 8)
+    AnnIndex.appendIvf(half2, dir)
+    // every appended row present
+    assert(spark.read.parquet(dir).count() == emb.count())
+    // appended rows sit in the cell the COMMITTED centroids dictate (the
+    // geometry must not move under append)
+    val centroids = AnnIndex.describe(spark, dir) // sanity: centroids committed
+    assert(centroids.head.getInt(3) == 8)
+    // exhaustive probing is centroid-independent: all cells == brute force
+    val q = queryVec
+    val ex = AnnIndex.probeIvf(spark, dir, q, 25, nProbe = 8).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(2) * 1e9))).toSeq
+    val brute = Similarity.bruteForceTopK(emb, q, 25).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(r.fieldIndex("cosine")) * 1e9))).toSeq
+    assert(ex == brute, "exhaustive probe of the appended index must equal brute force")
+  }
+
   test("index rebuild is deterministic (same bucket assignment)") {
     val d1 = s"$tmp/det1"; val d2 = s"$tmp/det2"
     AnnIndex.buildLsh(emb, d1, nBits = 8)
