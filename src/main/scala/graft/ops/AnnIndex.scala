@@ -54,7 +54,8 @@ object AnnIndex {
   }
 
   private final case class Meta(kind: String, param: Int, token: Long,
-      nRows: Long, centroids: Array[Array[Double]])
+      nRows: Long, centroids: Array[Array[Double]],
+      batches: Seq[String] = Seq.empty)
 
   private def upToDate(spark: SparkSession, dir: String, kind: String,
       param: Int, token: Option[Long]): Boolean =
@@ -134,23 +135,40 @@ object AnnIndex {
     * so the probe's adaptive radius stays correctly sized and a matching
     * single-source `buildLsh` no longer short-circuits (an appended index
     * is not "the index of frame X" — correct by construction). */
-  def appendLsh(newVecs: DataFrame, dir: String, filesPerBucket: Int = 1): Unit = {
+  def appendLsh(newVecs: DataFrame, dir: String, filesPerBucket: Int = 1,
+      batchId: String = null): Unit = {
     val spark = newVecs.sparkSession
     val meta = readMeta(spark, dir)
     require(meta.kind == "lsh", s"$dir is a ${meta.kind} index, not lsh")
+    if (batchId != null && meta.batches.contains(batchId)) return // replayed
     val n = newVecs.count()
     if (n == 0) return
-    newVecs
+    val bucketed = newVecs
       .withColumn("srp_bucket", Similarity.srpBucketUdf(meta.param)(col("embedding")))
       .repartition(col("srp_bucket"),
         pmod(xxhash64(col("vec_id")), lit(filesPerBucket)))
-      .write.mode(SaveMode.Append)
-      .partitionBy("srp_bucket")
-      .parquet(dir)
+    if (batchId == null) {
+      // direct append: O(batch) write into the base bucket partitions.
+      // NOT replay-safe (parquet Append is immediately visible) — callers
+      // with an at-least-once upstream use the batchId form below.
+      bucketed.write.mode(SaveMode.Append).partitionBy("srp_bucket").parquet(dir)
+    } else {
+      require(!batchId.contains(',') && !batchId.contains('/') && batchId.nonEmpty,
+        s"invalid batch id: $batchId")
+      // exactly-once append (the TranscriptTable pattern): the batch is
+      // STAGED under its own append=<id> prefix — invisible, because the
+      // probe reads only batch dirs listed in the committed meta — and
+      // becomes visible atomically with the meta overwrite below. A crash
+      // in between leaves an orphan staging dir that the replay Overwrites
+      // before committing; a replay after commit no-ops on the id check.
+      bucketed.write.mode(SaveMode.Overwrite).partitionBy("srp_bucket")
+        .parquet(s"$dir/append=$batchId")
+    }
     var t = meta.token
     inputToken(newVecs).foreach { nt => t ^= nt; t *= 0x100000001b3L }
     writeMeta(spark, dir, kind = "lsh", param = meta.param,
-      token = t, nRows = meta.nRows + n)
+      token = t, nRows = meta.nRows + n,
+      batches = if (batchId == null) meta.batches else meta.batches :+ batchId)
   }
 
   /** Probe trusts the committed meta: ONE pruned scan of the probed bucket
@@ -169,15 +187,29 @@ object AnnIndex {
     val qBucket = Similarity.srpBucket(query.toSeq, nBits)
     val probes = (0 until (1 << nBits))
       .filter(b => java.lang.Integer.bitCount(b ^ qBucket) <= h)
+    val wanted = probes.map(_.toString).toSet
     // list the index root ONCE (one namespace RPC) and hand the reader only
     // the probed bucket directories: partition discovery then touches
     // O(probes) paths instead of walking every bucket dir — at millions of
-    // partitions the discovery walk would itself be a scan
-    val probed = listPartitionDirs(spark, dir, "srp_bucket=", probes.map(_.toString).toSet)
-    if (probed.isEmpty) return emptyProbe(spark, "srp_bucket")
+    // partitions the discovery walk would itself be a scan. Committed
+    // append batches (meta.batches — exactly-once appendLsh) contribute
+    // their own probed bucket dirs, each under its own basePath; an
+    // UNCOMMITTED append=<id> staging dir is never read.
+    val sources: Seq[(String, Seq[String])] =
+      (dir, listPartitionDirs(spark, dir, "srp_bucket=", wanted)) +:
+        meta.batches.map { b =>
+          val base = s"$dir/append=$b"
+          (base, listPartitionDirs(spark, base, "srp_bucket=", wanted))
+        }
+    val nonEmpty = sources.filter(_._2.nonEmpty)
+    if (nonEmpty.isEmpty) return emptyProbe(spark, "srp_bucket")
     val q = query
     val cosUdf = udf((v: Seq[Float]) => Similarity.cosine(v, q.toSeq))
-    spark.read.option("basePath", dir).parquet(probed: _*)
+    nonEmpty.map { case (base, probed) =>
+        spark.read.option("basePath", base).parquet(probed: _*)
+          .select(col("vec_id"), col("srp_bucket"), col("embedding"))
+      }
+      .reduce(_.unionByName(_))
       .filter(col("srp_bucket").isin(probes: _*)) // belt over the path pruning
       .withColumn("cosine", cosUdf(col("embedding")))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -302,14 +334,17 @@ object AnnIndex {
   // Single-writer per dir still assumed for the DATA (as stated on build*).
   private def writeMeta(spark: SparkSession, dir: String, kind: String,
       param: Int, token: Long, nRows: Long,
-      centroids: Array[Array[Double]] = Array.empty): Unit = {
+      centroids: Array[Array[Double]] = Array.empty,
+      batches: Seq[String] = Seq.empty): Unit = {
     // Double.toString/parseDouble round-trips exactly, so centroid geometry
     // survives the text encoding bit-for-bit
     val cent = if (centroids.isEmpty) ""
       else "centroids=" + centroids.map(_.mkString(",")).mkString(";") + "\n"
+    val bat = if (batches.isEmpty) ""
+      else "batches=" + batches.mkString(",") + "\n"
     graft.util.FsAtomic.overwriteFile(spark.sparkContext.hadoopConfiguration,
       new org.apache.hadoop.fs.Path(s"$dir/_graft_meta/meta.properties"),
-      (s"kind=$kind\nparam=$param\ntoken=$token\nn_rows=$nRows\n" + cent)
+      (s"kind=$kind\nparam=$param\ntoken=$token\nn_rows=$nRows\n" + cent + bat)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -334,7 +369,11 @@ object AnnIndex {
         s.split(';').map(_.split(',').map(java.lang.Double.parseDouble))
       case _ => Array.empty[Array[Double]]
     }
+    val batches = kv.get("batches") match {
+      case Some(s) if s.nonEmpty => s.split(',').toSeq.filter(_.nonEmpty)
+      case _ => Seq.empty[String]
+    }
     Meta(kv("kind"), kv("param").toInt, kv("token").toLong,
-      kv("n_rows").toLong, centroids)
+      kv("n_rows").toLong, centroids, batches)
   }
 }

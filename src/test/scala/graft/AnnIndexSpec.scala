@@ -185,6 +185,34 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-append single-source build must have rebuilt (token mismatch)")
   }
 
+  test("appendLsh with batchId: exactly-once under replay; staged batch invisible until commit") {
+    import org.apache.spark.sql.functions.col
+    val half1 = emb.filter(col("vec_id") < 250)
+    val half2 = emb.filter(col("vec_id") >= 250)
+    val dApp = s"$tmp/append_eo"; val dFull = s"$tmp/append_eo_full"
+    AnnIndex.buildLsh(half1, dApp, nBits = 8)
+    // simulate the crash window: batch s1's files fully staged under its
+    // append=<id> prefix, meta commit never happened
+    half2.withColumn("srp_bucket", Similarity.srpBucketUdf(8)(col("embedding")))
+      .write.mode("overwrite").partitionBy("srp_bucket")
+      .parquet(s"$dApp/append=s1")
+    val q = queryVec
+    val staged = AnnIndex.probeLsh(spark, dApp, q, 250, probeHamming = 8)
+      .collect().map(_.getLong(0))
+    assert(staged.nonEmpty && staged.forall(_ < 250),
+      "uncommitted staged batch must be INVISIBLE to the probe")
+    // the replay overwrites the staging dir and commits exactly once
+    AnnIndex.appendLsh(half2, dApp, batchId = "s1")
+    AnnIndex.appendLsh(half2, dApp, batchId = "s1") // second replay no-ops
+    assert(AnnIndex.describe(spark, dApp).head.getLong(2) == emb.count(),
+      "replayed append must not double-count rows")
+    // probe-for-probe equal to a fresh rebuild over the union
+    AnnIndex.buildLsh(emb, dFull, nBits = 8)
+    def top(dir: String) = AnnIndex.probeLsh(spark, dir, q, 50).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(top(dApp) == top(dFull))
+  }
+
   test("appendIvf: committed centroids assign the batch; exhaustive probe == brute force") {
     import org.apache.spark.sql.functions.col
     val half1 = emb.filter(col("vec_id") < 250)

@@ -117,6 +117,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(src, out, ckpt).foreach(rmrf)
   }
 
+  test("streaming vector ingest maintains the persisted ANN index exactly-once") {
+    // the streaming half of index maintenance: foreachBatch ->
+    // appendLsh(batchId) through the exactly-once staged-append commit;
+    // a restart over the same checkpoint replays batch ids that no-op
+    val dir = "/tmp/graft_stream_ann"
+    val ckpt = "/tmp/graft_stream_ann_ckpt"
+    Seq(dir, ckpt).foreach(rmrf)
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.AnnIndex
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // empty base index: streaming appends are the only data source
+    AnnIndex.buildLsh(emb.limit(0), dir, nBits = 8)
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    def start() = input.toDS().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        AnnIndex.appendLsh(batch, dir, batchId = f"s$id%06d")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    input.addData(rows.take(250))
+    val q1 = start(); q1.awaitTermination(120000)
+    input.addData(rows.drop(250))
+    val q2 = start(); q2.awaitTermination(120000)
+    // restart with no new data: replayed/empty batches must not duplicate
+    val q3 = start(); q3.awaitTermination(60000)
+
+    assert(AnnIndex.describe(spark, dir).head.getLong(2) == rows.length)
+    val qv = rows.minBy(_._1)._2.toArray
+    def top(d: String) = AnnIndex.probeLsh(spark, d, qv, 50).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val dFull = "/tmp/graft_stream_ann_full"
+    rmrf(dFull)
+    AnnIndex.buildLsh(emb, dFull, nBits = 8)
+    assert(top(dir) == top(dFull),
+      "stream-maintained index must probe like a batch rebuild")
+    Seq(dir, ckpt, dFull).foreach(rmrf)
+  }
+
   test("watermarked turn rate aggregation plan is streaming-valid") {
     val turns = Synth.turns(spark, 0.001, 2)
     val src = "/tmp/graft_stream_src2"
