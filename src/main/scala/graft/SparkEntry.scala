@@ -373,6 +373,19 @@ object SparkEntry {
       curated.select(col("doc_id"), col("lang_pred"), col("ws_tokens"))
         .orderBy("doc_id")
     }),
+    "x_curate_incremental" -> ((s, dir) => {
+      // the ONGOING-pipeline flagship: the batch (doc_id >= 250) runs the
+      // full curation pipeline, then cross-corpus exact + near dedup
+      // against the raw corpus (< 250) — one composed DuckDB oracle
+      // verifies the whole per-batch operator end-to-end (the x_curate
+      // and x_dedup_incremental oracles fused)
+      val d = t(s, dir, "documents")
+      val (survivors, _) = graft.jobs.CurateJob.curateIncremental(
+        d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
+        keepLangs = Set("en"), minQuality = 0.3, nearThreshold = 0.8)
+      survivors.select(col("doc_id"), col("lang_pred"), col("ws_tokens"))
+        .orderBy("doc_id")
+    }),
     "x_split_assign" -> ((s, dir) =>
       // reproducible train/val/test split by salted md5 hash bucket —
       // engine-independent BY CONSTRUCTION, so the oracle verifies exact
@@ -927,6 +940,96 @@ object SparkEntry {
         |  WHERE cluster_id <> doc_id)
         |SELECT doc_id, lang_pred, ws_tokens FROM ex
         |WHERE doc_id NOT IN (SELECT doc_id FROM drop_set)
+        |ORDER BY doc_id""".stripMargin,
+    "x_curate_incremental" ->
+      // the x_curate oracle scoped to the batch partition (doc_id >= 250),
+      // fused with the x_dedup_incremental cross-corpus drop: a batch
+      // keeper is dropped when it md5-matches or 3-gram-Jaccard >= 0.8
+      // matches ANY raw corpus doc (< 250)
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'), x -> x <> '') AS wtoks,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS ltoks
+        |  FROM documents WHERE doc_id >= 250),
+        |hits AS (
+        |  SELECT doc_id, text, wtoks, ltoks,
+        |    len(list_filter(ltoks, x -> list_contains(['the','and','of','to','in','is','that','for','with','was','are','this'], x))) AS n_en,
+        |    len(list_filter(ltoks, x -> list_contains(['le','la','les','et','des','est','dans','que','pour','une','qui','sur'], x))) AS n_fr,
+        |    len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist','von','den','mit','auf','ein','nicht'], x))) AS n_de,
+        |    len(list_filter(ltoks, x -> list_contains(['el','la','los','las','y','de','que','en','es','por','con','para'], x))) AS n_es
+        |  FROM toks),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    cast(len(wtoks) as int) AS ws_tokens,
+        |    CASE
+        |      WHEN NOT regexp_matches(text, '[A-Za-z]') THEN 'und'
+        |      WHEN greatest(n_en, n_fr, n_de, n_es) = 0 THEN 'la'
+        |      WHEN n_en >= n_fr AND n_en >= n_de AND n_en >= n_es THEN 'en'
+        |      WHEN n_fr >= n_de AND n_fr >= n_es THEN 'fr'
+        |      WHEN n_de >= n_es THEN 'de'
+        |      ELSE 'es' END AS lang_pred,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      greatest(0.0, least(1.0,
+        |        0.3 * least(1.0, len(wtoks) / 50.0)
+        |        + 0.25 * (CASE WHEN len(wtoks) > 0
+        |            AND list_sum(list_transform(wtoks, x -> length(x))) / cast(len(wtoks) as double) >= 3
+        |            AND list_sum(list_transform(wtoks, x -> length(x))) / cast(len(wtoks) as double) <= 10
+        |          THEN 1.0 ELSE 0.4 END)
+        |        + 0.25 * least(1.0, (CASE WHEN len(ltoks) = 0 THEN 0.0
+        |            ELSE n_en / cast(len(ltoks) as double) END) * 4)
+        |        + 0.2 * (1.0 - least(1.0,
+        |            ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \t\n\r\x0B\f]', '', 'g'))) / cast(length(text) as double)) * 3
+        |          + ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / cast(length(text) as double)) * 2))))
+        |    END AS q
+        |  FROM hits),
+        |q1 AS (
+        |  SELECT doc_id, text, ws_tokens, lang_pred FROM scored
+        |  WHERE lang_pred = 'en' AND q >= 0.3),
+        |ex AS (
+        |  SELECT doc_id, text, ws_tokens, lang_pred FROM q1
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY md5(text))),
+        |gt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM ex),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN t
+        |    ELSE list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+        |  FROM gt),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE cast(len(list_intersect(a.grams, b.grams)) as double)
+        |        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+        |e AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |r AS (
+        |  SELECT doc_a AS doc_id, doc_a AS reach FROM e
+        |  UNION
+        |  SELECT r.doc_id, e.doc_b AS reach FROM r JOIN e ON r.reach = e.doc_a),
+        |drop_set AS (
+        |  SELECT doc_id FROM (SELECT doc_id, min(reach) AS cluster_id
+        |                      FROM r GROUP BY doc_id)
+        |  WHERE cluster_id <> doc_id),
+        |keep AS (
+        |  SELECT doc_id, text, lang_pred, ws_tokens FROM ex
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drop_set)),
+        |ctoks AS (
+        |  SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 250),
+        |cg AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN t
+        |    ELSE list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+        |  FROM ctoks),
+        |cdrop AS (
+        |  SELECT DISTINCT k.doc_id
+        |  FROM g k JOIN cg c ON k.doc_id IN (SELECT doc_id FROM keep)
+        |  WHERE cast(len(list_intersect(k.grams, c.grams)) as double)
+        |        / len(list_distinct(list_concat(k.grams, c.grams))) >= 0.8
+        |  UNION
+        |  SELECT k.doc_id FROM keep k JOIN ctoks c ON md5(k.text) = md5(c.text))
+        |SELECT doc_id, lang_pred, ws_tokens FROM keep
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)
         |ORDER BY doc_id""".stripMargin,
     "x_text_stats" ->
       """WITH toks AS (

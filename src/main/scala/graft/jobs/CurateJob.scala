@@ -59,4 +59,39 @@ object CurateJob {
       .head.getLong(0)
     (curated, CurateStats(nInput, nLang, nQual, nExact, nCurated, totalTokens))
   }
+
+  final case class IncCurateStats(batch: CurateStats,
+      nAfterCorpusExact: Long, nCurated: Long, totalWsTokens: Long)
+
+  /** Per-batch INCREMENTAL curation against an existing corpus — the
+    * operator an ongoing ingestion pipeline runs every batch ([[curate]]
+    * alone only covers the first). Contract: run the full within-batch
+    * pipeline, then drop every survivor that exactly matches or near-dups
+    * (3-gram Jaccard >= `nearThreshold`) ANY corpus doc. Corpus-side work
+    * is what [[graft.ops.Dedup.nearDedupAgainst]] bounds: banded LSH with
+    * a corpus-side hot cap, and `corpusSigs` (the persisted signature
+    * store) removes the per-batch corpus signature pass entirely — the
+    * measured 2.8x of the long-doc ScaleProbe. The filters run FIRST, so
+    * the cross-corpus dedup sees only the already-curated sliver. */
+  def curateIncremental(newDocs: DataFrame, corpus: DataFrame,
+      keepLangs: Set[String] = Set("en"),
+      minQuality: Double = 0.3,
+      nearThreshold: Double = 0.8,
+      textCol: String = "text",
+      corpusSigs: Option[DataFrame] = None): (DataFrame, IncCurateStats) = {
+    val (batchCurated, batchStats) =
+      curate(newDocs, keepLangs, minQuality, nearThreshold, textCol)
+    val afterExact = Dedup.exactDedupAgainst(batchCurated, corpus, textCol)
+    val nExact = afterExact.count()
+    // exactFallback off: the explicit exact pass above already covers
+    // capped-bucket byte-identical matches
+    val survivors = Dedup.nearDedupAgainst(afterExact, corpus, nearThreshold,
+        textCol, corpusSigs = corpusSigs, exactFallback = false)
+      .localCheckpoint()
+    val n = survivors.count()
+    val totalTokens = survivors
+      .agg(coalesce(sum(col("ws_tokens").cast("long")), lit(0L)))
+      .head.getLong(0)
+    (survivors, IncCurateStats(batchStats, nExact, n, totalTokens))
+  }
 }

@@ -760,6 +760,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plainRows == bucketed)
   }
 
+  test("incremental curation: within-batch pipeline + cross-corpus drops compose") {
+    // English-looking planted texts so the lang/quality filters keep them
+    def enText(seed: Long): String = {
+      val filler = (0 until 60).map(i =>
+        "the word" + graft.jobs.Synth.mix(seed * 97 + i).toHexString.take(3) +
+          " of this and that for is").mkString(" ")
+      filler
+    }
+    val base = enText(1)
+    val corpus = docsDf(Seq((1L, base), (2L, enText(2))))
+    val incoming = docsDf(Seq(
+      (10L, base),                                 // exact corpus copy -> drop
+      (11L, base + " with tail words added here"), // near-dup of corpus -> drop
+      (12L, enText(3)),                            // fresh -> keep
+      (13L, enText(3)),                            // within-batch exact dup of 12 -> drop
+      (14L, "zz"),                                 // fails the quality floor -> drop
+      (15L, enText(4))))                           // fresh -> keep
+    val (survivors, stats) = graft.jobs.CurateJob.curateIncremental(
+      incoming, corpus, keepLangs = Set("en"), minQuality = 0.3,
+      nearThreshold = 0.8)
+    val kept = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 15L), s"got $kept")
+    assert(stats.batch.nInput == 6 && stats.nCurated == 2)
+    assert(stats.totalWsTokens > 0)
+    // the persisted signature store yields the identical result
+    val sigDir = java.nio.file.Files.createTempDirectory("graft_inccur_sigs").toString
+    graft.ops.Dedup.buildSignatureStore(corpus, sigDir)
+    val sigs = graft.ops.Dedup.readSignatureStore(spark, sigDir).localCheckpoint()
+    val (s2, _) = graft.jobs.CurateJob.curateIncremental(
+      incoming, corpus, keepLangs = Set("en"), minQuality = 0.3,
+      nearThreshold = 0.8, corpusSigs = Some(sigs))
+    assert(s2.select("doc_id").collect().map(_.getLong(0)).toSet == kept)
+  }
+
   test("extension builders enforce arity with a clear error") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val byName = graft.GraftExtensions.functions
