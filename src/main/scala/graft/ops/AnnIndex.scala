@@ -134,7 +134,16 @@ object AnnIndex {
     * token folds in the appended input's token and the row count adds up,
     * so the probe's adaptive radius stays correctly sized and a matching
     * single-source `buildLsh` no longer short-circuits (an appended index
-    * is not "the index of frame X" — correct by construction). */
+    * is not "the index of frame X" — correct by construction).
+    *
+    * `batchId` (exactly-once mode): the batch stages under its own
+    * `append=<id>` prefix, invisible until the meta commit lists it;
+    * replays of a committed id no-op — safe under an at-least-once
+    * upstream (Structured Streaming foreachBatch). Lifecycle: each
+    * committed batch adds one pruned probe source, so after many appends
+    * fold them back with `buildLsh(source, dir, rebuild = true)` in the
+    * maintenance window — a rebuild is crash-recoverable by rerun, which
+    * is why no bespoke in-place append-compaction exists. */
   def appendLsh(newVecs: DataFrame, dir: String, filesPerBucket: Int = 1,
       batchId: String = null): Unit = {
     val spark = newVecs.sparkSession
