@@ -248,9 +248,13 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      // codegen'd CosineSim in the O(n^2) hot loop (bit-parity with the
+      // HOF/UDF kernels is pinned): the zip_with/aggregate form is NOT
+      // whole-stage-codegen'd and cost 146 s at sf0.1 (2M pairs x ~73 us
+      // interpreted) — measured in the round-5 sweep, 60x off
       a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          round(Similarity.cosineColumn(col("emb_a"), col("emb_b")), 6).as("cosine_r6"))
+          round(Similarity.cosineSimExpr(col("emb_a"), col("emb_b")), 6).as("cosine_r6"))
         .filter(col("cosine_r6") >= 0.3)
         .orderBy("vec_a", "vec_b")
     }),
