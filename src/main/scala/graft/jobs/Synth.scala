@@ -259,6 +259,15 @@ object Synth {
   private val MonthsArLev = Vector("كانون الثاني", "شباط", "آذار", "نيسان",
     "أيار", "حزيران", "تموز", "آب", "أيلول", "تشرين الأول", "تشرين الثاني",
     "كانون الأول")
+  // round-5b wheel (id/hi/he; vi is a numbered-month form, no table)
+  private val MonthsId = Vector("Januari", "Februari", "Maret", "April",
+    "Mei", "Juni", "Juli", "Agustus", "September", "Oktober", "November",
+    "Desember")
+  private val MonthsHi = Vector("जनवरी", "फरवरी", "मार्च", "अप्रैल", "मई",
+    "जून", "जुलाई", "अगस्त", "सितंबर", "अक्टूबर", "नवंबर", "दिसंबर")
+  private val MonthsHe = Vector("בינואר", "בפברואר", "במרץ", "באפריל",
+    "במאי", "ביוני", "ביולי", "באוגוסט", "בספטמבר", "באוקטובר", "בנובמבר",
+    "בדצמבר")
 
   /** Form-wheel notches 8-15: ru genitive/abbr, zh/ja 年月日, ko 년월일,
     * and timezone-offset ISO/RFC-1123 datetimes (literal wall-clock). */
@@ -308,6 +317,21 @@ object Synth {
     }
   }
 
+  /** Form-wheel notches 32-63 (round 5b, bit 44): id/vi/hi/he day-first
+    * forms — (form & 3) selects the language, reusing the wheel entropy. */
+  private def intlDate4(iso: String, form: Int): String = {
+    val d = java.time.LocalDate.parse(iso)
+    val m = d.getMonthValue - 1
+    val day = d.getDayOfMonth
+    val y = d.getYear
+    (form & 3) match {
+      case 0 => s"$day ${MonthsId(m)} $y"
+      case 1 => s"ngày $day tháng ${m + 1} năm $y"
+      case 2 => s"$day ${MonthsHi(m)} $y"
+      case _ => s"$day ${MonthsHe(m)} $y"
+    }
+  }
+
   /** de/fr/es day-first visible date forms (+ ISO datetime with clock). */
   private def intlDate(iso: String, lang: Int): String = {
     val d = java.time.LocalDate.parse(iso)
@@ -341,13 +365,15 @@ object Synth {
     // previously-unused bit, so lower forms keep their exact assignment
     // when it is 0
     val form0 = ((k >>> 9) & 7L).toInt + (((k >>> 42) & 1L).toInt << 3) +
-      (((k >>> 43) & 1L).toInt << 4)
+      (((k >>> 43) & 1L).toInt << 4) + (((k >>> 44) & 1L).toInt << 5)
     val timeEl = variant match {
       case 0 => form0 match {
         case 0 => s"\n<time>${rfc1123(isoDate(k + 9))}</time>"
         case 1 => s"\n<time>${ordinalDate(isoDate(k + 9), dayFirst = false)}</time>"
         case 7 => s"\n<time>${isoDate(k + 9)} ${"%02d:%02d".format(
           ((k >>> 12) & 0x7fffL) % 24, ((k >>> 27) & 0x7fffL) % 60)}</time>"
+        // 32-63 (bit 44): id/vi/hi/he day-first forms
+        case f if f >= 32 => s"\n<time>${intlDate4(isoDate(k + 9), f)}</time>"
         // 24-26: free-text numeric date in a plain paragraph — only the
         // extensive-mode visible-text sweep can recover it
         case f if f >= 24 && f <= 26 => s"\n<p>${intlDate3(isoDate(k + 9), f)}</p>"

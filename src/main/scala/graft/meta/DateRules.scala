@@ -139,7 +139,23 @@ object DateRules {
     "نيسان" -> 4, "أيار" -> 5, "ايار" -> 5, "حزيران" -> 6, "تموز" -> 7,
     "آب" -> 8, "أيلول" -> 9, "ايلول" -> 9,
     "تشرين الأول" -> 10, "تشرين الاول" -> 10,
-    "تشرين الثاني" -> 11, "كانون الأول" -> 12, "كانون الاول" -> 12)
+    "تشرين الثاني" -> 11, "كانون الأول" -> 12, "كانون الاول" -> 12,
+    // Indonesian / Malay (r5b — mostly shared with nl/sv already: only
+    // the two divergent months are new)
+    "maret" -> 3, "agustus" -> 8, "ogos" -> 8, "mac" -> 3, // ms: mac/ogos
+    // Hindi (r5b; anusvara and conjunct spelling variants both listed)
+    "जनवरी" -> 1, "फरवरी" -> 2, "फ़रवरी" -> 2, "मार्च" -> 3,
+    "अप्रैल" -> 4, "मई" -> 5, "जून" -> 6, "जुलाई" -> 7, "अगस्त" -> 8,
+    "सितंबर" -> 9, "सितम्बर" -> 9, "अक्टूबर" -> 10, "अक्तूबर" -> 10,
+    "नवंबर" -> 11, "नवम्बर" -> 11, "दिसंबर" -> 12, "दिसम्बर" -> 12,
+    // Hebrew (r5b; the ב- "in"-prefixed forms dates actually use + bare)
+    "בינואר" -> 1, "בפברואר" -> 2, "במרץ" -> 3, "במארס" -> 3,
+    "באפריל" -> 4, "במאי" -> 5, "ביוני" -> 6, "ביולי" -> 7,
+    "באוגוסט" -> 8, "בספטמבר" -> 9, "באוקטובר" -> 10, "בנובמבר" -> 11,
+    "בדצמבר" -> 12,
+    "ינואר" -> 1, "פברואר" -> 2, "מרץ" -> 3, "אפריל" -> 4, "מאי" -> 5,
+    "יוני" -> 6, "יולי" -> 7, "אוגוסט" -> 8, "ספטמבר" -> 9,
+    "אוקטובר" -> 10, "נובמבר" -> 11, "דצמבר" -> 12)
   // longest-first so "janvier" wins over "janv"/"jan" at the same position
   private val IntlMonthAlt =
     IntlMonths.keys.toSeq.sortBy(-_.length).mkString("|")
@@ -168,6 +184,11 @@ object DateRules {
     "(\\d{4})\\s*年\\s*(\\d{1,2})\\s*月\\s*(\\d{1,2})\\s*日")
   private val KoDate = Pattern.compile(
     "(\\d{4})\\s*년\\s*(\\d{1,2})\\s*월\\s*(\\d{1,2})\\s*일")
+  // Vietnamese numbered-month form "ngày 3 tháng 6 năm 2008" (r5b): the
+  // unit words make it unambiguous, no month-name table needed
+  private val ViDate = Pattern.compile(
+    "(?:ngày\\s+)?(\\d{1,2})\\s+tháng\\s+(\\d{1,2})(?:\\s+năm)?\\s+(\\d{4})",
+    Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
 
   // clock time for the datetime-preserving parse: "09:05", "09:05:07".
   // Timezone-offset datetimes ("...T09:05:07+02:00", "... 09:05:07 GMT",
@@ -244,6 +265,8 @@ object DateRules {
     if (m8.find()) return valid(m8.group(1).toInt, m8.group(2).toInt, m8.group(3).toInt)
     val m9 = KoDate.matcher(s)
     if (m9.find()) return valid(m9.group(1).toInt, m9.group(2).toInt, m9.group(3).toInt)
+    val m10 = ViDate.matcher(s)
+    if (m10.find()) return valid(m10.group(3).toInt, m10.group(2).toInt, m10.group(1).toInt)
     None
   }
 
@@ -256,6 +279,11 @@ object DateRules {
   // htmldate's extensive pattern bank living behind extensive_search.
   private val NumDayFirst = Pattern.compile(
     "(?<![0-9])(\\d{1,2})([-/])(\\d{1,2})\\2(\\d{4})(?![0-9])")
+  // extensive-only month-year ("in March 2008" -> first of month, the
+  // htmldate partial-date convention); a fuller date always wins because
+  // parseAny and the numeric sweep run first
+  private val MonthYearOnly = Pattern.compile(
+    "(?<![A-Za-z])(" + AbbrNames + ")(?![a-z])\\.?,?\\s+(\\d{4})(?![0-9])")
 
   /** [[parseAny]] plus the extensive-only numeric sweep. Ambiguous
     * d-m-yyyy / d/m/yyyy resolve DAY-FIRST (the European convention of
@@ -277,6 +305,11 @@ object DateRules {
       val b = m.group(3).toInt
       val y = m.group(4).toInt
       val r = valid(y, b, a).orElse(valid(y, a, b))
+      if (r.isDefined) return r
+    }
+    val my = MonthYearOnly.matcher(s)
+    while (my.find()) {
+      val r = valid(my.group(2).toInt, monthOfAbbr(my.group(1)), 1)
       if (r.isDefined) return r
     }
     None

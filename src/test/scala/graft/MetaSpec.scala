@@ -435,6 +435,24 @@ class MetaSpec extends AnyFunSuite {
     assert(parseAny("3 majestic 2008") == None)
     // English behavior still untouched by the appended entries
     assert(parseAny("June 3, 2008") == Some("2008-06-03"))
+    // Indonesian / Malay (r5b — only the divergent months are new keys)
+    assert(parseAny("3 Maret 2008") == Some("2008-03-03"))
+    assert(parseAny("17 Agustus 2020") == Some("2020-08-17"))
+    assert(parseAny("5 Ogos 2019") == Some("2019-08-05"))
+    assert(parseAny("12 Mei 2021") == Some("2021-05-12"))
+    // Vietnamese numbered-month form
+    assert(parseAny("ngày 3 tháng 6 năm 2008") == Some("2008-06-03"))
+    assert(parseAny("15 tháng 12 năm 2020") == Some("2020-12-15"))
+    assert(parseAny("Ngày 1 tháng 1 2021") == Some("2021-01-01"))
+    // Hindi (spelling variants)
+    assert(parseAny("3 जून 2008") == Some("2008-06-03"))
+    assert(parseAny("15 सितंबर 2020") == Some("2020-09-15"))
+    assert(parseAny("15 सितम्बर 2020") == Some("2020-09-15"))
+    assert(parseAny("9 अक्टूबर 2019") == Some("2019-10-09"))
+    // Hebrew (the ב-prefixed forms dates use, and bare month names)
+    assert(parseAny("3 בינואר 2008") == Some("2008-01-03"))
+    assert(parseAny("15 באוגוסט 2020") == Some("2020-08-15"))
+    assert(parseAny("7 דצמבר 2019") == Some("2019-12-07"))
   }
 
   test("extensive-mode free-text numeric dates (fast/extensive divergence)") {
@@ -454,6 +472,14 @@ class MetaSpec extends AnyFunSuite {
     assert(parseAnyExtensive("99-99-2008 then 04-07-2012") == Some("2012-07-04"))
     assert(parseAnyExtensive("31-13-2008") == None) // no valid reading
     assert(parseAnyExtensive("phone 555-1234-5678") == None)
+    // month-year partial dates (htmldate convention: first of month) —
+    // extensive-only, and a fuller date always wins
+    assert(parseAny("back in March 2008 we launched") == None)
+    assert(parseAnyExtensive("back in March 2008 we launched") == Some("2008-03-01"))
+    assert(parseAnyExtensive("Sept. 2021 update notes") == Some("2021-09-01"))
+    assert(parseAnyExtensive("in March 2008, on 12-04-2008 precisely") ==
+      Some("2008-04-12")) // full numeric beats month-year
+    assert(parseAnyExtensive("Marched 2008 onward") == None) // whole-word guard
     // full ladder: the page's only date is free text — found in extensive
     // mode, null in fast mode (the htmldate config pair, metadata.py:443)
     val html = """<html><head><title>t</title></head>
