@@ -86,8 +86,8 @@ object Bench {
     val total = results.collect {
       case (k, v) if !k.endsWith("turns_per_sec") && k != "extract_full_sf" => v
     }.sum
-    val notes = "x_extract_turns/x_author_names/x_blockify cap synth at sf0.01 " +
-      "(Verify-speed cap; extract_full_sf is the honest full-SF number); " +
+    val notes = "all extraction rows run the FULL driver SF (the r1-r4 " +
+      "sf0.01 Verify-speed cap was lifted in round 5); " +
       "extract_full_sf = best of 3 in-session runs (run1 includes codegen warmup); extract_sf5x_* = steady-state capability at 5x the driver SF"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","notes":"$notes"}""")
     spark.stop()
