@@ -143,7 +143,10 @@ object AnnIndex {
     * committed batch adds one pruned probe source, so after many appends
     * fold them back with `buildLsh(source, dir, rebuild = true)` in the
     * maintenance window — a rebuild is crash-recoverable by rerun, which
-    * is why no bespoke in-place append-compaction exists. */
+    * is why no bespoke in-place append-compaction exists. Single WRITER
+    * per dir assumed, like the builds: two concurrent appenders would
+    * race on the meta read-modify-write (a streaming query is naturally
+    * a single writer). */
   def appendLsh(newVecs: DataFrame, dir: String, filesPerBucket: Int = 1,
       batchId: String = null): Unit = {
     val spark = newVecs.sparkSession
@@ -270,27 +273,36 @@ object AnnIndex {
     * append files under the cell partitions. Token folds, rows add up,
     * probe equivalence with a rebuild-on-union-at-fixed-centroids is
     * pinned in AnnIndexSpec. */
-  def appendIvf(newVecs: DataFrame, dir: String, filesPerBucket: Int = 1): Unit = {
+  def appendIvf(newVecs: DataFrame, dir: String, filesPerBucket: Int = 1,
+      batchId: String = null): Unit = {
     val spark = newVecs.sparkSession
     val meta = readMeta(spark, dir)
     require(meta.kind == "ivf", s"$dir is a ${meta.kind} index, not ivf")
     require(meta.centroids.nonEmpty, s"$dir has no committed centroids")
+    if (batchId != null && meta.batches.contains(batchId)) return // replayed
     val n = newVecs.count()
     if (n == 0) return
     val cs = meta.centroids
     val cellUdf = udf((v: Seq[Float]) =>
       Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, cs))
-    newVecs
+    val celled = newVecs
       .withColumn("ivf_cell", cellUdf(col("embedding")))
       .repartition(col("ivf_cell"),
         pmod(xxhash64(col("vec_id")), lit(filesPerBucket)))
-      .write.mode(SaveMode.Append)
-      .partitionBy("ivf_cell")
-      .parquet(dir)
+    if (batchId == null) {
+      celled.write.mode(SaveMode.Append).partitionBy("ivf_cell").parquet(dir)
+    } else {
+      require(!batchId.contains(',') && !batchId.contains('/') && batchId.nonEmpty,
+        s"invalid batch id: $batchId")
+      // exactly-once, same contract as appendLsh's batchId mode
+      celled.write.mode(SaveMode.Overwrite).partitionBy("ivf_cell")
+        .parquet(s"$dir/append=$batchId")
+    }
     var t = meta.token
     inputToken(newVecs).foreach { nt => t ^= nt; t *= 0x100000001b3L }
     writeMeta(spark, dir, kind = "ivf", param = meta.param,
-      token = t, nRows = meta.nRows + n, centroids = meta.centroids)
+      token = t, nRows = meta.nRows + n, centroids = meta.centroids,
+      batches = if (batchId == null) meta.batches else meta.batches :+ batchId)
   }
 
   /** `nProbe < 0` (default) sizes the probed cell count from the committed
@@ -311,12 +323,24 @@ object AnnIndex {
       while (j < qd.length) { val t = qd(j) - centers(c)(j); d += t * t; j += 1 }
       d
     }.take(np)
-    val probed = listPartitionDirs(spark, dir, "ivf_cell=",
-      probeCells.map(_.toString).toSet)
-    if (probed.isEmpty) return emptyProbe(spark, "ivf_cell")
+    val wanted = probeCells.map(_.toString).toSet
+    // base cell dirs + each committed append batch's cell dirs (exactly-
+    // once appendIvf) — same source-union shape as probeLsh
+    val sources: Seq[(String, Seq[String])] =
+      (dir, listPartitionDirs(spark, dir, "ivf_cell=", wanted)) +:
+        meta.batches.map { b =>
+          val base = s"$dir/append=$b"
+          (base, listPartitionDirs(spark, base, "ivf_cell=", wanted))
+        }
+    val nonEmpty = sources.filter(_._2.nonEmpty)
+    if (nonEmpty.isEmpty) return emptyProbe(spark, "ivf_cell")
     val q = query
     val cosUdf = udf((v: Seq[Float]) => Similarity.cosine(v, q.toSeq))
-    spark.read.option("basePath", dir).parquet(probed: _*)
+    nonEmpty.map { case (base, probed) =>
+        spark.read.option("basePath", base).parquet(probed: _*)
+          .select(col("vec_id"), col("ivf_cell"), col("embedding"))
+      }
+      .reduce(_.unionByName(_))
       .filter(col("ivf_cell").isin(probeCells: _*)) // belt over the path pruning
       .withColumn("cosine", cosUdf(col("embedding")))
       .orderBy(col("cosine").desc, col("vec_id"))

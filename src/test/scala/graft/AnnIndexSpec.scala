@@ -233,6 +233,15 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val brute = Similarity.bruteForceTopK(emb, q, 25).collect()
       .map(r => (r.getLong(0), math.rint(r.getDouble(r.fieldIndex("cosine")) * 1e9))).toSeq
     assert(ex == brute, "exhaustive probe of the appended index must equal brute force")
+    // exactly-once batchId mode: replay no-ops, committed batch probed
+    val dEo = s"$tmp/append_ivf_eo"
+    AnnIndex.buildIvf(half1, dEo, nCells = 8)
+    AnnIndex.appendIvf(half2, dEo, batchId = "s1")
+    AnnIndex.appendIvf(half2, dEo, batchId = "s1") // replay
+    assert(AnnIndex.describe(spark, dEo).head.getLong(2) == emb.count())
+    val ex2 = AnnIndex.probeIvf(spark, dEo, q, 25, nProbe = 8).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(2) * 1e9))).toSeq
+    assert(ex2 == brute, "exactly-once appended IVF must probe the committed batch")
   }
 
   test("index rebuild is deterministic (same bucket assignment)") {
