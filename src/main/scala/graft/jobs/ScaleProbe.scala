@@ -143,6 +143,17 @@ object ScaleProbe {
     mark("probe+brute", tProbe + tBrute)
     out(s"vecs_${nVecs}_brute_sec") = tBrute
     out(s"vecs_${nVecs}_fresh_rebuild_sec") = tFresh
+    // incremental maintenance vs rebuild (r5): appending a 10% batch must
+    // cost O(batch), not O(corpus) — the appendLsh claim, measured
+    val newSrc = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_vecs_new"
+    synthVecs(spark, nVecs / 10, 64, cpus.toInt)
+      .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(newSrc)
+    val newP = spark.read.parquet(newSrc)
+    val (_, tAppend) = time(AnnIndex.appendLsh(newP, dir, batchId = "probe1"))
+    mark("index_append_10pct", tAppend)
+    out(s"vecs_${nVecs}_append10pct_sec") = tAppend
+    out(s"vecs_${nVecs}_rebuild_sec_for_comparison") = tBuild
     // fixed-bit form CAPPED at 200k: per-bucket work is quadratic in
     // n/2^nBits, and at 1M uniform vectors the 12-bit form degenerates
     // (244-row buckets, 122M array-carrying candidates -> 237 s on a good
