@@ -1,0 +1,71 @@
+package graft.jobs
+
+import graft.ops.{AnnIndex, Dedup}
+import graft.table.TranscriptTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One batch tick of the ONGOING curation pipeline — the loop a
+  * production training-data system runs every ingest cycle, composed
+  * entirely from the engine's verified parts:
+  *
+  *   1. replay guard        — a committed batch id no-ops (resume safety)
+  *   2. incremental curate  — [[CurateJob.curateIncremental]] against the
+  *                            current curated table, using the persisted
+  *                            signature store when it is fresh (warm path
+  *                            = zero corpus signature work)
+  *   3. CAS commit          — survivors land as one manifest-committed
+  *                            batch (crash between write and commit
+  *                            leaves the batch invisible; rerun overwrites)
+  *   4. store maintenance   — survivors' signatures APPEND to the store
+  *                            (O(batch)), token re-pinned to the corpus
+  *                            as of after this batch
+  *
+  * Every stage shuffles on small keys only; the batch is the unit of both
+  * progress and recovery. Per-batch curation is ORDER-DEPENDENT by design
+  * (earlier batches win near-dup ties — first-write-wins ingestion), which
+  * is exactly the semantics the x_curate_incremental oracle verifies for
+  * one tick and the pipeline test pins across ticks. */
+object IncrementalPipeline {
+
+  def runBatch(spark: SparkSession, newDocs: DataFrame, table: String,
+      sigDir: String, batchId: String,
+      keepLangs: Set[String] = Set("en"),
+      minQuality: Double = 0.3,
+      nearThreshold: Double = 0.8): Unit = {
+    if (TranscriptTable.isCommitted(table, batchId)) return // replay no-op
+    val hasCorpus = TranscriptTable.committedBatches(table).nonEmpty
+    val corpus =
+      if (hasCorpus) TranscriptTable.read(spark, table).select("doc_id", "text")
+      else newDocs.select("doc_id", "text").limit(0)
+    // warm path: the store is fresh exactly when its token matches the
+    // CURRENT table listing (re-pinned by the previous tick's step 4)
+    val sigs =
+      if (hasCorpus && Dedup.signatureStoreFresh(spark, sigDir,
+          AnnIndex.inputToken(corpus)))
+        Some(Dedup.readSignatureStore(spark, sigDir).localCheckpoint())
+      else None
+    val (survivors, stats) = CurateJob.curateIncremental(
+      newDocs, corpus, keepLangs, minQuality, nearThreshold,
+      corpusSigs = sigs)
+    TranscriptTable.writeBatch(
+      survivors.repartition(math.max(1, spark.sparkContext.defaultParallelism / 4)),
+      table, batchId,
+      Map("n_turns" -> stats.nCurated.toString,
+        "n_input" -> stats.batch.nInput.toString,
+        "ws_tokens" -> stats.totalWsTokens.toString))
+    // store maintenance AFTER the commit: sigs of the just-committed
+    // survivors, token = the table as the next tick will see it. A crash
+    // between commit and this append leaves a stale token -> the next
+    // tick simply takes the cold path and rebuilds; never wrong, only
+    // slower (the same degrade-to-correct contract as every cache here).
+    if (stats.nCurated > 0) {
+      val committed = TranscriptTable.read(spark, table)
+      if (sigs.isDefined)
+        Dedup.appendSignatureStore(survivors.select("doc_id", "text"), sigDir,
+          AnnIndex.inputToken(committed))
+      else
+        Dedup.buildSignatureStore(committed.select("doc_id", "text"), sigDir)
+    }
+  }
+}

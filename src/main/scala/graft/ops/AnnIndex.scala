@@ -37,7 +37,7 @@ object AnnIndex {
     * RPCs, not a table scan. Inputs with no files (in-memory DataFrames)
     * yield None: no provable version, so the build always runs for them.
     * An Iceberg-style table would supply its snapshot id here instead. */
-  private[ops] def inputToken(embeddings: DataFrame): Option[Long] = {
+  private[graft] def inputToken(embeddings: DataFrame): Option[Long] = {
     val files = embeddings.inputFiles
     if (files.isEmpty) return None
     val conf = embeddings.sparkSession.sparkContext.hadoopConfiguration

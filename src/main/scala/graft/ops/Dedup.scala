@@ -337,9 +337,47 @@ object Dedup {
       textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     val token = AnnIndex.inputToken(docs)
+    if (signatureStoreFresh(spark, dir, token)) return
+    docs.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/sigs")
+    graft.util.FsAtomic.overwriteFile(spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_meta/meta.properties"),
+      s"kind=minhash\ntoken=${token.getOrElse(0L)}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def readSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/sigs")
+
+  /** Incrementally extend the signature store with `newDocs`' signatures —
+    * O(batch) instead of [[buildSignatureStore]]'s O(corpus) recompute,
+    * the store-maintenance step of an ongoing pipeline's batch tick.
+    * `corpusToken` is the freshness token of the corpus AS OF after this
+    * batch (the caller commits the batch to its table first, then passes
+    * `AnnIndex.inputToken(table read)`), so the next tick's freshness
+    * check matches exactly when the corpus hasn't moved otherwise.
+    * Single writer per dir assumed, like the build. */
+  def appendSignatureStore(newDocs: DataFrame, dir: String,
+      corpusToken: Option[Long], textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    newDocs.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/sigs")
+    graft.util.FsAtomic.overwriteFile(spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_meta/meta.properties"),
+      s"kind=minhash\ntoken=${corpusToken.getOrElse(0L)}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** True when the store's committed token matches `corpusToken` — the
+    * zero-job freshness check callers use to decide warm vs rebuild. */
+  def signatureStoreFresh(spark: org.apache.spark.sql.SparkSession,
+      dir: String, corpusToken: Option[Long]): Boolean = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/_graft_meta/meta.properties")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = token.exists { t =>
+    corpusToken.exists { t =>
       try {
         val in = fs.open(metaPath)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -347,18 +385,7 @@ object Dedup {
         txt.linesIterator.contains(s"token=$t")
       } catch { case _: Exception => false }
     }
-    if (fresh) return
-    docs.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$dir/sigs")
-    graft.util.FsAtomic.overwriteFile(spark.sparkContext.hadoopConfiguration,
-      metaPath, s"kind=minhash\ntoken=${token.getOrElse(0L)}\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
-
-  def readSignatureStore(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    spark.read.parquet(s"$dir/sigs")
 
   // -------------------------------------------------------------- simhash
   /** 64-bit SimHash over token unigrams (token frequency weighted),

@@ -129,6 +129,52 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmrf(out)
   }
 
+  test("incremental pipeline: multi-batch ticks, warm store, replay no-op, first-write-wins") {
+    val table = "/tmp/graft_inc_pipeline"
+    val sigDir = "/tmp/graft_inc_pipeline_sigs"
+    Seq(table, sigDir).foreach(rmrf)
+    val sp = spark
+    import sp.implicits._
+    def enText(seed: Long): String = (0 until 60).map(i =>
+      "the word" + graft.jobs.Synth.mix(seed * 97 + i).toHexString.take(3) +
+        " of this and that for is").mkString(" ")
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    // tick 1: four distinct English docs
+    graft.jobs.IncrementalPipeline.runBatch(spark,
+      docs((1000L, enText(1)), (1001L, enText(2)), (1002L, enText(3)), (1003L, enText(4))),
+      table, sigDir, "b001")
+    assert(TranscriptTable.read(spark, table).count() == 4)
+    // tick 2: exact dup of 1000, near-dup of 1001, fresh, junk
+    graft.jobs.IncrementalPipeline.runBatch(spark,
+      docs((2000L, enText(1)), (2001L, enText(2) + " with tail words"),
+        (2002L, enText(5)), (2003L, "zz")),
+      table, sigDir, "b002")
+    val after2 = TranscriptTable.read(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after2 == Set(1000L, 1001L, 1002L, 1003L, 2002L), after2.toString)
+    // the store was re-pinned by tick 2 -> tick 3 takes the WARM path
+    assert(graft.ops.Dedup.signatureStoreFresh(spark, sigDir,
+      graft.ops.AnnIndex.inputToken(
+        TranscriptTable.read(spark, table).select("doc_id", "text"))),
+      "store must be fresh for the next tick (warm path)")
+    // replaying a committed tick is a no-op
+    graft.jobs.IncrementalPipeline.runBatch(spark,
+      docs((9999L, enText(99))), table, sigDir, "b002")
+    assert(TranscriptTable.read(spark, table).count() == 5)
+    // tick 3: near-dup of a TICK-2 survivor + fresh (first-write-wins
+    // must apply against the evolving corpus, not just the seed batch)
+    graft.jobs.IncrementalPipeline.runBatch(spark,
+      docs((3000L, enText(5) + " trailing bits"), (3001L, enText(6))),
+      table, sigDir, "b003")
+    val fin = TranscriptTable.read(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fin == Set(1000L, 1001L, 1002L, 1003L, 2002L, 3001L), fin.toString)
+    // manifest-only accounting stayed exact across ticks
+    assert(TranscriptTable.committedRowCount(table) == 6)
+    Seq(table, sigDir).foreach(rmrf)
+  }
+
   test("schema evolution: added columns resolve from manifests, old rows read null") {
     // Iceberg-model evolution: each manifest records its batch schema;
     // readers plan the scan with the UNION resolved from manifests ALONE
