@@ -163,7 +163,10 @@ object Chardet {
         if (name == "windows-1252" && highFrac > 0.35) 0.5
         else if (nonLatin && highFrac <= 0.35) 0.5
         else 1.0
-      (name, s / high * damp)
+      // damp only POSITIVE evidence: halving a negative score would
+      // IMPROVE an implausible candidate
+      val raw = s / high
+      (name, if (raw > 0) raw * damp else raw)
     }
     // stable sort: ties keep the Candidates preference order (cp1252 first)
     scored.sortBy(-_._2).map(_._1)
