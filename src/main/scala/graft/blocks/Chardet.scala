@@ -16,9 +16,10 @@ package graft.blocks
   *      (common lowercase letters of the charset's languages score
   *      highest — this is what separates cp1251 from koi8-r, where the
   *      wrong table turns lowercase text into uppercase), with a
-  *      high-byte-density damp on the Latin candidate (Cyrillic/Greek
-  *      text is mostly high bytes; Latin text is mostly ASCII — the
-  *      charset_normalizer "coherence" idea in one rule)
+  *      run-structure damp (Cyrillic/Greek text forms whole WORDS of
+  *      high bytes, Latin accents sit isolated between ASCII letters —
+  *      the charset_normalizer "coherence" idea in one markup-immune
+  *      rule)
   *
   * CJK multi-byte encodings (shift-jis, gb2312, big5, euc-kr) stay out of
   * the statistical subset by design: real pages declare them (handled by
@@ -99,13 +100,15 @@ object Chardet {
     * otherwise (best first). Empty only for empty input. */
   def detect(bytes: Array[Byte]): Seq[String] = {
     if (bytes.isEmpty) return Seq.empty
-    // 1. BOM
+    // 1. BOM. BOM-carrying utf-16 reports Java's "utf-16" charset, whose
+    // decoder CONSUMES the BOM — decoding with "utf-16le"/"utf-16be" would
+    // leave a U+FEFF in front of the root element (review finding)
     if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
       bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte) return Seq("utf-8")
     if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
-      return Seq("utf-16le")
+      return Seq("utf-16")
     if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
-      return Seq("utf-16be")
+      return Seq("utf-16")
     // work on the first chunk, like the reference's from_bytes(x[:15000])
     val n = math.min(bytes.length, 15000)
     // 2. BOM-less utf-16 BEFORE utf-8 validation: utf-16 of ASCII text is
@@ -122,18 +125,27 @@ object Chardet {
     // 3. strict utf-8 (covers pure ASCII)
     if (isUtf8(bytes)) return Seq("utf-8")
     // 4. single-byte statistical scoring
-    var high = 0; var asciiAlpha = 0
+    var high = 0
+    var runCount = 0
+    var runLen = 0
+    var runSum = 0
     i = 0
     while (i < n) {
       val c = bytes(i) & 0xff
-      if (c >= 0x80) high += 1
-      else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) asciiAlpha += 1
+      if (c >= 0x80) { high += 1; runLen += 1 }
+      else if (runLen > 0) { runCount += 1; runSum += runLen; runLen = 0 }
       i += 1
     }
+    if (runLen > 0) { runCount += 1; runSum += runLen }
     if (high == 0) return Seq("utf-8") // unreachable after isUtf8, safety
-    // Cyrillic/Greek text is MOSTLY high bytes (ASCII letters come from
-    // markup); Latin text is mostly ASCII with sparse accents
-    val highFrac = high.toDouble / math.max(1, high + asciiAlpha)
+    // Script discriminator: the average length of maximal high-byte RUNS.
+    // Cyrillic/Greek text is whole WORDS of high bytes (runs ~ word
+    // length, >= ~4), Latin text has isolated accents between ASCII
+    // letters (runs ~1). Unlike a high-byte FRACTION this is immune to
+    // ASCII-heavy markup diluting the page (review finding: a real
+    // cp1251 page with a normal <head> sat at highFrac ~0.25 and the
+    // old fraction-based damp flipped it to windows-1252).
+    val avgRun = runSum.toDouble / math.max(1, runCount)
     val scored = Candidates.map { name =>
       val table = tables(name)
       val p = profiles(name)
@@ -153,15 +165,15 @@ object Chardet {
         }
         j += 1
       }
-      // density coherence, both directions: cp1252 text is mostly ASCII
-      // with sparse accents (never >35% high letters), Cyrillic/Greek text
-      // is mostly high bytes (ASCII letters come from markup) — a
-      // candidate incompatible with the observed density is damped
+      // run-structure coherence, both directions: accented-Latin text
+      // cannot produce long high-byte runs, non-Latin text cannot produce
+      // isolated ones — a candidate incompatible with the observed run
+      // shape is damped
       val nonLatin = name == "windows-1251" || name == "koi8-r" ||
         name == "iso-8859-7"
       val damp =
-        if (name == "windows-1252" && highFrac > 0.35) 0.5
-        else if (nonLatin && highFrac <= 0.35) 0.5
+        if (name == "windows-1252" && avgRun > 2.5) 0.5
+        else if (nonLatin && avgRun <= 2.5) 0.5
         else 1.0
       // damp only POSITIVE evidence: halving a negative score would
       // IMPROVE an implausible candidate

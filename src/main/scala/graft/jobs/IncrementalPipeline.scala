@@ -59,13 +59,14 @@ object IncrementalPipeline {
     // between commit and this append leaves a stale token -> the next
     // tick simply takes the cold path and rebuilds; never wrong, only
     // slower (the same degrade-to-correct contract as every cache here).
-    if (stats.nCurated > 0) {
-      val committed = TranscriptTable.read(spark, table)
-      if (sigs.isDefined)
-        Dedup.appendSignatureStore(survivors.select("doc_id", "text"), sigDir,
-          AnnIndex.inputToken(committed))
-      else
-        Dedup.buildSignatureStore(committed.select("doc_id", "text"), sigDir)
-    }
+    // Runs even for an EMPTY batch: the commit changed the table's file
+    // listing, so skipping the re-pin would force the next tick cold for
+    // nothing (review finding) — an empty append is a metadata write.
+    val committed = TranscriptTable.read(spark, table)
+    if (sigs.isDefined)
+      Dedup.appendSignatureStore(survivors.select("doc_id", "text"), sigDir,
+        AnnIndex.inputToken(committed))
+    else
+      Dedup.buildSignatureStore(committed.select("doc_id", "text"), sigDir)
   }
 }

@@ -165,8 +165,7 @@ object AnnIndex {
       // with an at-least-once upstream use the batchId form below.
       bucketed.write.mode(SaveMode.Append).partitionBy("srp_bucket").parquet(dir)
     } else {
-      require(!batchId.contains(',') && !batchId.contains('/') && batchId.nonEmpty,
-        s"invalid batch id: $batchId")
+      requireValidBatchId(batchId)
       // exactly-once append (the TranscriptTable pattern): the batch is
       // STAGED under its own append=<id> prefix — invisible, because the
       // probe reads only batch dirs listed in the committed meta — and
@@ -176,11 +175,36 @@ object AnnIndex {
       bucketed.write.mode(SaveMode.Overwrite).partitionBy("srp_bucket")
         .parquet(s"$dir/append=$batchId")
     }
-    var t = meta.token
-    inputToken(newVecs).foreach { nt => t ^= nt; t *= 0x100000001b3L }
     writeMeta(spark, dir, kind = "lsh", param = meta.param,
-      token = t, nRows = meta.nRows + n,
+      token = appendToken(meta.token, newVecs, n, batchId),
+      nRows = meta.nRows + n,
       batches = if (batchId == null) meta.batches else meta.batches :+ batchId)
+  }
+
+  /** Batch ids become a path segment AND a comma-joined, line-oriented
+    * meta value — restrict to a charset that can corrupt neither (a
+    * newline-bearing id would truncate the `batches=` line and make the
+    * committed batch invisible while n_rows still counts it). */
+  private def requireValidBatchId(batchId: String): Unit =
+    require(batchId != null && batchId.nonEmpty &&
+      batchId.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"invalid batch id (letters/digits/._- only): $batchId")
+
+  /** Post-append freshness token: ALWAYS differs from the pre-append
+    * token — folding only the appended input's token would leave the
+    * base build's token intact for in-memory batches (inputToken None),
+    * and a later single-source buildLsh would falsely short-circuit on
+    * an index that is no longer "the index of frame X" (review finding).
+    * Folds the row count and batch id too, so every append moves it. */
+  private def appendToken(base: Long, newVecs: DataFrame, n: Long,
+      batchId: String): Long = {
+    var t = base
+    def fold(x: Long): Unit = { t ^= x; t *= 0x100000001b3L }
+    fold(0x5bd1e995L) // unconditional marker: appended != freshly built
+    fold(n)
+    inputToken(newVecs).foreach(fold)
+    if (batchId != null) fold(batchId.hashCode.toLong)
+    t
   }
 
   /** Probe trusts the committed meta: ONE pruned scan of the probed bucket
@@ -292,16 +316,14 @@ object AnnIndex {
     if (batchId == null) {
       celled.write.mode(SaveMode.Append).partitionBy("ivf_cell").parquet(dir)
     } else {
-      require(!batchId.contains(',') && !batchId.contains('/') && batchId.nonEmpty,
-        s"invalid batch id: $batchId")
+      requireValidBatchId(batchId)
       // exactly-once, same contract as appendLsh's batchId mode
       celled.write.mode(SaveMode.Overwrite).partitionBy("ivf_cell")
         .parquet(s"$dir/append=$batchId")
     }
-    var t = meta.token
-    inputToken(newVecs).foreach { nt => t ^= nt; t *= 0x100000001b3L }
     writeMeta(spark, dir, kind = "ivf", param = meta.param,
-      token = t, nRows = meta.nRows + n, centroids = meta.centroids,
+      token = appendToken(meta.token, newVecs, n, batchId),
+      nRows = meta.nRows + n, centroids = meta.centroids,
       batches = if (batchId == null) meta.batches else meta.batches :+ batchId)
   }
 

@@ -152,7 +152,12 @@ object AsOfJoin {
     val sampled = left.select(keys.map(col): _*)
       .unionByName(right.select(keys.map(col): _*))
       .sample(withReplacement = false, sampleFraction, seed = 42L)
-      .select(concat_ws("", keys.map(col(_).cast("string")): _*).as("k"))
+      // \u0001 separator + null sentinel: concat_ws("") would merge
+      // distinct multi-column keys like ("ab","c")/("a","bc") - or
+      // (null,"x")/("","x"), since concat_ws skips nulls - into one
+      // synthetic hot key and inflate the share (review finding)
+      .select(concat_ws("\u0001",
+        keys.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*).as("k"))
     import sampled.sparkSession.implicits._
     val ks = sampled.as[String]
     val perPart = math.max(1,

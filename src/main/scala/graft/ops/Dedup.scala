@@ -280,9 +280,13 @@ object Dedup {
       threshold: Double = 0.8, textCol: String = "text",
       maxBucket: Int = 1000, corpusSigs: Option[DataFrame] = None,
       exactFallback: Boolean = true): DataFrame = {
+    // base is read by THREE downstream consumers (signature pass, text
+    // re-join, final anti-join); unbarriered, the exact-fallback anti-join
+    // (an O(corpus) md5+distinct pass) would re-run per consumer — the
+    // same defect class as the round-1 minhash barrier (review finding)
     val base =
-      if (exactFallback) exactDedupAgainst(incoming, corpus, textCol)
-      else incoming
+      (if (exactFallback) exactDedupAgainst(incoming, corpus, textCol)
+       else incoming).localCheckpoint()
     val sigInc = base.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
       .localCheckpoint()
     val sigCor = corpusSigs.getOrElse(

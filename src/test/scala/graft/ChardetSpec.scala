@@ -36,9 +36,40 @@ class ChardetSpec extends AnyFunSuite {
     assert(Chardet.detect(Array(0xEF, 0xBB, 0xBF, 'a', 'b').map(_.toByte)) == Seq("utf-8"))
     assert(Chardet.detect("hello html page".getBytes("UTF-16LE")).head == "utf-16le")
     assert(Chardet.detect("hello html page".getBytes("UTF-16BE")).head == "utf-16be")
-    // with BOM
-    assert(Chardet.detect(("﻿" + "x").getBytes("UTF-16LE")).head == "utf-16le")
-    assert(Chardet.detect(("﻿" + "x").getBytes("UTF-16BE")).head == "utf-16be")
+    // with BOM: Java's "utf-16" charset CONSUMES the BOM on decode —
+    // le/be would leave a U+FEFF in front of the root element
+    assert(Chardet.detect(("﻿" + "x").getBytes("UTF-16LE")).head == "utf-16")
+    assert(Chardet.detect(("﻿" + "x").getBytes("UTF-16BE")).head == "utf-16")
+    // end-to-end: BOM'd utf-16 html decodes without a leading U+FEFF
+    val html = "<html><body><p>hello utf sixteen page</p></body></html>"
+    val withBom = ("﻿" + html).getBytes("UTF-16LE")
+    val blocks = Blockifier.blockifyBytes(withBom)
+    assert(blocks.map(_.text) == Seq("hello utf sixteen page"), blocks.map(_.text))
+  }
+
+  test("markup-heavy page: run-structure damp is immune to ASCII dilution") {
+    // review finding: a real cp1251 page with a normal <head> sits at
+    // ~25% high bytes in the first 15000 — a density-based damp halved
+    // the Cyrillic candidates and flipped detection to windows-1252. The
+    // run-length discriminator must not care how much ASCII markup
+    // surrounds the text.
+    val head = """<html><head><meta name="viewport" content="width=device-width">
+      <script src="/static/js/app.bundle.min.js" defer></script>
+      <link rel="stylesheet" href="/static/css/site.min.css" media="all">
+      <script>window.dataLayer=window.dataLayer||[];function gtag(){dataLayer.push(arguments);}</script>
+      <title>title</title></head><body class="article-page layout-fixed">"""
+    val page = head + s"<p>$russian</p><p>$russian</p></body></html>"
+    assert(Chardet.detect(page.getBytes("windows-1251")).head == "windows-1251",
+      "cp1251 page with ASCII-heavy markup must not flip to cp1252")
+    assert(Chardet.detect(page.getBytes("KOI8-R")).head == "koi8-r")
+    val greekPage = head + s"<p>$greek</p><p>$greek</p></body></html>"
+    assert(Chardet.detect(greekPage.getBytes("ISO-8859-7")).head == "iso-8859-7")
+    // and the converse: accented-Latin content in the same markup stays
+    // Latin (runs of length ~1 regardless of surrounding ASCII volume)
+    val frPage = head + s"<p>$french</p><p>$french</p></body></html>"
+    assert(Chardet.detect(frPage.getBytes("windows-1252")).head == "windows-1252")
+    val czPage = head + s"<p>$czech</p><p>$czech</p></body></html>"
+    assert(Chardet.detect(czPage.getBytes("ISO-8859-2")).head == "iso-8859-2")
   }
 
   test("single-byte statistical: the five candidate charsets round-trip") {
