@@ -40,7 +40,7 @@ object TranscriptTable {
   /** JSON string literal with full escaping (quotes, backslashes, control
     * chars) — manifest values such as lineage summaries must never be able
     * to corrupt the manifest that committedRowCount/audit readers parse. */
-  private def jstr(s: String): String = "\"" + s.flatMap {
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
     case '"'          => "\\\""
     case '\\'         => "\\\\"
     case '\n'         => "\\n"
@@ -143,7 +143,7 @@ object TranscriptTable {
     readAsOf(spark, table, null)
 
   /** JSON-string unescape for manifest values (inverse of [[jstr]]). */
-  private def junstr(s: String): String = {
+  private[graft] def junstr(s: String): String = {
     val b = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

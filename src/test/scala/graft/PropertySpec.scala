@@ -174,4 +174,39 @@ class PropertySpec extends AnyFunSuite {
     assert(extractDomain("https://..../") == null)
     assert(extractDomain(null) == null)
   }
+
+  test("manifest string escaping round-trips for arbitrary content") {
+    // the manifest's manual escaped-string scanner (TranscriptTable
+    // batchSchema) relies on jstr/junstr being exact inverses — pinned
+    // over adversarial content: quotes, backslashes, control chars,
+    // newlines, unicode, and the scanner's own delimiters
+    import graft.table.TranscriptTable.{jstr, junstr}
+    val nasty = Seq(
+      "", "plain", "with \"quotes\"", "back\\slash", "line\nbreak",
+      "tab\there", "cr\rhere", "ctrl\u0001\u0002chars",
+      "mixed \"a\\b\nc\td\" end", "unicode \u00e9\u4e2d\u6587\ud83d\ude00",
+      "\"schema\": \"inner\"", "trailing backslash then quote \\\"",
+      "json {\"k\": [1, 2, \"v\"]}")
+    nasty.foreach { v =>
+      val enc = jstr(v)
+      assert(enc.head == '"' && enc.last == '"')
+      // the encoded body NEVER contains a raw quote or control char —
+      // what makes the quote-terminated scan correct
+      val body = enc.substring(1, enc.length - 1)
+      var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        assert(c != '"' || (i > 0 && body.charAt(i - 1) == '\\'), s"raw quote in $enc")
+        assert(c >= ' ', s"raw control char in $enc")
+        i += 1
+      }
+      assert(junstr(body) == v, s"round-trip failed for: $v")
+    }
+    // pseudo-random fuzz over the full printable+control range
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val v = (1 to rnd.nextInt(40)).map(_ => rnd.nextInt(0x250).toChar).mkString
+      assert(junstr(jstr(v).drop(1).dropRight(1)) == v)
+    }
+  }
 }
