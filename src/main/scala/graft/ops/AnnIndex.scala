@@ -163,6 +163,16 @@ object AnnIndex {
       // direct append: O(batch) write into the base bucket partitions.
       // NOT replay-safe (parquet Append is immediately visible) — callers
       // with an at-least-once upstream use the batchId form below.
+      // Invalidate the meta BEFORE the visible Append: a crash between the
+      // data append and the final meta write must not leave meta.token
+      // equal to the base token, or a later buildLsh over the original
+      // source would short-circuit via upToDate and serve the
+      // half-appended index as "the fresh index of frame X". The
+      // in-progress token differs from both the base and the final token,
+      // so any crash window degrades to a rebuild — never a stale reuse.
+      writeMeta(spark, dir, kind = "lsh", param = meta.param,
+        token = inProgressToken(meta.token), nRows = meta.nRows,
+        batches = meta.batches)
       bucketed.write.mode(SaveMode.Append).partitionBy("srp_bucket").parquet(dir)
     } else {
       requireValidBatchId(batchId)
@@ -204,6 +214,17 @@ object AnnIndex {
     fold(n)
     inputToken(newVecs).foreach(fold)
     if (batchId != null) fold(batchId.hashCode.toLong)
+    t
+  }
+
+  /** Token committed while a direct-mode append is IN FLIGHT: differs from
+    * the base token (distinct marker) and, with overwhelming probability,
+    * from any [[appendToken]] result, so a crash mid-append can never be
+    * mistaken for either the pre-append or the post-append state. */
+  private def inProgressToken(base: Long): Long = {
+    var t = base
+    def fold(x: Long): Unit = { t ^= x; t *= 0x100000001b3L }
+    fold(0x7f4a7c15L) // marker: append in flight, index not any frame's
     t
   }
 
@@ -314,6 +335,12 @@ object AnnIndex {
       .repartition(col("ivf_cell"),
         pmod(xxhash64(col("vec_id")), lit(filesPerBucket)))
     if (batchId == null) {
+      // same pre-append invalidation as appendLsh's direct mode: the crash
+      // window between Append visibility and the final meta must not leave
+      // the base token in place
+      writeMeta(spark, dir, kind = "ivf", param = meta.param,
+        token = inProgressToken(meta.token), nRows = meta.nRows,
+        centroids = meta.centroids, batches = meta.batches)
       celled.write.mode(SaveMode.Append).partitionBy("ivf_cell").parquet(dir)
     } else {
       requireValidBatchId(batchId)

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Distributed AS-OF join: for each left row, the single right row with the
   * greatest event time <= the left row's time, per key — the "join to the
@@ -162,7 +163,29 @@ object AsOfJoin {
     val ks = sampled.as[String]
     val perPart = math.max(1,
       maxSampleRows / math.max(1, ks.rdd.getNumPartitions))
-    val probe = ks.mapPartitions(_.take(perPart)).toDF("k")
+    // per-partition RESERVOIR (Algorithm R), not take(perPart): take keeps
+    // the earliest sampled rows, so when the cap binds a hot key clustered
+    // at partition TAILS (key-sorted data) is underrepresented — the
+    // finer-grained version of the global-limit defect. The reservoir keeps
+    // a uniform subset of each partition's sample stream. Seeded by
+    // partition id: deterministic across runs.
+    val probe = ks.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val rnd = new java.util.Random(0x9e3779b97f4a7c15L ^ pid.toLong)
+      val res = new scala.collection.mutable.ArrayBuffer[String](
+        math.min(perPart, 1024))
+      var seen = 0L
+      while (it.hasNext) {
+        val x = it.next()
+        if (res.length < perPart) res += x
+        else {
+          val j = (rnd.nextDouble() * (seen + 1)).toLong
+          if (j < perPart) res(j.toInt) = x
+        }
+        seen += 1
+      }
+      res.iterator
+    }.toDF("k")
     val agg = probe.groupBy(col("k")).count()
       .agg(max(col("count")).as("top"), sum(col("count")).as("total")).head
     if (agg.isNullAt(1) || agg.getLong(1) == 0L) (0.0, 0L)
@@ -186,26 +209,65 @@ object AsOfJoin {
   private val routeCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Long, Seq[String], Double), java.lang.Boolean]()
 
-  private val routeCacheFile = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_asof_routes.properties")
+  /** Per-USER cache dir (tmpdir is cross-user on multi-tenant hosts: a
+    * world-readable shared file would let one tenant read another's input
+    * paths folded into tokens, and a writable one would let them poison
+    * routing decisions). Overridable for tests via graft.asof.cache.dir. */
+  private def routeCacheFile: java.io.File = {
+    val base = sys.props.get("graft.asof.cache.dir").getOrElse(
+      System.getProperty("java.io.tmpdir") + java.io.File.separator +
+        "graft-" + System.getProperty("user.name", "nouser"))
+    new java.io.File(base, "asof_routes.properties")
+  }
   @volatile private var routeCacheLoaded = false
 
-  private def persistKey(k: (Long, Long, Seq[String], Double)): String =
-    s"${k._1}:${k._2}:${k._3.mkString("+")}:${k._4}"
+  /** Max persisted entries: the file is keyed by input freshness tokens, so
+    * every new input version adds a row forever — trim oldest-written
+    * entries past this bound (each value carries its write millis). */
+  private val routeCacheMaxEntries = 512
+
+  /** Key components are percent-encoded before joining on ':' / '+': raw
+    * delimiters would alias keys Seq("a","b") with a single column named
+    * "a+b" (a cached decision for one served for the other), and a ':' in
+    * a column name would silently never round-trip (review finding). */
+  private def encComp(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '%' => b.append("%25")
+      case ':' => b.append("%3a")
+      case '+' => b.append("%2b")
+      case c   => b.append(c)
+    }
+    b.toString
+  }
+
+  private def decComp(s: String): String = s
+    .replace("%3a", ":").replace("%3A", ":")
+    .replace("%2b", "+").replace("%2B", "+")
+    .replace("%25", "%")
+
+  private[graft] def persistKey(k: (Long, Long, Seq[String], Double)): String =
+    s"${k._1}:${k._2}:${k._3.map(encComp).mkString("+")}:${k._4}"
+
+  private[graft] def decodeKeyComponents(ks: String): Seq[String] =
+    ks.split('+').toSeq.filter(_.nonEmpty).map(decComp)
 
   private def loadPersistedRoutes(): Unit = if (!routeCacheLoaded) synchronized {
     if (routeCacheLoaded) return
     try {
-      if (routeCacheFile.exists()) {
+      val f = routeCacheFile
+      if (f.exists()) {
         val p = new java.util.Properties()
-        val in = new java.io.FileInputStream(routeCacheFile)
+        val in = new java.io.FileInputStream(f)
         try p.load(in) finally in.close()
         p.forEach { (k, v) =>
           k.toString.split(':') match {
             case Array(lt, rt, ks, th) =>
               routeCache.putIfAbsent((lt.toLong, rt.toLong,
-                ks.split('+').toSeq.filter(_.nonEmpty), th.toDouble),
-                java.lang.Boolean.valueOf(v.toString))
+                decodeKeyComponents(ks), th.toDouble),
+                // value format "decision@writeMillis"; bare "decision" is
+                // the pre-r6 format, still readable
+                java.lang.Boolean.valueOf(v.toString.split('@').head))
             case _ => ()
           }
         }
@@ -217,19 +279,34 @@ object AsOfJoin {
   private def persistRoute(k: (Long, Long, Seq[String], Double), d: Boolean): Unit =
     synchronized {
       try {
+        val f = routeCacheFile
         val p = new java.util.Properties()
-        if (routeCacheFile.exists()) {
-          val in = new java.io.FileInputStream(routeCacheFile)
+        if (f.exists()) {
+          val in = new java.io.FileInputStream(f)
           try p.load(in) finally in.close()
         }
-        p.setProperty(persistKey(k), d.toString)
-        val tmp = java.io.File.createTempFile("graft_asof_routes", ".tmp",
-          routeCacheFile.getParentFile)
+        p.setProperty(persistKey(k), s"$d@${System.currentTimeMillis()}")
+        // bound the file: tokens change with every input version, so the
+        // entry set grows without it — evict the oldest-written entries
+        if (p.size > routeCacheMaxEntries) {
+          def writtenAt(v: String): Long = v.split('@') match {
+            case Array(_, ms) => try ms.toLong catch { case _: Exception => 0L }
+            case _            => 0L
+          }
+          val entries = p.entrySet().asScala
+            .map(e => (e.getKey.toString, e.getValue.toString)).toSeq
+          entries.sortBy(e => writtenAt(e._2))
+            .take(p.size - routeCacheMaxEntries)
+            .foreach { case (key, _) => p.remove(key) }
+        }
+        java.nio.file.Files.createDirectories(f.getParentFile.toPath)
+        val tmp = java.io.File.createTempFile("asof_routes", ".tmp",
+          f.getParentFile)
         val os = new java.io.FileOutputStream(tmp)
         try p.store(os, "asOfAuto routing decisions keyed by input freshness tokens")
         finally os.close()
-        if (!tmp.renameTo(routeCacheFile)) { // same-dir rename is atomic on POSIX
-          java.nio.file.Files.move(tmp.toPath, routeCacheFile.toPath,
+        if (!tmp.renameTo(f)) { // same-dir rename is atomic on POSIX
+          java.nio.file.Files.move(tmp.toPath, f.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
       } catch { case _: Exception => () }

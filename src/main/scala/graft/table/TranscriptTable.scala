@@ -68,9 +68,18 @@ object TranscriptTable {
   def writeData(df: DataFrame, table: String, batchId: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(table, batchId))
 
-  /** Atomically publish a staged batch (manifest tmp+rename). */
+  /** Atomically publish a staged batch (manifest tmp+rename). A batch that
+    * records a schema is validated against the table's current union BEFORE
+    * the manifest flips — every commit path (writeBatch, commitStaged,
+    * streaming ingest, compaction) funnels through here, so an incompatible
+    * type change fails the offending write instead of bricking reads. */
   def commit(table: String, batchId: String,
       manifestExtra: Map[String, String] = Map.empty): Unit = {
+    manifestExtra.get("schema").foreach { json =>
+      validateSchemaCompatible(table,
+        org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
     val target = dataDir(table, batchId)
     val mdir = manifestDir(table)
     Files.createDirectories(mdir)
@@ -181,6 +190,28 @@ object TranscriptTable {
       .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** Recursively relax every nullability flag (top-level `nullable`, array
+    * `containsNull`, map `valueContainsNull`, nested struct fields) to true.
+    * Batch schemas reach the manifest through two paths that disagree ONLY
+    * in these flags — writeBatch records the pre-write `df.schema` (nested
+    * flags as constructed, often containsNull=false), while commitStaged
+    * records a post-parquet-read schema (Spark normalizes nested fields to
+    * nullable) — so schema COMPARISON must be nullability-insensitive and
+    * the resolved union must store the relaxed form, or two logically
+    * identical batches would fail the ADDING-only check and brick reads. */
+  private[graft] def relaxNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = relaxNullable(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(relaxNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(relaxNullable(m.keyType), relaxNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   /** Union schema of the given batches per the table's evolution contract:
     * ADDING columns is supported (old rows read the new column as null);
     * changing a column's type is not. Resolution is manifest-only —
@@ -196,15 +227,41 @@ object TranscriptTable {
     val fields = scala.collection.mutable.LinkedHashMap
       .empty[String, org.apache.spark.sql.types.StructField]
     schemas.flatten.foreach(_.fields.foreach { f =>
+      val relaxed = relaxNullable(f.dataType)
       fields.get(f.name) match {
-        case None => fields(f.name) = f.copy(nullable = true)
+        case None => fields(f.name) = f.copy(dataType = relaxed, nullable = true)
         case Some(prev) =>
-          require(prev.dataType == f.dataType,
+          require(prev.dataType == relaxed,
             s"schema evolution supports ADDING columns only: ${f.name} is " +
-              s"${prev.dataType.simpleString} in one batch and ${f.dataType.simpleString} in another")
+              s"${prev.dataType.simpleString} in one batch and ${relaxed.simpleString} in another")
       }
     })
     Some(org.apache.spark.sql.types.StructType(fields.values.toSeq))
+  }
+
+  /** Reject an incompatible batch AT COMMIT TIME (the Iceberg model): a
+    * batch whose column type conflicts with the table's current union must
+    * fail its own write, not poison every subsequent read/compact until a
+    * manifest is hand-edited. Compares nullability-insensitively (see
+    * [[relaxNullable]]); columns absent from history are additions and
+    * pass. Skipped when any live batch predates schema recording (no
+    * union is resolvable — legacy single-schema behavior). */
+  private def validateSchemaCompatible(table: String,
+      newSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val live = liveBatches(table, null)
+    if (live.isEmpty) return
+    unionSchema(table, live).foreach { union =>
+      newSchema.fields.foreach { f =>
+        union.fields.find(_.name == f.name).foreach { prev =>
+          val relaxed = relaxNullable(f.dataType)
+          require(prev.dataType == relaxed,
+            s"incompatible batch schema rejected at commit: ${f.name} is " +
+              s"${prev.dataType.simpleString} in $table but " +
+              s"${relaxed.simpleString} in the new batch — schema evolution " +
+              "supports ADDING columns only")
+        }
+      }
+    }
   }
 
   /** Time-travel-ish read: only batches committed up to `asOfBatch`

@@ -710,6 +710,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(share >= 0.05, s"hot key share invisible to the probe: share=$share")
   }
 
+  test("asOfAuto route cache: delimiter-bearing key names never alias") {
+    // Raw '+'/':' delimiters would serialize keys Seq("a","b") and the
+    // single column "a+b" identically — a cached routing decision for one
+    // would be served for the other (ADVICE r5). Percent-encoding makes
+    // serialize/parse exact inverses for any column name.
+    import graft.ops.AsOfJoin.{persistKey, decodeKeyComponents}
+    val twoCol = persistKey((1L, 2L, Seq("a", "b"), 0.2))
+    val oneCol = persistKey((1L, 2L, Seq("a+b"), 0.2))
+    assert(twoCol != oneCol, s"aliased: $twoCol")
+    for (keys <- Seq(Seq("a", "b"), Seq("a+b"), Seq("a:b", "c%d"), Seq("ts+x:y"))) {
+      val ks = persistKey((1L, 2L, keys, 0.2)).split(':') match {
+        // ':' inside components is encoded, so the raw split has exactly 4 parts
+        case Array(_, _, mid, _) => mid
+        case other => fail(s"unexpected key shape: ${other.toSeq}")
+      }
+      assert(decodeKeyComponents(ks) == keys, s"round-trip broke for $keys")
+    }
+  }
+
   test("asOfAuto: probe decision cached per input token; skew hint skips probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_asof_cache").toString
     val sp = spark

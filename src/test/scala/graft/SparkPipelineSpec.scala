@@ -199,10 +199,43 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val comp = TranscriptTable.read(spark, out)
     assert(comp.columns.toSeq == Seq("id", "text", "lang"))
     assert(comp.count() == 3 && comp.filter(col("lang").isNotNull).count() == 1)
-    // a type CHANGE is rejected at planning time with a clear error
-    TranscriptTable.writeBatch(Seq((4L, "w", 7)).toDF("id", "text", "lang"), out, "b003")
-    val e = intercept[IllegalArgumentException] { TranscriptTable.read(spark, out) }
+    // a type CHANGE is rejected AT COMMIT TIME (the Iceberg model): the
+    // offending write fails; the table stays readable for everyone else
+    val e = intercept[IllegalArgumentException] {
+      TranscriptTable.writeBatch(Seq((4L, "w", 7)).toDF("id", "text", "lang"), out, "b003")
+    }
     assert(e.getMessage.contains("ADDING columns only"), e.getMessage)
+    assert(!TranscriptTable.isCommitted(out, "b003"), "bad batch must not commit")
+    assert(TranscriptTable.read(spark, out).count() == 3, "table stays readable")
+    rmrf(out)
+  }
+
+  test("schema evolution: nested nullability flags never fail the union") {
+    // Two logically identical batches can differ ONLY in nested nullability:
+    // writeBatch records the pre-write df.schema (containsNull as
+    // constructed, often false), while commitStaged records a post-parquet-
+    // read schema (Spark normalizes nested fields to nullable). The union
+    // must be nullability-insensitive or a valid table becomes unreadable
+    // (ADVICE r5 medium finding).
+    val out = "/tmp/graft_schema_nulls"
+    rmrf(out)
+    val sp = spark
+    import sp.implicits._
+    val strict = Seq((1L, Seq(1, 2))).toDF("id", "xs") // containsNull=false
+    assert(!strict.schema("xs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    TranscriptTable.writeBatch(strict, out, "b000")
+    // second batch: the SAME data committed via the staged path, whose
+    // recorded schema is the post-parquet-read (relaxed) form
+    TranscriptTable.writeData(Seq((2L, Seq(3))).toDF("id", "xs"), out, "b001")
+    val reread = spark.read.parquet(TranscriptTable.dataDir(out, "b001"))
+    assert(reread.schema("xs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    TranscriptTable.commit(out, "b001", Map("schema" -> reread.schema.json))
+    // both read paths and compaction plan with the relaxed union
+    assert(TranscriptTable.read(spark, out).count() == 2)
+    TranscriptTable.compact(spark, out, Seq("b000", "b001"), "b002")
+    assert(TranscriptTable.read(spark, out).count() == 2)
     rmrf(out)
   }
 
