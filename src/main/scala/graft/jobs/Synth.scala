@@ -268,6 +268,18 @@ object Synth {
   private val MonthsHe = Vector("בינואר", "בפברואר", "במרץ", "באפריל",
     "במאי", "ביוני", "ביולי", "באוגוסט", "בספטמבר", "באוקטובר", "בנובמבר",
     "בדצמבר")
+  // round-6 wheel (th/fa Gregorian months + hijri calendar months)
+  private val MonthsTh = Vector("มกราคม", "กุมภาพันธ์", "มีนาคม", "เมษายน",
+    "พฤษภาคม", "มิถุนายน", "กรกฎาคม", "สิงหาคม", "กันยายน", "ตุลาคม",
+    "พฤศจิกายน", "ธันวาคม")
+  private val MonthsFa = Vector("ژانویه", "فوریه", "مارس", "آوریل", "مه",
+    "ژوئن", "ژوئیه", "اوت", "سپتامبر", "اکتبر", "نوامبر", "دسامبر")
+  private val MonthsHijri = Vector("محرم", "صفر", "ربيع الأول",
+    "ربيع الآخر", "جمادى الأولى", "جمادى الآخرة", "رجب", "شعبان", "رمضان",
+    "شوال", "ذو القعدة", "ذو الحجة")
+  private val ArabicDigits = "٠١٢٣٤٥٦٧٨٩"
+  private def arabicNum(n: Int): String =
+    n.toString.map(c => ArabicDigits(c - '0'))
 
   /** Form-wheel notches 8-15: ru genitive/abbr, zh/ja 年月日, ko 년월일,
     * and timezone-offset ISO/RFC-1123 datetimes (literal wall-clock). */
@@ -317,18 +329,32 @@ object Synth {
     }
   }
 
-  /** Form-wheel notches 32-63 (round 5b, bit 44): id/vi/hi/he day-first
-    * forms — (form & 3) selects the language, reusing the wheel entropy. */
+  /** Form-wheel notches 32-63: (form & 7) selects the language — 0-3
+    * id/vi/hi/he (round 5b, bit 44; formerly `& 3`), 4-7 th/fa/hijri
+    * (round 6 — the widening re-deals the bit-2-set half of the 5b
+    * notches, a datedUrl-confined digest drift). The hijri forms embed a
+    * calendar-derived date (the wheel entropy drawn from the Gregorian
+    * target's day-of-year), in ASCII digits (6) or Arabic-Indic digits
+    * with the هـ era suffix (7). */
   private def intlDate4(iso: String, form: Int): String = {
     val d = java.time.LocalDate.parse(iso)
     val m = d.getMonthValue - 1
     val day = d.getDayOfMonth
     val y = d.getYear
-    (form & 3) match {
+    // a plausible hijri date derived from the same entropy: years
+    // 1426-1457 AH convert to 2005-2035 CE, inside the validity ladder
+    val hy = 1426 + ((y + d.getDayOfYear) % 32)
+    val hm = 1 + (d.getMonthValue + day) % 12
+    val hd = 1 + (day * 7 + m) % 29
+    (form & 7) match {
       case 0 => s"$day ${MonthsId(m)} $y"
       case 1 => s"ngày $day tháng ${m + 1} năm $y"
       case 2 => s"$day ${MonthsHi(m)} $y"
-      case _ => s"$day ${MonthsHe(m)} $y"
+      case 3 => s"$day ${MonthsHe(m)} $y"
+      case 4 => s"$day ${MonthsTh(m)} $y"
+      case 5 => s"$day ${MonthsFa(m)} $y"
+      case 6 => s"$hd ${MonthsHijri(hm - 1)} $hy"
+      case _ => s"${arabicNum(hd)} ${MonthsHijri(hm - 1)} ${arabicNum(hy)} هـ"
     }
   }
 

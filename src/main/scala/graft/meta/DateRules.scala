@@ -128,9 +128,9 @@ object DateRules {
     "júla" -> 7, "jula" -> 7, "augusta" -> 8, "septembra" -> 9,
     "októbra" -> 10, "oktobra" -> 10, "novembra" -> 11, "decembra" -> 12,
     // Arabic (r5 — Gregorian loan names + the Levantine month set; hijri
-    // calendar names are EXCLUDED by design, they would need calendar
-    // conversion, not name lookup. Western digits only — the day-first
-    // pattern's \d does not read Arabic-Indic digits (documented subset).)
+    // CALENDAR dates are handled separately with a real calendar
+    // conversion, see HijriDate below (r6). Arabic-Indic digits are
+    // normalized to ASCII before any pattern runs (normalizeDigits, r6).
     "يناير" -> 1, "فبراير" -> 2, "مارس" -> 3, "أبريل" -> 4, "ابريل" -> 4,
     "مايو" -> 5, "يونيو" -> 6, "يوليو" -> 7, "أغسطس" -> 8, "اغسطس" -> 8,
     "سبتمبر" -> 9, "أكتوبر" -> 10, "اكتوبر" -> 10, "نوفمبر" -> 11,
@@ -155,7 +155,23 @@ object DateRules {
     "בדצמבר" -> 12,
     "ינואר" -> 1, "פברואר" -> 2, "מרץ" -> 3, "אפריל" -> 4, "מאי" -> 5,
     "יוני" -> 6, "יולי" -> 7, "אוגוסט" -> 8, "ספטמבר" -> 9,
-    "אוקטובר" -> 10, "נובמבר" -> 11, "דצמבר" -> 12)
+    "אוקטובר" -> 10, "נובמבר" -> 11, "דצמבר" -> 12,
+    // Thai (r6): Gregorian-year dates parse; Buddhist-Era years (CE+543,
+    // e.g. 2551) parse to their literal year and are then rejected by the
+    // same plausibility ladder the reference's validate_date applies to
+    // far-future years — dateparser.parse also returns the literal year
+    // for Thai BE without the calendars extra (documented subset)
+    "มกราคม" -> 1, "กุมภาพันธ์" -> 2, "มีนาคม" -> 3, "เมษายน" -> 4,
+    "พฤษภาคม" -> 5, "มิถุนายน" -> 6, "กรกฎาคม" -> 7, "สิงหาคม" -> 8,
+    "กันยายน" -> 9, "ตุลาคม" -> 10, "พฤศจิกายน" -> 11, "ธันวาคม" -> 12,
+    // Farsi (r6): the Gregorian loan names Persian news sites use
+    // (distinct spellings from the Arabic set — پ/گ/ژ letters); Persian
+    // ۰-۹ digits are normalized before matching. Jalali (Solar Hijri)
+    // month names are excluded — plain dateparser.parse does not convert
+    // Jalali either without the calendars extra (documented subset).
+    "ژانویه" -> 1, "فوریه" -> 2, "آوریل" -> 4, "مه" -> 5, "ژوئن" -> 6,
+    "ژوئیه" -> 7, "جولای" -> 7, "اوت" -> 8, "سپتامبر" -> 9,
+    "اکتبر" -> 10, "نوامبر" -> 11, "دسامبر" -> 12)
   // longest-first so "janvier" wins over "janv"/"jan" at the same position
   private val IntlMonthAlt =
     IntlMonths.keys.toSeq.sortBy(-_.length).mkString("|")
@@ -190,6 +206,49 @@ object DateRules {
     "(?:ngày\\s+)?(\\d{1,2})\\s+tháng\\s+(\\d{1,2})(?:\\s+năm)?\\s+(\\d{4})",
     Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
 
+  // Hijri (Islamic) calendar dates (r6): month-name table + the civil
+  // (tabular) arithmetic conversion — the largest remaining locale gap a
+  // real crawl hits (Arabic news sites date in hijri). The year is
+  // restricted to 13xx-14xx AH (1882-2077 CE) so the rule cannot misfire
+  // on Gregorian years; the optional هـ/ه/AH era suffix is consumed.
+  private val HijriMonths: Map[String, Int] = Map(
+    "محرم" -> 1, "صفر" -> 2,
+    "ربيع الأول" -> 3, "ربيع الاول" -> 3,
+    "ربيع الآخر" -> 4, "ربيع الاخر" -> 4, "ربيع الثاني" -> 4,
+    "جمادى الأولى" -> 5, "جمادى الاولى" -> 5, "جمادي الأولى" -> 5,
+    "جمادى الآخرة" -> 6, "جمادى الاخرة" -> 6, "جمادى الثانية" -> 6,
+    "رجب" -> 7, "شعبان" -> 8, "رمضان" -> 9, "شوال" -> 10,
+    "ذو القعدة" -> 11, "ذي القعدة" -> 11,
+    "ذو الحجة" -> 12, "ذي الحجة" -> 12)
+  private val HijriMonthAlt =
+    HijriMonths.keys.toSeq.sortBy(-_.length).mkString("|")
+  private val HijriDate = Pattern.compile(
+    "(\\d{1,2})\\s+(" + HijriMonthAlt + ")(?!\\p{L})\\s+(1[34]\\d{2})" +
+      "(?:\\s*(?:هـ|ه|AH))?",
+    Pattern.UNICODE_CASE)
+
+  /** Civil (tabular) Islamic -> Gregorian (y, m, d): the deterministic
+    * 30-year-cycle arithmetic calendar, then Fliegel–Van Flandern JDN ->
+    * Gregorian. Observational calendars (Umm al-Qura) can differ by ±1
+    * day — the civil form is the standard arithmetic stand-in and needs
+    * no lookup tables. Spot-anchored: 1 Muharram 1429 AH -> 2008-01-10. */
+  private[graft] def hijriToGregorian(hy: Int, hm: Int, hd: Int): Option[(Int, Int, Int)] = {
+    if (hm < 1 || hm > 12 || hd < 1 || hd > 30) return None
+    val jdn = hd + math.ceil(29.5 * (hm - 1)).toInt + (hy - 1) * 354 +
+      (3 + 11 * hy) / 30 + 1948439
+    var l = jdn + 68569
+    val n = (4 * l) / 146097
+    l -= (146097 * n + 3) / 4
+    val i = (4000 * (l + 1)) / 1461001
+    l -= (1461 * i) / 4 - 31
+    val j = (80 * l) / 2447
+    val d = l - (2447 * j) / 80
+    l = j / 11
+    val m = j + 2 - 12 * l
+    val y = 100 * (n - 49) + i + l
+    Some((y.toInt, m.toInt, d.toInt))
+  }
+
   // clock time for the datetime-preserving parse: "09:05", "09:05:07".
   // Timezone-offset datetimes ("...T09:05:07+02:00", "... 09:05:07 GMT",
   // "... +0200") keep the LITERAL clock time: find() takes the leftmost
@@ -212,6 +271,29 @@ object DateRules {
     * difference between 1 and 8 full-text passes on no-date turns).
     * Semantics unchanged: a string with no 4-digit run matches none of the
     * patterns. */
+  /** Non-ASCII decimal digits normalized to ASCII before any pattern runs
+    * (dateparser does the same normalization): Arabic-Indic U+0660-0669,
+    * Extended Arabic-Indic / Persian U+06F0-06F9, Thai U+0E50-0E59,
+    * Devanagari U+0966-096F. Returns the SAME instance when no such digit
+    * is present — zero allocation on the (overwhelming) ASCII-digit path. */
+  private def normalizeDigits(s: String): String = {
+    def off(c: Char): Int =
+      if (c >= '٠' && c <= '٩') c - '٠'
+      else if (c >= '۰' && c <= '۹') c - '۰'
+      else if (c >= '๐' && c <= '๙') c - '๐'
+      else if (c >= '०' && c <= '९') c - '०'
+      else -1
+    var i = 0
+    while (i < s.length && off(s.charAt(i)) < 0) i += 1
+    if (i == s.length) return s
+    val b = new StringBuilder(s.length)
+    s.foreach { c =>
+      val o = off(c)
+      b += (if (o >= 0) ('0' + o).toChar else c)
+    }
+    b.toString
+  }
+
   private def hasYearRun(s: String): Boolean = {
     var run = 0
     var i = 0
@@ -226,7 +308,7 @@ object DateRules {
 
   def parseAny(s0: String): Option[String] = {
     if (s0 == null) return None
-    val s = s0.trim
+    val s = normalizeDigits(s0.trim)
     if (!hasYearRun(s)) return None
     val m1 = Iso.matcher(s)
     if (m1.find()) return valid(m1.group(1).toInt, m1.group(2).toInt, m1.group(3).toInt)
@@ -267,6 +349,18 @@ object DateRules {
     if (m9.find()) return valid(m9.group(1).toInt, m9.group(2).toInt, m9.group(3).toInt)
     val m10 = ViDate.matcher(s)
     if (m10.find()) return valid(m10.group(3).toInt, m10.group(2).toInt, m10.group(1).toInt)
+    // hijri LAST: its year range (13xx-14xx) is disjoint from every
+    // Gregorian rule's plausible years, so order is for cascade hygiene
+    // only; the converted Gregorian date passes the same validity ladder
+    val m11 = HijriDate.matcher(s)
+    if (m11.find()) {
+      val mon = HijriMonths.getOrElse(m11.group(2), 0)
+      if (mon > 0) {
+        val conv = hijriToGregorian(m11.group(3).toInt, mon, m11.group(1).toInt)
+          .flatMap { case (y, mo, d) => valid(y, mo, d) }
+        if (conv.isDefined) return conv
+      }
+    }
     None
   }
 
@@ -297,7 +391,7 @@ object DateRules {
     val base = parseAny(s0)
     if (base.isDefined) return base
     if (s0 == null) return None
-    val s = s0.trim
+    val s = normalizeDigits(s0.trim)
     if (!hasYearRun(s)) return None
     val m = NumDayFirst.matcher(s)
     while (m.find()) {
@@ -323,7 +417,7 @@ object DateRules {
     * the htmldate-style yyyy-MM-dd meta path. */
   def parseDateTime(s0: String): Option[LocalDateTime] = {
     if (s0 == null) return None
-    val s = s0.trim
+    val s = normalizeDigits(s0.trim)
     parseAny(s).map { iso =>
       val date = java.time.LocalDate.parse(iso)
       val mt = TimeOfDay.matcher(s)

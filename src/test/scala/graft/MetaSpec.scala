@@ -344,6 +344,37 @@ class MetaSpec extends AnyFunSuite {
     assert(parseAny("June 3, 2008") == Some("2008-06-03"))
   }
 
+  test("date grammar r6: hijri conversion, th/fa months, non-ASCII digits") {
+    import graft.meta.DateRules.{parseAny, hijriToGregorian}
+    // civil (tabular) hijri conversion anchors
+    assert(hijriToGregorian(1429, 1, 1) == Some((2008, 1, 10)))
+    assert(hijriToGregorian(1442, 1, 1) == Some((2020, 8, 20)))
+    // hijri dates: optional era suffix, ASCII or Arabic-Indic digits
+    assert(parseAny("3 رمضان 1429") == Some("2008-09-04"))
+    assert(parseAny("3 رمضان 1429 هـ") == Some("2008-09-04"))
+    assert(parseAny("٣ رمضان ١٤٢٩") == Some("2008-09-04"))
+    assert(parseAny("1 محرم 1442") == Some("2020-08-20"))
+    assert(parseAny("15 ذو الحجة 1440") == Some("2019-08-17"))
+    // a 4-digit GREGORIAN year never trips the hijri rule (year range)
+    assert(parseAny("3 رمضان 2008") == None)
+    // Thai: Gregorian years parse; Buddhist-Era years (CE+543) fall to
+    // the same plausibility ladder that rejects far-future years
+    assert(parseAny("3 มิถุนายน 2008") == Some("2008-06-03"))
+    assert(parseAny("15 มกราคม 2021") == Some("2021-01-15"))
+    assert(parseAny("๓ มิถุนายน 2008") == Some("2008-06-03")) // Thai digits
+    assert(parseAny("3 มิถุนายน 2551") == None) // BE 2551 -> literal 2551, rejected
+    // Farsi: Gregorian loan months + Persian digits
+    assert(parseAny("3 ژوئن 2008") == Some("2008-06-03"))
+    assert(parseAny("۳ ژوئن ۲۰۰۸") == Some("2008-06-03"))
+    assert(parseAny("15 دسامبر 2020") == Some("2020-12-15"))
+    // Arabic Gregorian dates in Arabic-Indic digits now parse too
+    assert(parseAny("٣ حزيران ٢٠٠٨") == Some("2008-06-03"))
+    // Devanagari digits with the r5b Hindi months
+    assert(parseAny("३ जून २००८") == Some("2008-06-03"))
+    // English behavior untouched
+    assert(parseAny("June 3, 2008") == Some("2008-06-03"))
+  }
+
   test("date grammar: ru genitive, zh/ja/ko numeric-era, tz-offset datetimes") {
     import graft.meta.DateRules.{parseAny, parseDateTime}
     import java.time.LocalDateTime
