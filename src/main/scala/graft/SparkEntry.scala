@@ -142,6 +142,29 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    "x_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination (r6): docs >= 250 play the eval set —
+      // the same split as x_dedup_incremental, where cross-boundary
+      // near-dups exist, so 5-grams genuinely collide — and docs < 250
+      // the corpus; survivors share NO 5-gram with the benchmark.
+      val d = t(s, dir, "documents")
+      Dedup.decontaminate(d.filter(col("doc_id") < 250),
+          d.filter(col("doc_id") >= 250), n = 5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+    "x_contamination_audit" -> ((s, dir) => {
+      // the per-doc audit frame behind x_decontaminate: (doc_id, number
+      // of distinct contaminated 5-grams) — no silent drops, the operator
+      // reports WHY each doc fell
+      val d = t(s, dir, "documents")
+      Dedup.contaminatedDocs(d.filter(col("doc_id") < 250),
+          d.filter(col("doc_id") >= 250), n = 5)
+        .orderBy("doc_id")
+    }),
+    "x_repetition_stats" -> ((s, dir) =>
+      // Gopher-family repetition/diversity numerators, integer-exact
+      TextAnalysis.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")),
     "x_dedup_simhash" -> ((s, dir) =>
       // production FNV-1a kernel, fully oracled (r6): the oracle recomputes
       // FNV-1a-64 per token in SQL (list_reduce fold over byte ordinals;
@@ -833,6 +856,73 @@ object SparkEntry {
         |          cast(b.embedding AS DOUBLE[])), 6) AS cosine_r6
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |WHERE cosine_r6 >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+    "x_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(t)-4),
+        |           i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) END AS grams
+        |  FROM toks),
+        |bg AS (SELECT DISTINCT gram FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id >= 250)),
+        |hits AS (
+        |  SELECT cg.doc_id
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id < 250) cg
+        |  JOIN bg USING (gram) GROUP BY cg.doc_id)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id < 250 AND doc_id NOT IN (SELECT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin,
+    "x_contamination_audit" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(t)-4),
+        |           i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) END AS grams
+        |  FROM toks),
+        |bg AS (SELECT DISTINCT gram FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id >= 250))
+        |SELECT cg.doc_id, count(*)::BIGINT AS n_contaminated_grams
+        |FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id < 250) cg
+        |JOIN bg USING (gram) GROUP BY cg.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "x_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, count(*)::INT AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+        |uni AS (
+        |  SELECT doc_id, cast(sum(c) as int) AS n_tokens, count(*)::INT AS n_distinct_tokens,
+        |         max(c) AS top_unigram_count
+        |  FROM u GROUP BY doc_id),
+        |b2 AS (
+        |  SELECT doc_id, max(c)::INT AS top_bigram_count FROM (
+        |    SELECT doc_id, count(*)::INT AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+        |        i -> t[i]||' '||t[i+1])) AS g
+        |      FROM toks WHERE len(t) >= 2)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |b3 AS (
+        |  SELECT doc_id, max(c)::INT AS top_trigram_count FROM (
+        |    SELECT doc_id, count(*)::INT AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS g
+        |      FROM toks WHERE len(t) >= 3)
+        |    GROUP BY doc_id, g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(uni.n_tokens, 0) AS n_tokens,
+        |  coalesce(uni.n_distinct_tokens, 0) AS n_distinct_tokens,
+        |  coalesce(uni.top_unigram_count, 0) AS top_unigram_count,
+        |  coalesce(b2.top_bigram_count, 0) AS top_bigram_count,
+        |  coalesce(b3.top_trigram_count, 0) AS top_trigram_count
+        |FROM documents d
+        |LEFT JOIN uni ON d.doc_id = uni.doc_id
+        |LEFT JOIN b2 ON d.doc_id = b2.doc_id
+        |LEFT JOIN b3 ON d.doc_id = b3.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "x_dedup_simhash" ->
       // full FNV-1a-64 recomputation per token (list_reduce fold over byte
       // ordinals, 2^64 wrap via HUGEINT mod — ASCII table, so ord == the

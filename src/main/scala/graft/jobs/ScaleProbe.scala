@@ -52,6 +52,38 @@ object ScaleProbe {
     }.toDF("vec_id", "embedding")
   }
 
+  /** English-looking synth docs that SURVIVE the curation filters (langId
+    * 'en', quality above the 0.3 floor — the stopword lattice carries
+    * both), for the pipeline-tick probe. With `corpusN > 0` (batch mode):
+    * ~5% of docs clone a corpus doc's text exactly and another ~5%
+    * near-dup it (leading tokens changed, 3-gram Jaccard ~0.95), so the
+    * cross-corpus exact and banded joins both do real candidate work. */
+  def synthEnDocs(spark: SparkSession, n: Int, partitions: Int,
+      idOffset: Long = 0L, corpusN: Int = 0): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val id = i + idOffset
+      val mode =
+        if (corpusN > 0 && i % 20 == 1) 1      // exact clone of a corpus doc
+        else if (corpusN > 0 && i % 20 == 2) 2 // near-dup of a corpus doc
+        else 0
+      val base = if (mode > 0) i % corpusN else id
+      val sb = new StringBuilder(900)
+      var j = 0
+      while (j < 15) {
+        val w1 = "word" + (Synth.mix(base * 131 + j) & 0xffffL).toHexString
+        val w2 = "item" + (Synth.mix(base * 131 + 64 + j) & 0xffffL).toHexString
+        sb.append("the ").append(w1).append(" of this ").append(w2)
+          .append(" and that for is ")
+        j += 1
+      }
+      val text0 = sb.toString.trim
+      val text = if (mode == 2) "altered leading tokens here " +
+        text0.substring(text0.indexOf(' ') + 1) else text0
+      (id, text)
+    }.toDF("doc_id", "text")
+  }
+
   private def time[T](body: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = body
@@ -259,11 +291,66 @@ object ScaleProbe {
       out("asof_1m_hotkey_auto_sec") = tAuto
     }
 
+    // full ongoing-pipeline tick (VERDICT r5 item 5): appendLsh was
+    // measured O(batch); this measures the COMPOSED tick
+    // (IncrementalPipeline.runBatch = replay guard -> warm-sig
+    // curateIncremental -> CAS commit -> store append). Claim under test:
+    // with the signature store warm, per-tick wall is flat in CORPUS size
+    // at fixed batch size — so the probe seeds two corpora a decade apart
+    // (nDocs/10 and nDocs), runs 3 warm ticks of the SAME batch size on
+    // each, and one cold tick (store deleted) as the contrast that DOES
+    // scale with the corpus. Pass `pipeline` explicitly (e.g. nDocs=1M).
+    if (sections("pipeline")) {
+      val batchN = math.max(1000, nDocs / 50)
+      for (n <- Seq(math.max(2 * batchN, nDocs / 10), nDocs)) {
+        val tmp = System.getProperty("java.io.tmpdir")
+        val table = s"$tmp/graft_scaleprobe_pipe_$n"
+        val sigDir = s"$tmp/graft_scaleprobe_pipesigs_$n"
+        rmrf(table); rmrf(sigDir)
+        val seed = synthEnDocs(spark, n, cpus.toInt)
+        val (_, tSeed) = time(
+          IncrementalPipeline.runBatch(spark, seed, table, sigDir, "b000"))
+        mark(s"pipe_${n}_seed", tSeed)
+        out(s"pipe_${n}_seed_sec") = tSeed
+        for (k <- 1 to 3) {
+          val batch = synthEnDocs(spark, batchN, cpus.toInt,
+            idOffset = 20000000L * k, corpusN = n)
+          val (_, tTick) = time(IncrementalPipeline.runBatch(
+            spark, batch, table, sigDir, f"b$k%03d"))
+          mark(s"pipe_${n}_tick$k", tTick)
+          out(s"pipe_${n}_tick${k}_warm_sec") = tTick
+        }
+        // cold contrast: the store is gone, so the tick pays the full
+        // corpus signature pass — the cost the warm path amortizes away
+        rmrf(sigDir)
+        val coldBatch = synthEnDocs(spark, batchN, cpus.toInt,
+          idOffset = 90000000L, corpusN = n)
+        val (_, tCold) = time(IncrementalPipeline.runBatch(
+          spark, coldBatch, table, sigDir, "b099"))
+        mark(s"pipe_${n}_cold_tick", tCold)
+        out(s"pipe_${n}_tick_cold_sec") = tCold
+        val rows = graft.table.TranscriptTable.committedRowCount(table)
+        require(rows > (n * 3L) / 4,
+          s"pipeline probe curated away the corpus: $rows of ~$n+ docs kept")
+        out(s"pipe_${n}_rows_committed") = rows
+      }
+    }
+
     val json = out.map {
       case (k, v: Double) => f""""$k":$v%.3f"""
       case (k, v) => s""""$k":$v"""
     }.mkString("{", ",", "}")
     println(json)
     spark.stop()
+  }
+
+  private def rmrf(p: String): Unit = {
+    val f = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(f)) {
+      val stream = java.nio.file.Files.walk(f)
+      try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => java.nio.file.Files.delete(x))
+      finally stream.close()
+    }
   }
 }

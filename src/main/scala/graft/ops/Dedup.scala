@@ -469,6 +469,48 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  // ---------------------------------------------------- decontamination
+  /** Distinct word n-grams of a text for [[contaminatedDocs]]. Unlike
+    * [[grams3]] (whole-token fallback for tiny docs — dedup wants SOME
+    * signal), a doc with fewer than n tokens yields NO grams here: the
+    * 13-gram decontamination recipe never flags texts too short to carry
+    * an n-gram (Brown et al. 2020, App. C). */
+  private[ops] def gramsOfN(s: String, n: Int): Seq[String] = {
+    val t = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (t.length < n) Seq.empty
+    else t.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  /** Benchmark-contamination audit: for each corpus doc, how many of its
+    * DISTINCT word n-grams appear anywhere in the benchmark/eval set —
+    * the GPT-3 13-gram overlap recipe, run before pretraining so eval
+    * questions cannot leak into training data.
+    *
+    * Scale shape: the benchmark's distinct gram set is tiny next to the
+    * corpus, so it BROADCASTS; the corpus side explodes to (doc_id, gram)
+    * map-side and the broadcast semi-join moves NO corpus bytes through a
+    * shuffle — the only exchange is the hit aggregation, bounded by the
+    * contamination rate, not the corpus size. */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+      textCol: String = "text"): DataFrame = {
+    val gramsUdf = udf((s: String) => gramsOfN(s, n))
+    val bGrams = benchmark
+      .select(explode(gramsUdf(col(textCol))).as("gram")).distinct()
+    corpus.select(col("doc_id"), explode(gramsUdf(col(textCol))).as("gram"))
+      .join(broadcast(bGrams), Seq("gram"))
+      // grams are distinct per doc (gramsOfN), so count(*) counts the
+      // doc's DISTINCT contaminated grams
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
+  /** The corpus minus every contaminated doc (anti-join on the bounded
+    * audit frame). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+      textCol: String = "text"): DataFrame =
+    corpus.join(contaminatedDocs(corpus, benchmark, n, textCol).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   // -------------------------------------------------- n-gram Jaccard verify
   /** Exact word-n-gram Jaccard for a (small) candidate pair set: joins the
     * candidates back to texts (broadcast the candidate side at scale). */

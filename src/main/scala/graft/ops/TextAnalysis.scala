@@ -172,6 +172,44 @@ object TextAnalysis {
   def fingerprintUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
     fingerprint(s.toString)
 
+  // ------------------------------------------------- repetition / diversity
+  /** Gopher/RefinedWeb-family repetition signals (Rae et al. 2021 §A1.1
+    * measure this family as fractions; the integer NUMERATORS here are the
+    * oracle-stable core — callers derive any fraction): token count,
+    * distinct-token count, and the highest 1-/2-/3-gram occurrence counts.
+    * A high top-n-gram count or a low distinct fraction flags the
+    * boilerplate/spam the repetition rules exist to drop. Map-only. */
+  def repetitionCounts(text: String): (Int, Int, Int, Int, Int) = {
+    if (text == null) return (0, 0, 0, 0, 0)
+    val t = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (t.isEmpty) return (0, 0, 0, 0, 0)
+    val uni = scala.collection.mutable.HashMap.empty[String, Int]
+    t.foreach(w => uni(w) = uni.getOrElse(w, 0) + 1)
+    def topN(n: Int): Int = {
+      if (t.length < n) return 0
+      val m = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i + n <= t.length) {
+        val g = t.slice(i, i + n).mkString(" ")
+        m(g) = m.getOrElse(g, 0) + 1
+        i += 1
+      }
+      m.valuesIterator.max
+    }
+    (t.length, uni.size, uni.valuesIterator.max, topN(2), topN(3))
+  }
+
+  val repetitionCountsUdf = udf((text: String) => repetitionCounts(text))
+
+  /** Per-doc repetition/diversity frame (map-only; integer-exact). */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("rc", repetitionCountsUdf(col(textCol)))
+      .select(col("doc_id"),
+        col("rc._1").as("n_tokens"), col("rc._2").as("n_distinct_tokens"),
+        col("rc._3").as("top_unigram_count"),
+        col("rc._4").as("top_bigram_count"),
+        col("rc._5").as("top_trigram_count"))
+
   /** Full per-document analysis frame (map-only; no shuffle). */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

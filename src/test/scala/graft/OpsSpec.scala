@@ -813,6 +813,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s2.select("doc_id").collect().map(_.getLong(0)).toSet == kept)
   }
 
+  test("decontamination: benchmark n-gram overlap flags exactly the leaked docs") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // leaked 5-gram
+      (2L, "one two three four five six seven"),             // clean
+      (3L, "alpha beta gamma delta epsilon other tail words"), // same leak
+      (4L, "too short text"),                                // < n tokens: never flagged
+      (5L, "five six seven eight nine ten")                  // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "prefix words alpha beta gamma delta epsilon suffix")
+    ).toDF("doc_id", "text")
+    val audit = graft.ops.Dedup.contaminatedDocs(corpus, bench, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(audit == Map(1L -> 1L, 3L -> 1L), audit.toString)
+    val kept = graft.ops.Dedup.decontaminate(corpus, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L))
+    // the benchmark side broadcasts: no corpus-side shuffle in the plan
+    val plan = graft.ops.Dedup.contaminatedDocs(corpus, bench, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(1500))
+  }
+
+  test("repetition counts: hand-checked diversity numerators") {
+    import graft.ops.TextAnalysis.repetitionCounts
+    assert(repetitionCounts("") == ((0, 0, 0, 0, 0)))
+    assert(repetitionCounts(null) == ((0, 0, 0, 0, 0)))
+    // tokens a b a b a: uni a=3; bigrams "a b"x2 "b a"x2; trigrams "a b a"x2
+    assert(repetitionCounts("a b a b a") == ((5, 2, 3, 2, 2)))
+    assert(repetitionCounts("spam spam spam spam") == ((4, 1, 4, 3, 2)))
+    assert(repetitionCounts("all distinct words here now") == ((5, 5, 1, 1, 1)))
+    assert(repetitionCounts("Tik tok") == ((2, 2, 1, 1, 0))) // <3 tokens: no trigram
+  }
+
   test("extension builders enforce arity with a clear error") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val byName = graft.GraftExtensions.functions
