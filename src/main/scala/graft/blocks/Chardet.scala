@@ -21,11 +21,18 @@ package graft.blocks
   *      the charset_normalizer "coherence" idea in one markup-immune
   *      rule)
   *
-  * CJK multi-byte encodings (shift-jis, gb2312, big5, euc-kr) stay out of
-  * the statistical subset by design: real pages declare them (handled by
-  * [[Blockifier.guessEncoding]]), and a distinguishable statistical CJK
-  * detector needs the full cchardet state machines. Documented in
-  * SURVEY §2.1. */
+  *   5. (r6) CJK multi-byte detection — per-candidate byte-structure
+  *      state machines for {shift_jis, euc-jp, gb2312, big5, euc-kr}
+  *      plus a top-character frequency gate: structural validity alone
+  *      CANNOT separate the EUC family members from each other (all are
+  *      0xA1-0xFE pairs) or from single-byte Cyrillic text (whose bytes
+  *      form valid EUC pairs), so a candidate must also hit the
+  *      language's highest-frequency characters (の/に/は…, 的/一/是…,
+  *      이/다/는…) — byte pairs a wrong interpretation essentially never
+  *      produces (e.g. lowercase cp1251 Russian yields leads >= 0xE0,
+  *      while the common-hanzi rows sit at 0xB0-0xD7). This is the
+  *      deterministic core of the cchardet distribution analysis with a
+  *      16-entry table per language instead of the full one. */
 object Chardet {
 
   /** Strict utf-8 validation, RFC 3629 (no overlongs, no surrogates,
@@ -95,6 +102,111 @@ object Chardet {
     "iso-8859-7" -> Profile("αοετισνηυρ".toSet,
       "βγδζθκλμξπφχψωςάέήίϊόύϋώ".toSet))
 
+  // ----------------------------------------------------------------- CJK
+  /** Highest-frequency characters per language as (lead<<8)|trail byte
+    * pairs in each candidate encoding (verified against the platform
+    * codecs): hiragana の に は を た が で て と し れ さ も っ な い for
+    * ja, hanzi 的 一 是 不 了 人 在 有 我 他 这 中 大 来 上 国 说 for zh
+    * (traditional subset for big5), hangul 이 다 는 의 에 가 을 하 고 지
+    * 를 은 로 서 과 for ko. */
+  private val CjkTopPairs: Map[String, Set[Int]] = Map(
+    "gb2312" -> Set(0xB5C4, 0xD2BB, 0xCAC7, 0xB2BB, 0xC1CB, 0xC8CB, 0xD4DA,
+      0xD3D0, 0xCED2, 0xCBFB, 0xD5E2, 0xD6D0, 0xB4F3, 0xC0B4, 0xC9CF,
+      0xB9FA, 0xCBB5),
+    "big5" -> Set(0xAABA, 0xA440, 0xAC4F, 0xA4A3, 0xA446, 0xA448, 0xA662,
+      0xA6B3, 0xA7DA, 0xA54C, 0xA4A4, 0xA46A, 0xA457),
+    "euc-jp" -> Set(0xA4CE, 0xA4CB, 0xA4CF, 0xA4F2, 0xA4BF, 0xA4AC, 0xA4C7,
+      0xA4C6, 0xA4C8, 0xA4B7, 0xA4EC, 0xA4B5, 0xA4E2, 0xA4C3, 0xA4CA,
+      0xA4A4),
+    "shift_jis" -> Set(0x82CC, 0x82C9, 0x82CD, 0x82F0, 0x82BD, 0x82AA,
+      0x82C5, 0x82C4, 0x82C6, 0x82B5, 0x82EA, 0x82B3, 0x82E0, 0x82C1,
+      0x82C8, 0x82A2),
+    "euc-kr" -> Set(0xC0CC, 0xB4D9, 0xB4C2, 0xC0C7, 0xBFA1, 0xB0A1, 0xC0BB,
+      0xC7CF, 0xB0ED, 0xC1F6, 0xB8A6, 0xC0BA, 0xB7CE, 0xBCAD, 0xB0FA))
+
+  private final case class CjkScore(name: String, pairs: Int, viols: Int,
+      freqHits: Int, distinctHits: Int)
+
+  /** One pass of the candidate's byte-structure machine: counts valid
+    * multi-byte sequences, structural violations, and top-character hits.
+    * ASCII bytes pass through every machine. */
+  private def scanCjk(bytes: Array[Byte], n: Int, name: String): CjkScore = {
+    val top = CjkTopPairs(name)
+    var pairs = 0; var viols = 0; var freqHits = 0
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    var i = 0
+    def at(k: Int): Int = bytes(k) & 0xff
+    while (i < n) {
+      val b = at(i)
+      if (b < 0x80) i += 1
+      else name match {
+        case "shift_jis" =>
+          if (b >= 0xA1 && b <= 0xDF) i += 1 // half-width katakana single
+          else if ((b >= 0x81 && b <= 0x9F) || (b >= 0xE0 && b <= 0xFC)) {
+            if (i + 1 < n) {
+              val t = at(i + 1)
+              if ((t >= 0x40 && t <= 0x7E) || (t >= 0x80 && t <= 0xFC)) {
+                pairs += 1
+                val p = (b << 8) | t
+                if (top.contains(p)) { freqHits += 1; seen += p }
+                i += 2
+              } else { viols += 1; i += 1 }
+            } else { viols += 1; i += 1 }
+          } else { viols += 1; i += 1 }
+        case "euc-jp" =>
+          if (b == 0x8E) { // half-width kana: 0x8E + 0xA1-0xDF
+            if (i + 1 < n && at(i + 1) >= 0xA1 && at(i + 1) <= 0xDF) i += 2
+            else { viols += 1; i += 1 }
+          } else if (b == 0x8F) { // JIS X 0212: 0x8F + two 0xA1-0xFE
+            if (i + 2 < n && at(i + 1) >= 0xA1 && at(i + 2) >= 0xA1) {
+              pairs += 1; i += 3
+            } else { viols += 1; i += 1 }
+          } else if (b >= 0xA1 && b <= 0xFE) {
+            if (i + 1 < n && at(i + 1) >= 0xA1 && at(i + 1) <= 0xFE) {
+              pairs += 1
+              val p = (b << 8) | at(i + 1)
+              if (top.contains(p)) { freqHits += 1; seen += p }
+              i += 2
+            } else { viols += 1; i += 1 }
+          } else { viols += 1; i += 1 }
+        case "gb2312" | "euc-kr" =>
+          if (b >= 0xA1 && b <= 0xFE) {
+            if (i + 1 < n && at(i + 1) >= 0xA1 && at(i + 1) <= 0xFE) {
+              pairs += 1
+              val p = (b << 8) | at(i + 1)
+              if (top.contains(p)) { freqHits += 1; seen += p }
+              i += 2
+            } else { viols += 1; i += 1 }
+          } else { viols += 1; i += 1 }
+        case _ => // big5
+          if (b >= 0xA1 && b <= 0xF9) {
+            if (i + 1 < n) {
+              val t = at(i + 1)
+              if ((t >= 0x40 && t <= 0x7E) || (t >= 0xA1 && t <= 0xFE)) {
+                pairs += 1
+                val p = (b << 8) | t
+                if (top.contains(p)) { freqHits += 1; seen += p }
+                i += 2
+              } else { viols += 1; i += 1 }
+            } else { viols += 1; i += 1 }
+          } else { viols += 1; i += 1 }
+      }
+    }
+    CjkScore(name, pairs, viols, freqHits, seen.size)
+  }
+
+  /** CJK candidates passing both the STRUCTURE gate (enough pairs, almost
+    * no violations) and the FREQUENCY gate (several distinct top
+    * characters, at a non-accidental rate), best first. The frequency
+    * gate is what keeps single-byte Cyrillic/Greek text — structurally
+    * valid EUC — from ever passing. */
+  private def cjkCandidates(bytes: Array[Byte], n: Int): Seq[String] =
+    CjkTopPairs.keys.toSeq.map(scanCjk(bytes, n, _))
+      .filter(s => s.pairs >= 8 && s.viols * 20 <= s.pairs &&
+        s.distinctHits >= 3 && s.freqHits * 20 >= s.pairs)
+      .sortBy(s => (-s.freqHits.toDouble / s.pairs, s.name))
+      .map(_.name)
+
   /** Ranked encoding guesses, reference `detect_encoding` shape: utf-8
     * alone when the bytes validate; statistical single-byte guesses
     * otherwise (best first). Empty only for empty input. */
@@ -124,7 +236,13 @@ object Chardet {
       return if (zeroEven >= zeroOdd) Seq("utf-16be") else Seq("utf-16le")
     // 3. strict utf-8 (covers pure ASCII)
     if (isUtf8(bytes)) return Seq("utf-8")
-    // 4. single-byte statistical scoring
+    // 4. CJK multi-byte (structure + frequency gated; see header). CJK
+    // winners go FIRST — CJK text scores spuriously well under the
+    // single-byte profiles (its bytes decode to plausible Cyrillic), but
+    // the reverse cannot pass the frequency gate, so the order is safe.
+    // Single-byte guesses stay appended as decode fallbacks.
+    val cjk = cjkCandidates(bytes, n)
+    // 5. single-byte statistical scoring
     var high = 0
     var runCount = 0
     var runLen = 0
@@ -181,6 +299,6 @@ object Chardet {
       (name, if (raw > 0) raw * damp else raw)
     }
     // stable sort: ties keep the Candidates preference order (cp1252 first)
-    scored.sortBy(-_._2).map(_._1)
+    cjk ++ scored.sortBy(-_._2).map(_._1)
   }
 }

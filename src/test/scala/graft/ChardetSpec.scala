@@ -80,6 +80,40 @@ class ChardetSpec extends AnyFunSuite {
     assert(Chardet.detect(greek.getBytes("ISO-8859-7")).head == "iso-8859-7")
   }
 
+  test("CJK multi-byte: five encodings detected, no cross-family confusion") {
+    val ja = "の日本語のテキストは、ここにあるのが普通です。これはテストのための文章で、" +
+      "内容はとても簡単なものになっています。"
+    val zhS = "这是一个简单的中文测试文档，内容是关于大自然的说明。我们在这里有一些人，" +
+      "他们说的是中文，不是别的。"
+    val zhT = "這是一個簡單的中文測試文件，內容是關於大自然的說明。我們在這裡有一些人，" +
+      "他們說的不是別的。"
+    val ko = "이것은 한국어 테스트 문서이다. 내용은 아주 간단하고 자연에 관한 설명을 " +
+      "하고 있다. 우리는 여기서 이 글을 읽는다."
+    assert(Chardet.detect(ja.getBytes("EUC-JP")).head == "euc-jp")
+    assert(Chardet.detect(ja.getBytes("Shift_JIS")).head == "shift_jis")
+    assert(Chardet.detect(zhS.getBytes("GB2312")).head == "gb2312")
+    assert(Chardet.detect(zhT.getBytes("Big5")).head == "big5")
+    assert(Chardet.detect(ko.getBytes("EUC-KR")).head == "euc-kr")
+    // the frequency gate: single-byte Cyrillic/Greek text is structurally
+    // valid EUC, but must never be reported as a CJK encoding
+    for (t <- Seq(russian -> "windows-1251", russian -> "KOI8-R",
+                  greek -> "iso-8859-7")) {
+      val got = Chardet.detect(t._1.getBytes(t._2)).head
+      assert(!CjkNames.contains(got), s"${t._2} text misdetected as $got")
+    }
+    // and Latin accents never trip it either
+    assert(!CjkNames.contains(Chardet.detect(french.getBytes("windows-1252")).head))
+    // round-trip: detected name decodes the bytes back to the text
+    for ((text, enc) <- Seq(ja -> "EUC-JP", ja -> "Shift_JIS",
+                            zhS -> "GB2312", zhT -> "Big5", ko -> "EUC-KR")) {
+      val bytes = text.getBytes(enc)
+      val det = Chardet.detect(bytes).head
+      assert(new String(bytes, det) == text, s"$enc -> $det round-trip")
+    }
+  }
+
+  private val CjkNames = Set("shift_jis", "euc-jp", "gb2312", "big5", "euc-kr")
+
   test("blockifyBytes: undeclared non-utf8 bytes decode via statistical detection") {
     // no XML decl, no meta charset, invalid as utf-8 -> the old ladder
     // fell back to utf-8 surrogate-escape and DROPPED the text node; the
