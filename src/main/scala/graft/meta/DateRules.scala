@@ -409,6 +409,39 @@ object DateRules {
     None
   }
 
+  // htmldate extensive-mode long tail (r6): the two last-resort
+  // heuristics htmldate keeps behind extensive_search, ordered AFTER
+  // every real date pattern — a partial result must never shadow a full
+  // one.
+  private val CopyrightYear = Pattern.compile(
+    "(?:©|\\(c\\)|&copy;|copyright)\\s*(?:\\d{4}\\s*[-–]\\s*)?(\\d{4})",
+    Pattern.CASE_INSENSITIVE)
+  private val UrlYearOnly = Pattern.compile(
+    "/((?:19|20)\\d{2})(?:/|$)")
+
+  /** Copyright-notice year (extensive-only, the htmldate heuristic): the
+    * LATEST plausible year across all copyright notices on the page,
+    * range forms ("© 2008-2021") contributing their end year, mapped to
+    * Jan 1 (the partial-date convention). */
+  private[graft] def copyrightYear(s: String): Option[String] = {
+    if (s == null || !hasYearRun(s)) return None
+    var best = 0
+    val m = CopyrightYear.matcher(s)
+    while (m.find()) {
+      val y = m.group(1).toInt
+      if (y > best && valid(y, 1, 1).isDefined) best = y
+    }
+    if (best > 0) valid(best, 1, 1) else None
+  }
+
+  /** Year-only URL path segment ("/2008/" with no parseable month/day —
+    * the full URL-date ladder runs first), mapped to Jan 1. */
+  private[graft] def urlYearOnly(url: String): Option[String] = {
+    if (url == null) return None
+    val m = UrlYearOnly.matcher(url)
+    if (m.find()) valid(m.group(1).toInt, 1, 1) else None
+  }
+
   /** dateparser.parse stand-in for the ML-candidate path (pipeline.py:104
     * returns full datetimes): the parseAny date grammar, plus time-of-day
     * when the SAME candidate string carries a plausible clock time (ISO
@@ -474,8 +507,16 @@ object DateRules {
     // 5. visible dates (extensive mode: full grammar + the free-text
     // numeric sweep that exists ONLY behind this flag)
     if (extensiveSearch) {
-      val r = parseAnyExtensive(tree.textContent)
+      val text = tree.textContent
+      val r = parseAnyExtensive(text)
       if (r.isDefined) return r.get
+      // 6-7. the htmldate last-resort pair (r6), strictly after every
+      // real pattern: a footer copyright year, then a year-only URL
+      // segment — both resolve to Jan 1 (partial-date convention)
+      val cp = copyrightYear(text)
+      if (cp.isDefined) return cp.get
+      val uy = urlYearOnly(url)
+      if (uy.isDefined) return uy.get
     }
     null
   }

@@ -375,6 +375,36 @@ class MetaSpec extends AnyFunSuite {
     assert(parseAny("June 3, 2008") == Some("2008-06-03"))
   }
 
+  test("date grammar r6: copyright-year and url-year extensive fallbacks") {
+    import graft.meta.DateRules.{copyrightYear, urlYearOnly}
+    assert(copyrightYear("© 2018 Example Media Group. All rights reserved.") == Some("2018-01-01"))
+    assert(copyrightYear("Copyright 2008-2021 SomeCorp") == Some("2021-01-01"))
+    assert(copyrightYear("(c) 2015 whoever · © 2019 other unit") == Some("2019-01-01"))
+    assert(copyrightYear("&copy; 2012 Publisher") == Some("2012-01-01"))
+    assert(copyrightYear("no notice here, just 2020 in passing") == None)
+    assert(copyrightYear("© 1895 too old to be a web page") == None)
+    assert(urlYearOnly("https://ex.com/2016/some-post-slug") == Some("2016-01-01"))
+    assert(urlYearOnly("https://ex.com/archive/2019") == Some("2019-01-01"))
+    assert(urlYearOnly("https://ex.com/p/12345") == None)
+    assert(urlYearOnly("https://ex.com/1234/x") == None) // not a plausible year
+    // end-to-end: a page whose ONLY date signal is the footer copyright,
+    // reached only in extensive mode and only after every real pattern
+    val html = graft.dom.HtmlParser.parse(
+      "<html><body><p>article text with no date at all</p>" +
+        "<footer>© 2017 The Example Times</footer></body></html>")
+    assert(graft.meta.DateRules.findDate(html, "https://x.com/a", extensiveSearch = true) == "2017-01-01")
+    assert(graft.meta.DateRules.findDate(html, "https://x.com/a", extensiveSearch = false) == null)
+    // a real visible date beats the copyright year
+    val html2 = graft.dom.HtmlParser.parse(
+      "<html><body><p>Published June 3, 2008</p>" +
+        "<footer>© 2017 The Example Times</footer></body></html>")
+    assert(graft.meta.DateRules.findDate(html2, null, extensiveSearch = true) == "2008-06-03")
+    // url-year-only is the very last resort
+    val html3 = graft.dom.HtmlParser.parse(
+      "<html><body><p>no dates anywhere in the text body</p></body></html>")
+    assert(graft.meta.DateRules.findDate(html3, "https://x.com/2014/post", extensiveSearch = true) == "2014-01-01")
+  }
+
   test("date grammar: ru genitive, zh/ja/ko numeric-era, tz-offset datetimes") {
     import graft.meta.DateRules.{parseAny, parseDateTime}
     import java.time.LocalDateTime
