@@ -30,22 +30,34 @@ object SparkEntry {
     * hash compare. Both collects are k-bounded (never table-sized). */
   private def gatedBruteForm(emb: DataFrame, q: Array[Float], k: Int,
       minRecall: Double, label: String, probe: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = probe.select("vec_id", "cosine").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     require(p.length == k, s"$label: probe returned ${p.length} rows, expected $k")
     require(p.iterator.sliding(2).withPartial(false)
         .forall(w => w(0)._2 >= w(1)._2),
       s"$label: probe result not in descending cosine order")
-    val brute = Similarity.bruteForceTopK(emb, q, k)
-    val bruteIds = brute.select("vec_id").collect().map(_.getLong(0)).toSet
+    // ONE brute scan (review finding: the emitted frame was previously a
+    // SECOND full-table scan): bruteForceTopK's k collected rows, already
+    // in (cosine desc, vec_id) order, carry everything the rank form
+    // needs — recall check and emitted rows both come from this array.
+    val brute = Similarity.bruteForceTopK(emb, q, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val bruteIds = brute.map(_._1).toSet
     val recall = p.count(r => bruteIds.contains(r._1)).toDouble / k
     require(recall >= minRecall,
       f"$label: probe recall $recall%.2f vs exact top-$k below the $minRecall floor")
-    val w = Window.partitionBy(pmod(col("vec_id"), lit(1)))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    brute.withColumn("rank", row_number().over(w))
-      .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
+    // Spark's round(col, 6) = BigDecimal.valueOf (decimal-string form)
+    // + HALF_UP — replicated exactly, since the DuckDB oracle hash was
+    // pinned against that rounding (new BigDecimal(double) would round
+    // the exact binary expansion and can differ in the last digit)
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val spark = emb.sparkSession
+    import spark.implicits._
+    brute.zipWithIndex.toSeq
+      .map { case ((id, cos), i) => (id, i + 1, r6(cos)) }
+      .toDF("vec_id", "rank", "cosine_r6")
       .orderBy("rank")
   }
 

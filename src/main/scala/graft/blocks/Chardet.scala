@@ -158,7 +158,8 @@ object Chardet {
             if (i + 1 < n && at(i + 1) >= 0xA1 && at(i + 1) <= 0xDF) i += 2
             else { viols += 1; i += 1 }
           } else if (b == 0x8F) { // JIS X 0212: 0x8F + two 0xA1-0xFE
-            if (i + 2 < n && at(i + 1) >= 0xA1 && at(i + 2) >= 0xA1) {
+            if (i + 2 < n && at(i + 1) >= 0xA1 && at(i + 1) <= 0xFE &&
+              at(i + 2) >= 0xA1 && at(i + 2) <= 0xFE) {
               pairs += 1; i += 3
             } else { viols += 1; i += 1 }
           } else if (b >= 0xA1 && b <= 0xFE) {

@@ -344,13 +344,5 @@ object ScaleProbe {
     spark.stop()
   }
 
-  private def rmrf(p: String): Unit = {
-    val f = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.exists(f)) {
-      val stream = java.nio.file.Files.walk(f)
-      try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(x => java.nio.file.Files.delete(x))
-      finally stream.close()
-    }
-  }
+  private def rmrf(p: String): Unit = graft.util.Fs.rmrf(p)
 }

@@ -476,6 +476,7 @@ object Dedup {
     * 13-gram decontamination recipe never flags texts too short to carry
     * an n-gram (Brown et al. 2020, App. C). */
   private[ops] def gramsOfN(s: String, n: Int): Seq[String] = {
+    if (s == null) return Seq.empty // null text rows must not kill the job
     val t = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
     if (t.length < n) Seq.empty
     else t.sliding(n).map(_.mkString(" ")).toSeq.distinct

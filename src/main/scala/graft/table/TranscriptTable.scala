@@ -173,10 +173,35 @@ object TranscriptTable {
     b.toString
   }
 
+  /** Parsed-schema cache: a manifest is immutable once committed (CAS
+    * link; compaction writes NEW manifests), so its schema can be parsed
+    * once per JVM. Without this, commit-time validation re-reads and
+    * re-parses every live manifest on every commit — O(batches) file
+    * reads per tick, O(n²) over an ongoing table's life (review
+    * finding). Bounded: cleared wholesale past 8192 entries (a JVM
+    * touching that many distinct batches is a maintenance job, not a
+    * pipeline tick). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long, Long), Option[org.apache.spark.sql.types.StructType]]()
+
   /** The batch's recorded schema, if its manifest carries one. The escaped
     * string is scanned manually — a `(?:[^"\\]|\\.)*` regex stack-overflows
-    * on multi-KB schema JSON (backtracking frame per character). */
+    * on multi-KB schema JSON (backtracking frame per character). The cache
+    * key folds the manifest file's (size, mtime) — one stat instead of a
+    * read+parse — so a table deleted and rebuilt at the same path in one
+    * JVM can never serve a stale schema. */
   def batchSchema(table: String, batchId: String): Option[org.apache.spark.sql.types.StructType] = {
+    if (schemaCache.size > 8192) schemaCache.clear()
+    val mf = manifestDir(table).resolve(s"manifest-$batchId.json")
+    val attrs = Files.readAttributes(mf,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    schemaCache.computeIfAbsent(
+      (table, batchId, attrs.size, attrs.lastModifiedTime.toMillis),
+      _ => parseBatchSchema(table, batchId))
+  }
+
+  private def parseBatchSchema(table: String, batchId: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
     val json = manifestJson(table, batchId)
     val keyAt = json.indexOf("\"schema\": \"")
     if (keyAt < 0) return None
@@ -330,18 +355,11 @@ object TranscriptTable {
     * this, time travel to pre-compaction snapshots is gone (their manifests
     * remain for resume idempotence) — same contract as Iceberg's
     * expire_snapshots + remove_orphan_files. */
-  def vacuum(table: String): Unit = {
-    def rmrf(p: Path): Unit = if (Files.exists(p)) {
-      val stream = Files.walk(p)
-      try stream.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator.asScala.foreach(Files.delete)
-      finally stream.close()
-    }
+  def vacuum(table: String): Unit =
     replacedBatches(table).foreach { b =>
-      rmrf(Paths.get(dataDir(table, b)))
-      rmrf(Paths.get(lineageDir(table, b)))
+      graft.util.Fs.rmrf(Paths.get(dataDir(table, b)))
+      graft.util.Fs.rmrf(Paths.get(lineageDir(table, b)))
     }
-  }
 
   def lineageDir(table: String, batchId: String): String =
     s"$table/_lineage/batch=$batchId"

@@ -23,12 +23,7 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def rmrf(p: String): Unit = {
-    val path = Paths.get(p)
-    if (Files.exists(path))
-      Files.walk(path).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-  }
+  private def rmrf(p: String): Unit = graft.util.Fs.rmrf(p)
 
   test("turns round-trip through parquet, jsonl and csv identically") {
     val turns = Synth.turns(spark, 0.001, 2).limit(300).cache()

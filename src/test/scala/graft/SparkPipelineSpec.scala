@@ -29,12 +29,7 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def rmrf(p: String): Unit = {
-    val path = Paths.get(p)
-    if (Files.exists(path))
-      Files.walk(path).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-  }
+  private def rmrf(p: String): Unit = graft.util.Fs.rmrf(p)
 
   test("synth generator is deterministic and long-tailed") {
     val a = Synth.turns(spark, 0.001, 4).collect().sortBy(r => (r.getString(0), r.getInt(1)))

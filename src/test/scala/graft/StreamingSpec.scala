@@ -29,12 +29,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def rmrf(p: String): Unit = {
-    val path = Paths.get(p)
-    if (Files.exists(path))
-      Files.walk(path).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-  }
+  private def rmrf(p: String): Unit = graft.util.Fs.rmrf(p)
 
   test("streaming ingest extracts into the manifest table exactly once") {
     val src = "/tmp/graft_stream_src"
