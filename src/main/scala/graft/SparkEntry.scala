@@ -440,6 +440,19 @@ object SparkEntry {
         .orderBy("doc_id")),
     "x_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"))),
+    "x_fingerprint" -> ((s, dir) =>
+      // the native Fingerprint64 codegen expression under a full DuckDB
+      // recomputation (r6): per-token FNV-1a, then the order-sensitive
+      // polynomial fold — all in mod-2^64 SQL arithmetic. Hex-string form
+      // because a >= 2^63 unsigned value has no common numeric type
+      // across the two engines (Spark long is signed, DuckDB UBIGINT
+      // cannot cast down); Java's %x prints the two's-complement bits
+      // unsigned, which is exactly the UBIGINT hex.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          format_string("%016x",
+            graft.ops.HashExprs.fingerprint64(col("text"))).as("fp_hex"))
+        .orderBy("doc_id")),
     "x_text_stats" -> ((s, dir) =>
       // the oracled projection of x_text_analysis: every double is the
       // SAME IEEE expression tree in both engines (int/int divisions,
@@ -868,6 +881,26 @@ object SparkEntry {
         |          cast(b.embedding AS DOUBLE[])), 6) AS cosine_r6
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |WHERE cosine_r6 >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+    "x_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, list_transform(t, tok ->
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::UBIGINT,
+        |        list_transform(generate_series(1, strlen(tok)), i -> ord(tok[i])::UBIGINT)),
+        |      (acc, b) -> ((xor(acc, b)::HUGEINT * 1099511628211)
+        |                   % 18446744073709551616)::UBIGINT)) AS hs
+        |  FROM toks),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(14695981039346656037::UBIGINT, hs),
+        |      (acc, x) -> (((acc::HUGEINT * 25214903917) + x::HUGEINT)
+        |                   % 18446744073709551616)::UBIGINT) AS f
+        |  FROM th)
+        |SELECT doc_id, lpad(lower(hex(f)), 16, '0') AS fp_hex
+        |FROM fp ORDER BY doc_id""".stripMargin,
     "x_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
