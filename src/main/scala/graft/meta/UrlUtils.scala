@@ -78,6 +78,14 @@ object UrlUtils {
     else dateUpdater(parseUrlDate(groups), date)
   }
 
+  // defined BEFORE the suffix tables that reference it (val init order)
+  private val UsStateCodes = Seq(
+    "al", "ak", "az", "ar", "ca", "co", "ct", "de", "dc", "fl", "ga",
+    "hi", "id", "il", "in", "ia", "ks", "ky", "la", "me", "md", "ma",
+    "mi", "mn", "ms", "mo", "mt", "ne", "nv", "nh", "nj", "nm", "ny",
+    "nc", "nd", "oh", "ok", "or", "pa", "ri", "sc", "sd", "tn", "tx",
+    "ut", "vt", "va", "wa", "wv", "wi", "wy")
+
   /** Two-level public suffixes: a sizeable subset of the (public) Public
     * Suffix List covering the common ccTLD second-level registries — the
     * same data the reference reaches through the `tld` library
@@ -159,13 +167,36 @@ object UrlUtils {
       "web.tr", "name.tr", "info.tr", "biz.tr", "tv.tr", "tel.tr",
       // Ukraine city registries (PSL ua section)
       "kyiv.ua", "lviv.ua", "odesa.ua", "odessa.ua", "kharkiv.ua",
-      "kharkov.ua", "dnipropetrovsk.ua", "donetsk.ua", "zaporizhzhe.ua")
+      "kharkov.ua", "dnipropetrovsk.ua", "donetsk.ua", "zaporizhzhe.ua",
+      // round-6 growth (all real PSL rules):
+      // Canadian provinces/territories + federal
+      "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
+      "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca",
+      "gc.ca",
+      // Italian regions + major city/province registries
+      "piemonte.it", "lombardia.it", "veneto.it", "lazio.it",
+      "campania.it", "sicilia.it", "toscana.it", "puglia.it",
+      "calabria.it", "sardegna.it", "liguria.it", "marche.it",
+      "abruzzo.it", "umbria.it", "molise.it", "basilicata.it",
+      "roma.it", "milano.it", "napoli.it", "torino.it", "firenze.it",
+      "bologna.it", "genova.it", "palermo.it", "venezia.it",
+      // French professional registries
+      "avocat.fr", "aeroport.fr", "cci.fr", "chambagri.fr",
+      "experts-comptables.fr", "greta.fr", "huissier-justice.fr",
+      "medecin.fr", "notaires.fr", "pharmacien.fr", "port.fr",
+      "veterinaire.fr",
+      // Polish city registries
+      "warszawa.pl", "krakow.pl", "wroclaw.pl", "poznan.pl", "lodz.pl",
+      "gda.pl", "gdansk.pl", "katowice.pl", "lublin.pl", "szczecin.pl",
+      "bialystok.pl", "torun.pl")
     // China province second-levels (PSL cn section: 2-letter codes)
     val cnProvinces = Seq("ah", "bj", "cq", "fj", "gd", "gs", "gx", "gz",
       "ha", "hb", "he", "hi", "hl", "hn", "jl", "js", "jx", "ln", "nm",
       "nx", "qh", "sc", "sd", "sh", "sn", "sx", "tj", "xj", "xz", "yn",
       "zj").map(p => s"$p.cn")
-    (generated ++ specific ++ cnProvinces).toSet
+    // US state registries (r6): every state code is a public suffix
+    val usStates = UsStateCodes.map(st => s"$st.us")
+    (generated ++ specific ++ cnProvinces ++ usStates).toSet
   }
 
   /** Multi-level public suffixes beyond the two-level table (PSL public
@@ -202,7 +233,18 @@ object UrlUtils {
     "myshopify.com", "pythonanywhere.com", "surge.sh", "now.sh",
     "onrender.com", "fly.dev", "deno.dev", "gitbook.io", "bitbucket.io",
     "streamlit.app", "hf.space", "repl.co", "webflow.io", "ghost.io",
-    "substack.com", "carrd.co", "notion.site")
+    "substack.com", "carrd.co", "notion.site") ++
+    // r6: the us k12/community-college/library registries (third-level
+    // under every state — the full PSL us section pattern)
+    UsStateCodes.flatMap(st =>
+      Seq(s"k12.$st.us", s"cc.$st.us", s"lib.$st.us")) ++
+    // r6: the blogspot ccTLD family beyond the r4 subset (PSL private)
+    Seq("blogspot.ca", "blogspot.ch", "blogspot.cl", "blogspot.co.il",
+      "blogspot.co.nz", "blogspot.co.za", "blogspot.cz", "blogspot.dk",
+      "blogspot.es", "blogspot.fi", "blogspot.gr", "blogspot.hk",
+      "blogspot.hu", "blogspot.ie", "blogspot.kr", "blogspot.no",
+      "blogspot.pt", "blogspot.ro", "blogspot.ru", "blogspot.sg",
+      "blogspot.tw")
 
   /** Wildcard rules `*.X`: EVERY label under X is itself a public suffix
     * (PSL wildcard TLDs; the jp city registries; *.sch.uk; EC2). */

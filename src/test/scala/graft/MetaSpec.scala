@@ -140,6 +140,15 @@ class MetaSpec extends AnyFunSuite {
     assert(UrlUtils.extractDomain("https://www.gov.uk/") == "gov.uk") // www-stripped
     assert(UrlUtils.extractDomain("https://x.gouv.fr/") == "x.gouv.fr")
     assert(UrlUtils.extractDomain("https://shop.example.co.nz/p") == "example.co.nz")
+    // r6 growth: us state/k12 registries, ca provinces, it regions,
+    // fr professional, pl cities, blogspot ccTLD family
+    assert(UrlUtils.extractDomain("https://www.smith.k12.ca.us/") == "smith.k12.ca.us")
+    assert(UrlUtils.extractDomain("https://portal.state.tx.us/") == "state.tx.us")
+    assert(UrlUtils.extractDomain("https://www.edu.on.ca/page") == "edu.on.ca")
+    assert(UrlUtils.extractDomain("https://www.comune.roma.it/x") == "comune.roma.it")
+    assert(UrlUtils.extractDomain("https://cabinet.avocat.fr/") == "cabinet.avocat.fr")
+    assert(UrlUtils.extractDomain("https://um.warszawa.pl/") == "um.warszawa.pl")
+    assert(UrlUtils.extractDomain("https://blog.blogspot.ru/p") == "blog.blogspot.ru")
     // PSL private section (the tld library searches it by default)
     assert(UrlUtils.extractDomain("https://foo.github.io/repo") == "foo.github.io")
     assert(UrlUtils.extractDomain("https://myblog.blogspot.com/x") == "myblog.blogspot.com")
