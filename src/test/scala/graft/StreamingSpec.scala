@@ -157,6 +157,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(dir, ckpt, dFull).foreach(rmrf)
   }
 
+  test("streaming curation: the full pipeline tick runs per micro-batch, exactly-once") {
+    // the capstone composition: readStream -> foreachBatch ->
+    // IncrementalPipeline.runBatch, i.e. the ENTIRE ongoing-curation tick
+    // (replay guard, warm-sig incremental curate, CAS commit, store
+    // append) driven by Structured Streaming's at-least-once batches.
+    // First-write-wins + exactly-once must hold across restarts.
+    val table = "/tmp/graft_stream_curate"
+    val sigDir = "/tmp/graft_stream_curate_sigs"
+    val ckpt = "/tmp/graft_stream_curate_ckpt"
+    Seq(table, sigDir, ckpt).foreach(rmrf)
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def enText(seed: Long): String = (0 until 60).map(i =>
+      "the word" + Synth.mix(seed * 97 + i).toHexString.take(3) +
+        " of this and that for is").mkString(" ")
+
+    val input = MemoryStream[(Long, String)]
+    def start() = input.toDS().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.jobs.IncrementalPipeline.runBatch(spark, batch, table, sigDir,
+          f"s$id%06d")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+
+    // micro-batch 1: four distinct docs
+    input.addData(Seq((1000L, enText(1)), (1001L, enText(2)),
+      (1002L, enText(3)), (1003L, enText(4))))
+    val q1 = start(); q1.awaitTermination(120000)
+    // micro-batch 2: exact dup + near dup of batch-1 survivors + fresh
+    input.addData(Seq((2000L, enText(1)),
+      (2001L, enText(2) + " with tail words"), (2002L, enText(5))))
+    val q2 = start(); q2.awaitTermination(120000)
+    // restart with no new data: a replayed/empty batch must change nothing
+    val q3 = start(); q3.awaitTermination(60000)
+
+    val ids = graft.table.TranscriptTable.read(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1000L, 1001L, 1002L, 1003L, 2002L), ids.toString)
+    assert(graft.table.TranscriptTable.committedRowCount(table) == 5)
+    // the store was re-pinned by the last data batch -> next tick is warm
+    assert(graft.ops.Dedup.signatureStoreFresh(spark, sigDir,
+      graft.ops.AnnIndex.inputToken(
+        graft.table.TranscriptTable.read(spark, table).select("doc_id", "text"))),
+      "store must be fresh after the streaming ticks")
+    Seq(table, sigDir, ckpt).foreach(rmrf)
+  }
+
   test("watermarked turn rate aggregation plan is streaming-valid") {
     val turns = Synth.turns(spark, 0.001, 2)
     val src = "/tmp/graft_stream_src2"
