@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.jobs.Synth
-import graft.ops.{AnnIndex, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AnnIndex, Dedup, Multimodal, Similarity, SubstringDedup, TextAnalysis}
 import graft.pipeline.Udfs
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -177,6 +177,27 @@ object SparkEntry {
     "x_repetition_stats" -> ((s, dir) =>
       // Gopher-family repetition/diversity numerators, integer-exact
       TextAnalysis.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")),
+    "x_substr_spans" -> ((s, dir) =>
+      // exact-substring dedup (Lee et al. 2021) span finder at match
+      // length 10: maximal token runs whose every 10-gram occurs >= 2
+      // times corpus-wide (within- OR cross-document). The oracle
+      // recomputes the spans HASH-FREE in DuckDB — grouping on gram
+      // strings, islands-and-gaps over duplicated window starts — which is
+      // stronger than replaying the FNV fingerprints: a fingerprint
+      // collision would surface as a mismatch instead of passing silently.
+      SubstringDedup.duplicateSpans(t(s, dir, "documents"), n = 10)
+        .select(col("doc_id"), col("start_tok").cast("long").as("start_tok"),
+          col("end_tok").cast("long").as("end_tok"), col("n_windows"))
+        .orderBy("doc_id", "start_tok")),
+    "x_substr_dedup" -> ((s, dir) =>
+      // the cut: EVERY occurrence of every duplicated span removed from
+      // the token stream — no keeper copy, the paper's ExactSubstr
+      // contract (a duplicated substring survives nowhere verbatim)
+      SubstringDedup.dedup(t(s, dir, "documents"), n = 10)
+        .select(col("doc_id"), col("text_dedup"),
+          col("n_tok_before").cast("long").as("n_tok_before"),
+          col("n_tok_after").cast("long").as("n_tok_after"))
+        .orderBy("doc_id")),
     "x_dedup_simhash" -> ((s, dir) =>
       // production FNV-1a kernel, fully oracled (r6): the oracle recomputes
       // FNV-1a-64 per token in SQL (list_reduce fold over byte ordinals;
@@ -968,6 +989,60 @@ object SparkEntry {
         |LEFT JOIN b2 ON d.doc_id = b2.doc_id
         |LEFT JOIN b3 ON d.doc_id = b3.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "x_substr_spans" ->
+      // hash-free recompute: duplicated 10-gram STRINGS (count >= 2
+      // corpus-wide, all occurrences), islands-and-gaps over window starts
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '
+        |      ||t[i+6]||' '||t[i+7]||' '||t[i+8]||' '||t[i+9] AS gram
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 9, 0))) AS u(i)),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM p)
+        |SELECT doc_id, min(pos)::BIGINT AS start_tok, (max(pos) + 10)::BIGINT AS end_tok,
+        |  count(*)::BIGINT AS n_windows
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, start_tok""".stripMargin,
+    "x_substr_dedup" ->
+      // covered token positions = union of [start, start+10) over every
+      // duplicated window start; survivors rejoin in position order
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '
+        |      ||t[i+6]||' '||t[i+7]||' '||t[i+8]||' '||t[i+9] AS gram
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 9, 0))) AS u(i)),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, c.idx
+        |  FROM g JOIN d USING (gram),
+        |       unnest(generate_series(g.pos, g.pos + 9)) AS c(idx)),
+        |tokpos AS (
+        |  SELECT doc_id, t[i] AS tok, i - 1 AS idx
+        |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.tok, tp.idx
+        |  FROM tokpos tp ANTI JOIN cov c ON tp.doc_id = c.doc_id AND tp.idx = c.idx)
+        |SELECT d0.doc_id,
+        |  coalesce(k.text_dedup, '') AS text_dedup,
+        |  coalesce(t0.n, 0)::BIGINT AS n_tok_before,
+        |  coalesce(k.n_after, 0)::BIGINT AS n_tok_after
+        |FROM documents d0
+        |LEFT JOIN (SELECT doc_id, len(t) AS n FROM toks) t0 ON d0.doc_id = t0.doc_id
+        |LEFT JOIN (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_dedup,
+        |    count(*)::BIGINT AS n_after
+        |  FROM kept GROUP BY doc_id) k ON d0.doc_id = k.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
     "x_dedup_simhash" ->
       // full FNV-1a-64 recomputation per token (list_reduce fold over byte
       // ordinals, 2^64 wrap via HUGEINT mod — ASCII table, so ord == the
