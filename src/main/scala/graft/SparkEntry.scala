@@ -198,6 +198,60 @@ object SparkEntry {
           col("n_tok_before").cast("long").as("n_tok_before"),
           col("n_tok_after").cast("long").as("n_tok_after"))
         .orderBy("doc_id")),
+    "x_pii_redact" -> ((s, dir) => {
+      // PII scrubbing (emails / IPv4 / phones -> typed placeholders) driven
+      // over a deterministically DERIVED contact card: the driver tables
+      // carry no organic PII, so both engines build the IDENTICAL text from
+      // customer keys (the planted-input technique of the LSH recall rows)
+      // and the oracle exercises the real detection + redaction kernels.
+      // Every 5th customer gets a PII-free card — true negatives.
+      val k = col("c_custkey")
+      val txt = concat(
+        lit("Customer "), col("c_name"), lit(" can be reached at "),
+        when(k % 5 === 0, lit("no contact info"))
+          .otherwise(concat(
+            lit("customer"), k.cast("string"), lit("@example.com or "),
+            format_string("%02d-%03d-%03d-%04d",
+              k % 90 + 10, k * 3 % 900 + 100, k * 7 % 900 + 100, k * 11 % 9000 + 1000),
+            lit(" from host "),
+            (k % 224 + 16).cast("string"), lit("."), (k * 7 % 256).cast("string"),
+            lit("."), (k * 13 % 256).cast("string"), lit("."), (k % 254 + 1).cast("string"))))
+      graft.ops.Pii.redact(
+          t(s, dir, "customer").select(k.as("doc_id"), txt.as("text")))
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          col("n_phones").cast("long").as("n_phones"), col("text"))
+        .orderBy("doc_id")
+    }),
+    "x_c4_filter" -> ((s, dir) => {
+      // C4 line/document heuristics over documents re-chunked into
+      // deterministic lines (8 tokens per line; a terminal period on 3 of
+      // every 4 lines keyed by doc_id + line index; planted lorem-ipsum /
+      // code-brace / enable-javascript lines on small residue classes).
+      // The driver corpus has no organic multi-line text, so both engines
+      // derive the identical input and the oracle replays the real rules:
+      // per-reason drop counts, document flags, the cleaned text, and the
+      // final keep decision.
+      val lined = t(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(lower(text), '\\\\W+'), x -> x != '')"))
+        .withColumn("text", concat(
+          array_join(expr(
+            "transform(sequence(0, int(ceil(size(toks) / 8.0)) - 1), " +
+              "i -> concat(array_join(slice(toks, i * 8 + 1, 8), ' '), " +
+              "CASE WHEN (doc_id + i) % 4 != 0 THEN '.' ELSE '' END))"), "\n"),
+          when(col("doc_id") % 97 === 0, lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+          when(col("doc_id") % 89 === 0, lit("\nvar config = { mode: 1 }.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nplease enable javascript to continue reading.")).otherwise(lit(""))))
+        .select("doc_id", "text")
+      graft.ops.C4Filters.lineAudit(lined)
+        .withColumn("kept",
+          (col("n_kept_lines") >= 3 && col("has_lorem") === 0 && col("has_brace") === 0)
+            .cast("int"))
+        .select("doc_id", "n_lines", "n_kept_lines", "n_dropped_no_punct",
+          "n_dropped_short", "n_js_lines", "has_lorem", "has_brace", "kept", "text_clean")
+        .orderBy("doc_id")
+    }),
     "x_dedup_simhash" -> ((s, dir) =>
       // production FNV-1a kernel, fully oracled (r6): the oracle recomputes
       // FNV-1a-64 per token in SQL (list_reduce fold over byte ordinals;
@@ -1043,6 +1097,69 @@ object SparkEntry {
         |    count(*)::BIGINT AS n_after
         |  FROM kept GROUP BY doc_id) k ON d0.doc_id = k.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
+    "x_pii_redact" ->
+      // same derived contact card, then RE2 recompute of the detection
+      // counts (on the PRE-redaction text) and the 3-stage typed redaction
+      """WITH src AS (
+        |  SELECT c_custkey AS doc_id,
+        |    'Customer ' || c_name || ' can be reached at ' ||
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'no contact info'
+        |         ELSE 'customer' || c_custkey::VARCHAR || '@example.com or ' ||
+        |              printf('%02d-%03d-%03d-%04d', c_custkey % 90 + 10,
+        |                     c_custkey * 3 % 900 + 100, c_custkey * 7 % 900 + 100,
+        |                     c_custkey * 11 % 9000 + 1000) ||
+        |              ' from host ' || (c_custkey % 224 + 16)::VARCHAR || '.' ||
+        |              (c_custkey * 7 % 256)::VARCHAR || '.' ||
+        |              (c_custkey * 13 % 256)::VARCHAR || '.' ||
+        |              (c_custkey % 254 + 1)::VARCHAR
+        |    END AS text
+        |  FROM customer)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+        |  len(regexp_extract_all(text, '\b\d{2}-\d{3}-\d{3}-\d{4}\b|\+\d{9,15}'))::BIGINT AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{2}-\d{3}-\d{3}-\d{4}\b|\+\d{9,15}', '[PHONE]', 'g') AS text
+        |FROM src ORDER BY doc_id""".stripMargin,
+    "x_c4_filter" ->
+      // identical derived line text, then the C4 rules replayed with list
+      // lambdas: terminal punctuation, min words, javascript lines, the
+      // lorem/brace document flags, and the cleaned rejoin
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(generate_series(0, cast(ceil(len(t) / 8.0) AS INT) - 1),
+        |      i -> array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ') ||
+        |           CASE WHEN (doc_id + i) % 4 != 0 THEN '.' ELSE '' END), chr(10)) ||
+        |    CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+        |    CASE WHEN doc_id % 89 = 0 THEN chr(10) || 'var config = { mode: 1 }.' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'please enable javascript to continue reading.' ELSE '' END AS text
+        |  FROM toks),
+        |cls AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM lined),
+        |audit AS (
+        |  SELECT doc_id,
+        |    len(ls)::BIGINT AS n_lines,
+        |    list_filter(ls, l -> list_contains(['.', '!', '?', '"'], right(rtrim(l), 1))
+        |        AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3
+        |        AND NOT contains(lower(l), 'javascript')) AS keptl,
+        |    len(list_filter(ls, l -> NOT list_contains(['.', '!', '?', '"'], right(rtrim(l), 1))))::BIGINT AS n_dropped_no_punct,
+        |    len(list_filter(ls, l -> list_contains(['.', '!', '?', '"'], right(rtrim(l), 1))
+        |        AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) < 3))::BIGINT AS n_dropped_short,
+        |    len(list_filter(ls, l -> list_contains(['.', '!', '?', '"'], right(rtrim(l), 1))
+        |        AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3
+        |        AND contains(lower(l), 'javascript')))::BIGINT AS n_js_lines,
+        |    contains(lower(text), 'lorem ipsum')::INT AS has_lorem,
+        |    contains(text, '{')::INT AS has_brace
+        |  FROM cls)
+        |SELECT doc_id, n_lines, len(keptl)::BIGINT AS n_kept_lines, n_dropped_no_punct,
+        |  n_dropped_short, n_js_lines, has_lorem, has_brace,
+        |  (CASE WHEN len(keptl) >= 3 AND has_lorem = 0 AND has_brace = 0 THEN 1 ELSE 0 END)::INT AS kept,
+        |  coalesce(array_to_string(keptl, chr(10)), '') AS text_clean
+        |FROM audit ORDER BY doc_id""".stripMargin,
     "x_dedup_simhash" ->
       // full FNV-1a-64 recomputation per token (list_reduce fold over byte
       // ordinals, 2^64 wrap via HUGEINT mod — ASCII table, so ord == the
