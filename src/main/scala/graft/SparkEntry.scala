@@ -198,6 +198,21 @@ object SparkEntry {
           col("n_tok_before").cast("long").as("n_tok_before"),
           col("n_tok_after").cast("long").as("n_tok_after"))
         .orderBy("doc_id")),
+    "x_lm_bigrams" -> ((s, dir) =>
+      // the CCNet-family LM as a DataFrame: bigram counts with a <s>
+      // start sentinel, one map-side-combined shuffle — integer-exact
+      graft.ops.NgramLm.train(t(s, dir, "documents")).orderBy("w1", "w2")),
+    "x_lm_score" -> ((s, dir) =>
+      // per-doc mean negative log-likelihood under the in-corpus add-one
+      // bigram model. Probabilities are single int/int-derived divisions
+      // (IEEE-exact), summed by a position-ordered left fold (the ordered
+      // collect is bounded by the doc's own length), so the only
+      // cross-engine slack is ln()'s last ulp — absorbed by round-6 like
+      // every other double row.
+      graft.ops.NgramLm.scoreInCorpus(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_nll"), 6).as("mean_nll_r6"))
+        .orderBy("doc_id")),
     "x_pii_redact" -> ((s, dir) => {
       // PII scrubbing (emails / IPv4 / phones -> typed placeholders) driven
       // over a deterministically DERIVED contact card: the driver tables
@@ -1097,6 +1112,39 @@ object SparkEntry {
         |    count(*)::BIGINT AS n_after
         |  FROM kept GROUP BY doc_id) k ON d0.doc_id = k.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
+    "x_lm_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i, CASE WHEN i = 1 THEN '<s>' ELSE t[i - 1] END AS w1, t[i] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t))) AS u(i))
+        |SELECT w1, w2, count(*)::BIGINT AS cnt
+        |FROM pos GROUP BY w1, w2 ORDER BY w1, w2""".stripMargin,
+    "x_lm_score" ->
+      // identical smoothing arithmetic ((cnt+1) / (ctx+V), both integer
+      // sums converted once), ln per term, position-ordered left fold
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i, CASE WHEN i = 1 THEN '<s>' ELSE t[i - 1] END AS w1, t[i] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+        |bg AS (SELECT w1, w2, count(*) AS cnt FROM pos GROUP BY w1, w2),
+        |cx AS (SELECT w1, sum(cnt) AS ctx FROM bg GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w2) AS vv FROM pos),
+        |terms AS (
+        |  SELECT p.doc_id, p.i,
+        |    ln((coalesce(b.cnt, 0) + 1)::DOUBLE / (coalesce(c.ctx, 0) + v.vv)::DOUBLE) AS lp
+        |  FROM pos p
+        |  LEFT JOIN bg b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  LEFT JOIN cx c ON p.w1 = c.w1, v),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY i)), (a, x) -> a + x) AS s
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS mean_nll_r6
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "x_pii_redact" ->
       // same derived contact card, then RE2 recompute of the detection
       // counts (on the PRE-redaction text) and the 3-stage typed redaction

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language-model scoring — the CCNet-family quality
+  * signal (Wenzek et al. 2020 score web text with an LM and keep the
+  * low-perplexity tail; the same shape appears in Gopher/LLaMA curation).
+  * A 5-gram KenLM is a single-node artifact; the Spark-native form is a
+  * bigram model AS A DATAFRAME: training is one map-side-combined groupBy,
+  * scoring is an equi-join against the model — both shapes that hold at
+  * 100 TB, where the model (Zipf-bounded, vocabulary-squared worst case
+  * but far sparser in practice) is orders of magnitude smaller than the
+  * corpus.
+  *
+  * Contract (pinned by the oracle rows):
+  *  - tokens: lowercase `\W+` split, like the rest of the family;
+  *  - each document contributes bigrams (w_{i-1}, w_i) with a `<s>` start
+  *    sentinel (no end sentinel);
+  *  - add-one smoothing: p(w|c) = (cnt(c,w) + 1) / (ctx(c) + V), where
+  *    ctx(c) = total bigram count with context c and V = corpus distinct
+  *    token count;
+  *  - mean_nll = -(sum over positions, in position order, of ln p) / n.
+  *    Position-ordered left-fold summation makes the double deterministic
+  *    across partitionings — the per-document term list is collected and
+  *    folded locally (bounded by the document's own length). */
+object NgramLm {
+
+  /** (doc_id, pos, w1, w2) for every token position (pos is 0-based; w1 is
+    * `<s>` at pos 0). Native expressions only — the index-lambda transform
+    * keeps empty documents empty instead of tripping Spark's descending
+    * `sequence(1, 0)`. */
+  def positions(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("_toks", expr(s"filter(split(lower($textCol), '\\\\W+'), x -> x != '')"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(_toks, (x, i) -> struct(if(i = 0, '<s>', _toks[i - 1]) AS w1, x AS w2))"))
+          .as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"), col("bg.w1"), col("bg.w2"))
+
+  /** The model: bigram counts. One shuffle, map-side combined. */
+  def train(docs: DataFrame, textCol: String = "text"): DataFrame =
+    positions(docs, textCol).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Corpus distinct-token count (the smoothing V). */
+  def vocabSize(docs: DataFrame, textCol: String = "text"): Long =
+    positions(docs, textCol).agg(countDistinct(col("w2"))).head.getLong(0)
+
+  /** Per-document mean negative log-likelihood under the model.
+    * `broadcastModel` (default true) broadcasts the bigram and context
+    * tables — right for every model that fits an executor; at extreme
+    * vocabulary set it false and the scoring join shuffles on (w1, w2).
+    * Documents with zero tokens produce no row (nothing to score). */
+  def score(docs: DataFrame, model: DataFrame, vocab: Long,
+      textCol: String = "text", broadcastModel: Boolean = true): DataFrame = {
+    val ctx = model.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx"))
+    val (bg, cx) =
+      if (broadcastModel) (F.broadcast(model), F.broadcast(ctx)) else (model, ctx)
+    positions(docs, textCol)
+      .join(bg, Seq("w1", "w2"), "left")
+      .join(cx, Seq("w1"), "left")
+      .withColumn("lp", log(
+        (coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("ctx"), lit(0L)) + lit(vocab)).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("pos"), col("lp"))).as("_ts"))
+      .withColumn("n_tokens", size(col("_ts")).cast("long"))
+      .withColumn("mean_nll",
+        -expr("aggregate(transform(sort_array(_ts), t -> t.lp), 0D, (a, x) -> a + x)")
+          / col("n_tokens"))
+      .drop("_ts")
+  }
+
+  /** In-corpus scoring convenience: train on `docs`, score `docs`. */
+  def scoreInCorpus(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val model = train(docs, textCol).localCheckpoint()
+    score(docs, model, vocabSize(docs, textCol), textCol)
+  }
+}
