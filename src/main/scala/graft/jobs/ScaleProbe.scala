@@ -300,6 +300,24 @@ object ScaleProbe {
     // (nDocs/10 and nDocs), runs 3 warm ticks of the SAME batch size on
     // each, and one cold tick (store deleted) as the contrast that DOES
     // scale with the corpus. Pass `pipeline` explicitly (e.g. nDocs=1M).
+    // exact-substring dedup: the planted near-dups share two long token
+    // runs (the 3-token edit at 50-52 splits the 120-token stream), so
+    // expected spans ~= 4 per planted pair — a known target at any size.
+    // The probe question is linearity of the window-fingerprint exchange.
+    if (sections("substr")) {
+      for (n <- Seq(500, nDocs)) {
+        val docs = synthDocs(spark, n, cpus.toInt).localCheckpoint()
+        val (sp, tSp) = time(
+          graft.ops.SubstringDedup.duplicateSpans(docs, n = 20).count())
+        val (cut, tCut) = time(
+          graft.ops.SubstringDedup.dedup(docs, n = 20)
+            .agg(sum(col("n_tok_before") - col("n_tok_after"))).head.getLong(0))
+        out(s"substr_${n}_spans") = sp; out(s"substr_${n}_spans_sec") = tSp
+        out(s"substr_${n}_tokens_cut") = cut; out(s"substr_${n}_cut_sec") = tCut
+        mark(s"substr_$n", tSp + tCut)
+      }
+    }
+
     if (sections("pipeline")) {
       val batchN = math.max(1000, nDocs / 50)
       for (n <- Seq(math.max(2 * batchN, nDocs / 10), nDocs)) {
