@@ -198,6 +198,27 @@ object SparkEntry {
           col("n_tok_before").cast("long").as("n_tok_before"),
           col("n_tok_after").cast("long").as("n_tok_after"))
         .orderBy("doc_id")),
+    "x_line_dedup" -> ((s, dir) => {
+      // CCNet/RefinedWeb line-level boilerplate pass. The synthetic
+      // documents are single-line, so the row builds multi-line PAGES
+      // deterministically (10 docs joined by \n, doc_id order) and plants
+      // duplicates — the x_neardup_recall planted-input technique — by
+      // re-paging docs 0..24 under shifted page ids: their lines occur
+      // twice corpus-wide and must vanish from BOTH copies (pages 0-1
+      // fully cut, page 2 half cut, 3..49 untouched). text_clean is
+      // folded to md5 so the checker's lexsort+hash stays scalar-cheap.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def pages(df: DataFrame, offset: Long) =
+        df.groupBy((floor(col("doc_id") / 10) + offset).cast("long").as("page_id"))
+          .agg(concat_ws("\n",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text"))).as("text"))
+      val base = pages(d, 0L).unionByName(pages(d.filter(col("doc_id") < 25), 100000L))
+      graft.ops.LineDedup.dedupLines(base, minCount = 2, idCol = "page_id")
+        .select(col("page_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_lines_before"), col("n_lines_after"))
+        .orderBy("page_id")
+    }),
     "x_lm_bigrams" -> ((s, dir) =>
       // the CCNet-family LM as a DataFrame: bigram counts with a <s>
       // start sentinel, one map-side-combined shuffle — integer-exact
@@ -1112,6 +1133,40 @@ object SparkEntry {
         |    count(*)::BIGINT AS n_after
         |  FROM kept GROUP BY doc_id) k ON d0.doc_id = k.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
+    "x_line_dedup" ->
+      // pages rebuilt identically (string_agg ORDER BY doc_id == the
+      // array_sort(collect_list(struct)) fold); line identity = trim of
+      // space/tab/CR; a line in dup (count >= 2 corpus-wide) is dropped
+      // everywhere, survivors string_agg back in position order
+      """WITH base AS (
+        |  SELECT cast(floor(doc_id / 10) AS bigint) AS page_id,
+        |         string_agg(text, chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY 1
+        |  UNION ALL
+        |  SELECT cast(100000 + floor(doc_id / 10) AS bigint) AS page_id,
+        |         string_agg(text, chr(10) ORDER BY doc_id)
+        |  FROM documents WHERE doc_id < 25 GROUP BY 1
+        |), ls AS (
+        |  SELECT page_id,
+        |         unnest(string_split(text, chr(10))) AS raw,
+        |         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM base
+        |), l AS (
+        |  SELECT page_id, pos, trim(raw, ' ' || chr(9) || chr(13)) AS line
+        |  FROM ls WHERE trim(raw, ' ' || chr(9) || chr(13)) <> ''
+        |), dup AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 2),
+        |ag AS (
+        |  SELECT l.page_id,
+        |         count(*) AS n_lines_before,
+        |         count(*) FILTER (WHERE d.line IS NULL) AS n_lines_after,
+        |         coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+        |                    FILTER (WHERE d.line IS NULL), '') AS text_clean
+        |  FROM l LEFT JOIN dup d USING (line) GROUP BY l.page_id)
+        |SELECT b.page_id, md5(coalesce(a.text_clean, '')) AS clean_md5,
+        |       coalesce(a.n_lines_before, 0)::BIGINT AS n_lines_before,
+        |       coalesce(a.n_lines_after, 0)::BIGINT AS n_lines_after
+        |FROM base b LEFT JOIN ag a USING (page_id)
+        |ORDER BY page_id""".stripMargin,
     "x_lm_bigrams" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
