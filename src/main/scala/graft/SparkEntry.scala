@@ -495,6 +495,23 @@ object SparkEntry {
         .filter(col("cosine_r6") >= 0.3)
         .orderBy("vec_a", "vec_b")
     }),
+    "x_semdedup" -> ((s, dir) => {
+      // SemDeDup (cluster-then-compare semantic dedup) under the planted-
+      // input contract of x_neardup_recall: a bounded embeddings slice
+      // unioned with an id-shifted copy. Identical vectors share a k-means
+      // cell DETERMINISTICALLY (assignment is a pure function of the
+      // vector), and tau=0.95 sits far above the corpus's natural max
+      // pairwise cosine (~0.51 both SFs), so the within-cell pair set
+      // EQUALS the exhaustive >= 0.95 set — which DuckDB recomputes
+      // without needing the (non-SQL-expressible) k-means geometry.
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select("vec_id", "embedding")
+      val planted = e.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      graft.ops.SemDedup.semDedupPairs(e.unionByName(planted), tau = 0.95, nCells = 8)
+        .select(col("vec_a"), col("vec_b"),
+          round(col("cosine"), 6).as("cosine_r6"))
+        .orderBy("vec_a", "vec_b")
+    }),
     "x_cosine_pairs" -> ((s, dir) => {
       // consecutive-pair cosine via NATIVE higher-order functions
       // (zip_with + aggregate — no UDF boundary), oracle-checked against
@@ -981,6 +998,22 @@ object SparkEntry {
       // planted-duplicate union: recall is deterministic at threshold
       // 0.95 (identical vectors share buckets by construction), so the
       // LSH pipeline's output equals this exhaustive set
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id < 500)
+        |SELECT vec_a, vec_b, cosine_r6 FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_cosine_similarity(cast(a.embedding AS DOUBLE[]),
+        |          cast(b.embedding AS DOUBLE[])), 6) AS cosine_r6
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |WHERE cosine_r6 >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+    "x_semdedup" ->
+      // same planted-union exhaustive recompute as x_embed_neardup: at
+      // tau 0.95 the within-cell pair set equals the exhaustive set
+      // (identical vectors always share a k-means cell), so the clustering
+      // geometry needs no SQL replay
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
         |  UNION ALL

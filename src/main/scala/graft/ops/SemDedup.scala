@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+  * of an embedded corpus by clustering first and comparing only WITHIN
+  * clusters — the step a training pipeline runs after exact/minhash dedup
+  * to drop paraphrases and re-encodings that share no surface n-grams.
+  *
+  * Spark shape: the coarse quantizer is the IVF recipe shared with
+  * [[AnnIndex]] — k-means centroids trained on a bounded driver-side
+  * sample ([[Similarity.trainIvfCentroids]], deterministic), shipped in
+  * the closure (KB-sized), cell assignment map-side. The candidate stage
+  * is then an equi-join on `cell`, so the all-pairs O(n^2) collapses to
+  * sum over cells of O(|cell|^2) and shuffles only on the cell key; the
+  * exact cosine runs inside the join stage via the codegen'd
+  * [[CosineSim]] with the threshold filter in the same whole-stage
+  * pipeline (the cosinePairsScaled plan discipline — candidates never
+  * cross an exchange).
+  *
+  * At 100 TB the caller sizes `nCells` so expected cell size stays near
+  * a target (cells ~ n/nCells; candidate volume ~ n * targetCell), and
+  * the `maxCell` guard turns a degenerate hot cell (mass-duplicate
+  * corpus collapsing into one centroid) from a quadratic blowup into a
+  * queryable audit row ([[cappedCells]]) — the
+  * [[Dedup.minhashCappedBuckets]] convention. */
+object SemDedup {
+
+  /** Map-side cell assignment: nearest trained centroid per vector. */
+  private def withCell(embeddings: DataFrame, centers: Array[Array[Double]],
+      embCol: String): DataFrame = {
+    val cellUdf = udf((v: Seq[Float]) =>
+      Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, centers))
+    embeddings.withColumn("cell", cellUdf(col(embCol)))
+  }
+
+  /** Near-duplicate pairs (cos >= tau) found within k-means cells.
+    * Returns (vec_a, vec_b, cell, cosine) with vec_a < vec_b. Pairs whose
+    * endpoints land in different cells are NOT reported — that recall gap
+    * vs the exhaustive pair set is the approximation SemDeDup trades for
+    * linearity, bounded by how far apart near-identical vectors can land
+    * (identical vectors always share a cell: assignment is a pure
+    * function of the vector). */
+  def semDedupPairs(embeddings: DataFrame, tau: Double = 0.95,
+      nCells: Int = 16, maxCell: Int = 2000,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val centers = Similarity.trainIvfCentroids(
+      embeddings.select(col(idCol).as("vec_id"), col(embCol).as("embedding")), nCells)
+    // barrier: the hot-cell count and both self-join branches read the
+    // assigned table; without it the centroid UDF runs 3x per row
+    val cells0 = withCell(embeddings.select(col(idCol), col(embCol)), centers, embCol)
+      .localCheckpoint()
+    val hot = cells0.groupBy(col("cell")).count()
+      .filter(col("count") > maxCell).select(col("cell"))
+    val cells = cells0.join(hot, Seq("cell"), "left_anti")
+    val a = cells.select(col("cell"), col(idCol).as("vec_a"), col(embCol).as("emb_a"))
+    val b = cells.select(col("cell"), col(idCol).as("vec_b"), col(embCol).as("emb_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", Similarity.cosineSimExpr(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= tau)
+      .select("vec_a", "vec_b", "cell", "cosine")
+  }
+
+  /** Cells the `maxCell` guard excluded from the pair search — the audit
+    * a production run must check before claiming "semantically deduped"
+    * (the minhashCappedBuckets convention: caps are queryable, never
+    * silent). */
+  def cappedCells(embeddings: DataFrame, nCells: Int = 16, maxCell: Int = 2000,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val centers = Similarity.trainIvfCentroids(
+      embeddings.select(col(idCol).as("vec_id"), col(embCol).as("embedding")), nCells)
+    withCell(embeddings.select(col(idCol), col(embCol)), centers, embCol)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .filter(col("n_vecs") > maxCell)
+  }
+
+  /** Corpus with semantic near-duplicates removed: a row is dropped iff
+    * some SAME-CELL vector with a smaller id is tau-close. The minimum id
+    * of every tau-connected component always survives; a vector whose
+    * every tau-neighbor has a larger id also survives (the rule is the
+    * one-pass min-id star cut, not a transitive-closure keeper — the
+    * closure form is [[Dedup.duplicateClusters]]' job). The drop set is
+    * small next to the corpus; the final pass is one anti-join on the
+    * well-distributed id. */
+  def semDedup(embeddings: DataFrame, tau: Double = 0.95,
+      nCells: Int = 16, maxCell: Int = 2000,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val drop = semDedupPairs(embeddings, tau, nCells, maxCell, idCol, embCol)
+      .select(col("vec_b").as(idCol)).distinct()
+    embeddings.join(drop, Seq(idCol), "left_anti")
+  }
+}
