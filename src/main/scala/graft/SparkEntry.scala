@@ -22,6 +22,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Derived labeled corpus for the NB classifier rows (the synthetic
+    * documents carry no organic labels): parity labels, class-marker
+    * suffixes on the real word-soup texts. Mirrored verbatim in the
+    * oracle SQL. */
+  private def nbLabeled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit("good")).otherwise(lit("spam")).as("label"),
+      when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" insight careful analysis")))
+        .otherwise(concat(col("text"), lit(" buy click cheap now"))).as("text"))
+
+  private def nbTrainSplit(docs: DataFrame): DataFrame =
+    nbLabeled(docs).filter(col("doc_id") % 5 =!= 0)
+
   /** Contract gate for adaptive ANN probes whose candidate geometry is not
     * SQL-recomputable (k-means centroids over an xxhash64-ordered sample —
     * see x_ann_ivf): asserts the probe returned exactly k rows, in
@@ -218,6 +232,27 @@ object SparkEntry {
         .select(col("page_id"), md5(col("text_clean")).as("clean_md5"),
           col("n_lines_before"), col("n_lines_after"))
         .orderBy("page_id")
+    }),
+    "x_nb_model" -> ((s, dir) =>
+      // the fastText-style quality-classifier family, trainable half: a
+      // multinomial NB model AS A DATAFRAME (one map-side-combined
+      // groupBy). The synthetic docs carry no organic labels, so both
+      // engines DERIVE the identical labeled corpus (the x_pii_redact
+      // planted-input technique): parity labels + class-marker suffixes
+      // appended to the real texts; the split is doc_id % 5.
+      graft.ops.NbClassifier.train(nbTrainSplit(t(s, dir, "documents")))
+        .orderBy("label", "tok")),
+    "x_nb_classify" -> ((s, dir) => {
+      // held-out prediction: train on doc_id % 5 != 0, classify the rest.
+      // Markers separate the classes, the 120-token word-soup body is
+      // shared noise; the argmax is over the ROUNDED ll with label
+      // tiebreak (cross-engine exact — see NbClassifier's contract).
+      val labeled = nbLabeled(t(s, dir, "documents"))
+      val test = labeled.filter(col("doc_id") % 5 === 0)
+      graft.ops.NbClassifier.predict(labeled.filter(col("doc_id") % 5 =!= 0), test)
+        .join(test.select(col("doc_id"), col("label").as("true_label")), Seq("doc_id"))
+        .select(col("doc_id"), col("pred"), col("true_label"), col("ll_r6"))
+        .orderBy("doc_id")
     }),
     "x_lm_bigrams" -> ((s, dir) =>
       // the CCNet-family LM as a DataFrame: bigram counts with a <s>
@@ -1200,6 +1235,73 @@ object SparkEntry {
         |       coalesce(a.n_lines_after, 0)::BIGINT AS n_lines_after
         |FROM base b LEFT JOIN ag a USING (page_id)
         |ORDER BY page_id""".stripMargin,
+    "x_nb_model" ->
+      // derived labeled corpus (parity labels + class-marker suffixes),
+      // doc_id % 5 train split, integer-exact (label, token) counts
+      """WITH lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'good' ELSE 'spam' END AS label,
+        |    CASE WHEN doc_id % 2 = 0 THEN text || ' insight careful analysis'
+        |         ELSE text || ' buy click cheap now' END AS text
+        |  FROM documents),
+        |tr AS (SELECT * FROM lab WHERE doc_id % 5 <> 0),
+        |trt AS (
+        |  SELECT doc_id, t[i] AS tok FROM (
+        |    SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |    FROM tr), unnest(generate_series(1, len(t))) AS u(i))
+        |SELECT l.label, tt.tok, count(*) AS cnt
+        |FROM trt tt JOIN tr l USING (doc_id)
+        |GROUP BY l.label, tt.tok ORDER BY l.label, tt.tok""".stripMargin,
+    "x_nb_classify" ->
+      // identical smoothing arithmetic ((cnt+1)/(n_tok+V)), ln per term,
+      // prior-seeded position-ordered left fold, argmax on the ROUNDED
+      // ll with label-DESC tiebreak (= Spark's max(struct(ll_r6, label)))
+      """WITH lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'good' ELSE 'spam' END AS label,
+        |    CASE WHEN doc_id % 2 = 0 THEN text || ' insight careful analysis'
+        |         ELSE text || ' buy click cheap now' END AS text
+        |  FROM documents),
+        |tr AS (SELECT * FROM lab WHERE doc_id % 5 <> 0),
+        |te AS (SELECT * FROM lab WHERE doc_id % 5 = 0),
+        |trt AS (
+        |  SELECT doc_id, i, t[i] AS tok FROM (
+        |    SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |    FROM tr), unnest(generate_series(1, len(t))) AS u(i)),
+        |m AS (
+        |  SELECT l.label, tt.tok, count(*) AS cnt
+        |  FROM trt tt JOIN tr l USING (doc_id) GROUP BY l.label, tt.tok),
+        |pr AS (
+        |  SELECT label, count(*) AS n_docs,
+        |    sum(len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')))::BIGINT AS n_tok
+        |  FROM tr GROUP BY label),
+        |nn AS (SELECT sum(n_docs) AS n_train FROM pr),
+        |v AS (SELECT count(DISTINCT tok) AS vv FROM trt),
+        |tet AS (
+        |  SELECT doc_id, i, t[i] AS tok FROM (
+        |    SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |    FROM te), unnest(generate_series(1, len(t))) AS u(i)),
+        |terms AS (
+        |  SELECT tt.doc_id, p.label, tt.i,
+        |    ln((coalesce(m.cnt, 0) + 1)::DOUBLE / (p.n_tok + v.vv)::DOUBLE) AS lp
+        |  FROM tet tt CROSS JOIN pr p
+        |  LEFT JOIN m ON m.label = p.label AND m.tok = tt.tok, v),
+        |ll AS (
+        |  SELECT b.doc_id, b.label,
+        |    list_reduce(list_prepend(b.prior_ll, coalesce(list(t.lp ORDER BY t.i), [])),
+        |      (a, x) -> a + x) AS ll
+        |  FROM (SELECT te.doc_id, p.label, ln(p.n_docs::DOUBLE / nn.n_train) AS prior_ll
+        |        FROM te CROSS JOIN pr p, nn) b
+        |  LEFT JOIN terms t ON t.doc_id = b.doc_id AND t.label = b.label
+        |  GROUP BY b.doc_id, b.label, b.prior_ll),
+        |rk AS (
+        |  SELECT doc_id, label AS pred, round(ll, 6) AS ll_r6,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(ll, 6) DESC, label DESC) AS rn
+        |  FROM ll)
+        |SELECT r.doc_id, r.pred, l.label AS true_label, r.ll_r6
+        |FROM rk r JOIN lab l USING (doc_id) WHERE r.rn = 1
+        |ORDER BY r.doc_id""".stripMargin,
     "x_lm_bigrams" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
