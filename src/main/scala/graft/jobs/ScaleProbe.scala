@@ -34,6 +34,26 @@ object ScaleProbe {
     }.toDF("doc_id", "text")
   }
 
+  /** Docs of 12 lines — 9 globally-unique (id in the text, so uniqueness
+    * is structural, not hash-probabilistic) + 3 banner lines shared
+    * corpus-wide — for the line-dedup probe: expected kept = 9 per doc
+    * at any size, dup set = exactly 3 rows. */
+  def synthLineDocs(spark: SparkSession, n: Int, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val sb = new StringBuilder(600)
+      var j = 0
+      while (j < 12) {
+        if (j % 4 == 3) sb.append("shared banner line number ").append(j / 4)
+        else sb.append("u").append(java.lang.Long.toHexString(Synth.mix(id * 37 + j)))
+          .append(" unique line of doc ").append(id)
+        sb.append('\n')
+        j += 1
+      }
+      (id, sb.toString)
+    }.toDF("doc_id", "text")
+  }
+
   /** `plantEvery > 0`: every plantEvery-th vector is a near-dup of its
     * predecessor (first component nudged 0.02 — cos stays > 0.999), giving
     * the scaled near-dup probe a known recall target at any size. */
@@ -315,6 +335,42 @@ object ScaleProbe {
         out(s"substr_${n}_spans") = sp; out(s"substr_${n}_spans_sec") = tSp
         out(s"substr_${n}_tokens_cut") = cut; out(s"substr_${n}_cut_sec") = tCut
         mark(s"substr_$n", tSp + tCut)
+      }
+    }
+
+    // line-level dedup: docs of 12 lines — 9 globally-unique + 3 banner
+    // lines shared corpus-wide — so expected kept lines = 9n EXACTLY at
+    // any size. Probe question: the dup-set aggregation's output stays
+    // tiny (3 rows here) while the corpus explodes linearly.
+    if (sections("linededup")) {
+      for (n <- Seq(500, nDocs)) {
+        val docs = synthLineDocs(spark, n, cpus.toInt).localCheckpoint()
+        val (r, tLd) = time(
+          graft.ops.LineDedup.dedupLines(docs, minCount = 2)
+            .agg(sum(col("n_lines_before")), sum(col("n_lines_after"))).head)
+        out(s"linededup_${n}_before") = r.getLong(0)
+        out(s"linededup_${n}_after") = r.getLong(1)
+        out(s"linededup_${n}_sec") = tLd
+        mark(s"linededup_$n", tLd)
+      }
+    }
+
+    // SemDeDup: planted near-dups (cos > 0.999) at every 20th vector;
+    // cells sized to a ~256-vector target so candidate volume stays
+    // ~n*256 regardless of n. Reported recall = found / planted — the
+    // only loss mechanism is a planted pair straddling a cell boundary.
+    if (sections("semdedup")) {
+      for (n <- Seq(math.max(1000, nVecs / 10), nVecs); nAssign <- Seq(1, 2)) {
+        val vecs = synthVecs(spark, n, 64, cpus.toInt, plantEvery = 20)
+          .localCheckpoint()
+        val nCells = math.max(8, n / 256)
+        val (found, tSd) = time(
+          graft.ops.SemDedup.semDedupPairs(vecs, tau = 0.99, nCells = nCells,
+            maxCell = 4096, nAssign = nAssign).count())
+        out(s"semdedup_${n}_a${nAssign}_pairs") = found
+        out(s"semdedup_${n}_a${nAssign}_planted") = n / 20
+        out(s"semdedup_${n}_a${nAssign}_sec") = tSd
+        mark(s"semdedup_${n}_a$nAssign", tSd)
       }
     }
 

@@ -27,12 +27,38 @@ import org.apache.spark.sql.functions._
   * [[Dedup.minhashCappedBuckets]] convention. */
 object SemDedup {
 
-  /** Map-side cell assignment: nearest trained centroid per vector. */
-  private def withCell(embeddings: DataFrame, centers: Array[Array[Double]],
-      embCol: String): DataFrame = {
-    val cellUdf = udf((v: Seq[Float]) =>
-      Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, centers))
-    embeddings.withColumn("cell", cellUdf(col(embCol)))
+  /** Centroid training, switched on k: the deterministic driver-sample
+    * Lloyd's for coarse quantizers (k <= 256, where a 4096-row sample is
+    * 16+ points per cell and run-stable geometry matters for tests), the
+    * distributed [[KMeansDist]] beyond (a driver sample degenerates as k
+    * approaches the sample size, and driver-side Lloyd's at k in the
+    * thousands was the measured wall-dominator of the 1M probe). */
+  private def trainCenters(base: DataFrame, nCells: Int,
+      idCol: String, embCol: String): Array[Array[Double]] =
+    if (nCells <= 256)
+      Similarity.trainIvfCentroids(
+        base.select(col(idCol).as("vec_id"), col(embCol).as("embedding")), nCells)
+    else KMeansDist.train(base, nCells, iters = 5, idCol = idCol, embCol = embCol)
+
+  /** Map-side cell assignment: the `nAssign` nearest trained centroids
+    * per vector (one output row per assignment). nAssign > 1 is the
+    * standard boundary-loss fix: a near-identical pair can only be missed
+    * if the two vectors' top-nAssign cell sets are DISJOINT, which for
+    * vectors this close requires nAssign distinct centroids to interleave
+    * between them — measured at 1M vectors / 3906 cells, nAssign=2 takes
+    * planted recall from 90% to ~99% for ~2x candidate volume. */
+  private def withCells(embeddings: DataFrame, centers: Array[Array[Double]],
+      embCol: String, nAssign: Int): DataFrame = {
+    val cellsUdf = udf { (v: Seq[Float]) =>
+      val vd = v.map(_.toDouble).toArray
+      val d = centers.map { c =>
+        var s = 0.0; var j = 0
+        while (j < vd.length) { val t = vd(j) - c(j); s += t * t; j += 1 }
+        s
+      }
+      d.zipWithIndex.sortBy(_._1).take(nAssign).map(_._2)
+    }
+    embeddings.withColumn("cell", explode(cellsUdf(col(embCol))))
   }
 
   /** Near-duplicate pairs (cos >= tau) found within k-means cells.
@@ -43,23 +69,30 @@ object SemDedup {
     * (identical vectors always share a cell: assignment is a pure
     * function of the vector). */
   def semDedupPairs(embeddings: DataFrame, tau: Double = 0.95,
-      nCells: Int = 16, maxCell: Int = 2000,
+      nCells: Int = 16, maxCell: Int = 2000, nAssign: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val centers = Similarity.trainIvfCentroids(
-      embeddings.select(col(idCol).as("vec_id"), col(embCol).as("embedding")), nCells)
-    // barrier: the hot-cell count and both self-join branches read the
+    // barrier #1: the trainer makes `iters` passes and the assignment one
+    // more — without it each pass recomputes the upstream lineage
+    val base = embeddings.select(col(idCol), col(embCol)).localCheckpoint()
+    val centers = trainCenters(base, nCells, idCol, embCol)
+    // barrier #2: the hot-cell count and both self-join branches read the
     // assigned table; without it the centroid UDF runs 3x per row
-    val cells0 = withCell(embeddings.select(col(idCol), col(embCol)), centers, embCol)
-      .localCheckpoint()
+    val cells0 = withCells(base, centers, embCol, nAssign).localCheckpoint()
     val hot = cells0.groupBy(col("cell")).count()
       .filter(col("count") > maxCell).select(col("cell"))
     val cells = cells0.join(hot, Seq("cell"), "left_anti")
     val a = cells.select(col("cell"), col(idCol).as("vec_a"), col(embCol).as("emb_a"))
     val b = cells.select(col("cell"), col(idCol).as("vec_b"), col(embCol).as("emb_b"))
-    a.join(b, Seq("cell"))
+    val verified = a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine", Similarity.cosineSimExpr(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= tau)
+    // nAssign > 1 can surface the same pair in up to nAssign shared
+    // cells; collapse AFTER the tau filter, when only verified near-dup
+    // pairs — a tiny set — reach the aggregation
+    if (nAssign <= 1) verified.select("vec_a", "vec_b", "cell", "cosine")
+    else verified.groupBy(col("vec_a"), col("vec_b"))
+      .agg(min(col("cell")).as("cell"), min(col("cosine")).as("cosine"))
       .select("vec_a", "vec_b", "cell", "cosine")
   }
 
@@ -68,10 +101,10 @@ object SemDedup {
     * (the minhashCappedBuckets convention: caps are queryable, never
     * silent). */
   def cappedCells(embeddings: DataFrame, nCells: Int = 16, maxCell: Int = 2000,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val centers = Similarity.trainIvfCentroids(
-      embeddings.select(col(idCol).as("vec_id"), col(embCol).as("embedding")), nCells)
-    withCell(embeddings.select(col(idCol), col(embCol)), centers, embCol)
+      nAssign: Int = 1, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val base = embeddings.select(col(idCol), col(embCol)).localCheckpoint()
+    val centers = trainCenters(base, nCells, idCol, embCol)
+    withCells(base, centers, embCol, nAssign)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
       .filter(col("n_vecs") > maxCell)
   }
@@ -85,9 +118,9 @@ object SemDedup {
     * small next to the corpus; the final pass is one anti-join on the
     * well-distributed id. */
   def semDedup(embeddings: DataFrame, tau: Double = 0.95,
-      nCells: Int = 16, maxCell: Int = 2000,
+      nCells: Int = 16, maxCell: Int = 2000, nAssign: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val drop = semDedupPairs(embeddings, tau, nCells, maxCell, idCol, embCol)
+    val drop = semDedupPairs(embeddings, tau, nCells, maxCell, nAssign, idCol, embCol)
       .select(col("vec_b").as(idCol)).distinct()
     embeddings.join(drop, Seq(idCol), "left_anti")
   }

@@ -77,6 +77,14 @@ class SemDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(audited === 72L)
   }
 
+  test("nAssign=2: pair set still exact under planting, no duplicate pair rows") {
+    val df = vecs(60, 12)
+    val rows = SemDedup.semDedupPairs(df, tau = 0.995, nCells = 4, nAssign = 2)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === rows.distinct.length)
+    assert(rows.toSet === (0 until 12).map(i => (i.toLong, i + 10000L)).toSet)
+  }
+
   test("custom id/embedding column names") {
     val df = vecs(40, 8).withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "emb")
     val kept = SemDedup.semDedup(df, tau = 0.995, nCells = 2, idCol = "id", embCol = "emb")
