@@ -295,10 +295,13 @@ object AnnIndex {
     val nRows = embeddings.count()
     var centers: Array[Array[Double]] = Array.empty
     if (nRows > 0) {
-      centers = Similarity.trainIvfCentroids(embeddings, nCells)
-      val cs = centers
-      val cellUdf = udf((v: Seq[Float]) =>
-        Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, cs))
+      // trainer switched on nCells: driver-sample Lloyd's small, the
+      // distributed KMeansDist at large k (same switch as SemDedup). At
+      // very large k the centroid table itself grows k*dim — it is the
+      // model persisted in meta, so the bound is the model, not the data.
+      centers = Similarity.trainCentroids(embeddings, nCells)
+      val kern = new Similarity.CentroidKernel(centers)
+      val cellUdf = udf((v: Seq[Float]) => kern.nearest(v))
       embeddings
         .withColumn("ivf_cell", cellUdf(col("embedding")))
         .repartition(col("ivf_cell"),
@@ -327,9 +330,8 @@ object AnnIndex {
     if (batchId != null && meta.batches.contains(batchId)) return // replayed
     val n = newVecs.count()
     if (n == 0) return
-    val cs = meta.centroids
-    val cellUdf = udf((v: Seq[Float]) =>
-      Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, cs))
+    val kern = new Similarity.CentroidKernel(meta.centroids)
+    val cellUdf = udf((v: Seq[Float]) => kern.nearest(v))
     val celled = newVecs
       .withColumn("ivf_cell", cellUdf(col("embedding")))
       .repartition(col("ivf_cell"),

@@ -27,18 +27,14 @@ import org.apache.spark.sql.functions._
   * [[Dedup.minhashCappedBuckets]] convention. */
 object SemDedup {
 
-  /** Centroid training, switched on k: the deterministic driver-sample
-    * Lloyd's for coarse quantizers (k <= 256, where a 4096-row sample is
-    * 16+ points per cell and run-stable geometry matters for tests), the
-    * distributed [[KMeansDist]] beyond (a driver sample degenerates as k
-    * approaches the sample size, and driver-side Lloyd's at k in the
-    * thousands was the measured wall-dominator of the 1M probe). */
+  /** Centroid training via the shared [[Similarity.trainCentroids]]
+    * switch: deterministic driver-sample Lloyd's for coarse quantizers
+    * (k <= 256), the distributed [[KMeansDist]] beyond — see the switch's
+    * doc for the measured large-k failure modes. */
   private def trainCenters(base: DataFrame, nCells: Int,
       idCol: String, embCol: String): Array[Array[Double]] =
-    if (nCells <= 256)
-      Similarity.trainIvfCentroids(
-        base.select(col(idCol).as("vec_id"), col(embCol).as("embedding")), nCells)
-    else KMeansDist.train(base, nCells, iters = 5, idCol = idCol, embCol = embCol)
+    Similarity.trainCentroids(
+      base.select(col(idCol).as("vec_id"), col(embCol).as("embedding")), nCells)
 
   /** Map-side cell assignment: the `nAssign` nearest trained centroids
     * per vector (one output row per assignment). nAssign > 1 is the
@@ -49,15 +45,11 @@ object SemDedup {
     * planted recall from 90% to ~99% for ~2x candidate volume. */
   private def withCells(embeddings: DataFrame, centers: Array[Array[Double]],
       embCol: String, nAssign: Int): DataFrame = {
-    val cellsUdf = udf { (v: Seq[Float]) =>
-      val vd = v.map(_.toDouble).toArray
-      val d = centers.map { c =>
-        var s = 0.0; var j = 0
-        while (j < vd.length) { val t = vd(j) - c(j); s += t * t; j += 1 }
-        s
-      }
-      d.zipWithIndex.sortBy(_._1).take(nAssign).map(_._2)
-    }
+    val kern = new Similarity.CentroidKernel(centers)
+    // the kernel call sits INSIDE the generator expression, so it runs
+    // once per input row (vs once per exploded row for a projection
+    // above the Generate — the KMeansDist lesson)
+    val cellsUdf = udf((v: Seq[Float]) => kern.nearestN(v, nAssign))
     embeddings.withColumn("cell", explode(cellsUdf(col(embCol))))
   }
 

@@ -216,9 +216,96 @@ object Similarity {
     centers
   }
 
+  /** Trainer switch shared by the IVF index and SemDedup (expects
+    * `vec_id`/`embedding` columns): the deterministic driver-sample
+    * Lloyd's while k is small enough that a 4096-row sample gives 16+
+    * points per cell (run-stable geometry — what the exhaustive-probe
+    * oracles pin), the distributed [[KMeansDist]] beyond — a driver
+    * sample degenerates as k approaches the sample size (at k in the
+    * thousands nearly every sample point becomes its own centroid,
+    * measured as the 1M-vector SemDeDup probe's recall ceiling), and
+    * single-threaded Lloyd's over it becomes the build's wall. */
+  def trainCentroids(embeddings: DataFrame, k: Int): Array[Array[Double]] =
+    if (k <= 256) trainIvfCentroids(embeddings, k)
+    else KMeansDist.train(embeddings, k, iters = 5)
+
   /** Index of the closest centroid (squared-L2) — shared with AnnIndex. */
   private[ops] def nearestCentroidOf(v: Array[Double], centers: Array[Array[Double]]): Int =
     nearestCentroid(v, centers)
+
+  /** Flat-layout distance kernel over a trained centroid table — the hot
+    * loop of every IVF-family assignment (index build/append, SemDedup
+    * cells, k-means training). Selection is BIT-IDENTICAL to
+    * [[nearestCentroidOf]]: same subtract-square accumulation in double,
+    * same j-ascending order, strict < keeping the lowest index on ties.
+    * The two wins are purely mechanical: one contiguous array instead of
+    * k row objects (sequential prefetch), and early abandon — the partial
+    * sum of squares is monotone non-decreasing, so a centroid whose
+    * running d already reached the current best can never win; skipping
+    * its tail changes nothing about the argmin. At k in the thousands
+    * the abandon prunes most of the k*dim work once a close centroid is
+    * seen. The instance rides UDF closures (k*dim doubles — the model). */
+  final class CentroidKernel(centers: Array[Array[Double]]) extends Serializable {
+    val k: Int = centers.length
+    val dim: Int = if (k == 0) 0 else centers(0).length
+    private val flat: Array[Double] = {
+      val f = new Array[Double](k * dim)
+      var c = 0
+      while (c < k) { System.arraycopy(centers(c), 0, f, c * dim, dim); c += 1 }
+      f
+    }
+
+    private def toArr(v: Seq[Float]): Array[Double] = {
+      val a = new Array[Double](v.length)
+      var j = 0
+      while (j < a.length) { a(j) = v(j).toDouble; j += 1 }
+      a
+    }
+
+    def nearest(v: Seq[Float]): Int = {
+      val vd = toArr(v)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0; var off = 0
+      while (c < k) {
+        var d = 0.0; var j = 0
+        while (j < dim && d < bestD) {
+          val t = vd(j) - flat(off + j); d += t * t; j += 1
+        }
+        if (d < bestD && j == dim) { bestD = d; best = c }
+        c += 1; off += dim
+      }
+      best
+    }
+
+    /** The `n` nearest centroid indices, ascending by (distance, index) —
+      * exactly the head of a stable full sort, via bounded insertion with
+      * the same early-abandon bound (the current n-th distance). */
+    def nearestN(v: Seq[Float], n: Int): Array[Int] = {
+      if (n <= 1) return Array(nearest(v))
+      val vd = toArr(v)
+      val m = math.min(n, k)
+      val topD = Array.fill(m)(Double.MaxValue)
+      val topI = new Array[Int](m)
+      var c = 0; var off = 0
+      while (c < k) {
+        val bound = topD(m - 1)
+        var d = 0.0; var j = 0
+        while (j < dim && d < bound) {
+          val t = vd(j) - flat(off + j); d += t * t; j += 1
+        }
+        if (j == dim && d < bound) {
+          // insert after any equal-distance earlier index (stable order)
+          var i = m - 1
+          while (i > 0 && topD(i - 1) > d) {
+            topD(i) = topD(i - 1); topI(i) = topI(i - 1); i -= 1
+          }
+          topD(i) = d; topI(i) = c
+        }
+        c += 1; off += dim
+      }
+      topI
+    }
+  }
 
   private def nearestCentroid(v: Array[Double], centers: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
@@ -239,7 +326,7 @@ object Similarity {
     * `ivf_cell` so the scan prunes to probed cells. */
   def ivfTopK(embeddings: DataFrame, query: Array[Float], k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centers = trainIvfCentroids(embeddings, nCells)
+    val centers = trainCentroids(embeddings, nCells)
     val qd = query.map(_.toDouble)
     val probeCells = centers.indices.sortBy { c =>
       var d = 0.0
@@ -247,7 +334,8 @@ object Similarity {
       while (j < qd.length) { val t = qd(j) - centers(c)(j); d += t * t; j += 1 }
       d
     }.take(nProbe).toSet
-    val cellUdf = udf((v: Seq[Float]) => nearestCentroid(v.map(_.toDouble).toArray, centers))
+    val kern = new CentroidKernel(centers)
+    val cellUdf = udf((v: Seq[Float]) => kern.nearest(v))
     val q = query
     val cosUdf = udf((v: Seq[Float]) => cosine(v, q.toSeq))
     embeddings

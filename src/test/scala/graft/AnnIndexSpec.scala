@@ -244,6 +244,21 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex2 == brute, "exactly-once appended IVF must probe the committed batch")
   }
 
+  test("large-k build routes through the distributed trainer; exhaustive probe == brute force") {
+    // nCells > 256 takes the KMeansDist path of Similarity.trainCentroids.
+    // Exhaustive probing is centroid-independent (bucketing completeness),
+    // so the plumbing is pinned without pinning the large-k geometry.
+    val dir = s"$tmp/ivf_large_k"
+    AnnIndex.buildIvf(emb, dir, nCells = 300)
+    assert(AnnIndex.describe(spark, dir).head.getInt(3) == 300)
+    val q = queryVec
+    val ex = AnnIndex.probeIvf(spark, dir, q, 25, nProbe = 300).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(2) * 1e9))).toSeq
+    val brute = Similarity.bruteForceTopK(emb, q, 25).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(r.fieldIndex("cosine")) * 1e9))).toSeq
+    assert(ex == brute, "exhaustive probe of the large-k index must equal brute force")
+  }
+
   test("direct-mode append crash window: failed append leaves no falsely-fresh meta") {
     // ADVICE r5: in direct mode the parquet Append is visible before the
     // final meta write. appendLsh now commits an IN-PROGRESS token before

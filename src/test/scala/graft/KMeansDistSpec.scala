@@ -71,4 +71,39 @@ class KMeansDistSpec extends AnyFunSuite with BeforeAndAfterAll {
     val centers = KMeansDist.train(df, k = 3, iters = 3, idCol = "id", embCol = "e")
     assert(centers.length === 3)
   }
+
+  test("CentroidKernel selection is bit-identical to the naive full-scan form") {
+    // the kernel's early abandon and flat layout must not change a single
+    // assignment: same arithmetic, same order, strict-< tie behavior
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(50)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    // include exact duplicate centroids to exercise ties
+    centers(17) = centers(3).clone()
+    centers(41) = centers(3).clone()
+    val kern = new graft.ops.Similarity.CentroidKernel(centers)
+    def naiveDists(v: Array[Double]): Array[Double] = centers.map { c =>
+      var s = 0.0; var j = 0
+      while (j < dim) { val t = v(j) - c(j); s += t * t; j += 1 }
+      s
+    }
+    for (_ <- 0 until 300) {
+      val vf = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val vd = vf.map(_.toDouble)
+      val d = naiveDists(vd)
+      val naiveBest = {
+        var b = 0; var bd = Double.MaxValue
+        for (c <- d.indices) if (d(c) < bd) { bd = d(c); b = c }
+        b
+      }
+      assert(kern.nearest(vf.toSeq) === naiveBest)
+      val naiveTop3 = d.zipWithIndex.sortBy(_._1).take(3).map(_._2).toSeq
+      assert(kern.nearestN(vf.toSeq, 3).toSeq === naiveTop3)
+    }
+    // a query AT a duplicated centroid: tie resolved to the lowest index,
+    // and the duplicate indices ranked in ascending order
+    val q = centers(3).map(_.toFloat)
+    assert(kern.nearest(q.toSeq) === 3)
+    assert(kern.nearestN(q.toSeq, 3).toSeq === Seq(3, 17, 41))
+  }
 }
