@@ -547,6 +547,24 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine_r6"))
         .orderBy("vec_a", "vec_b")
     }),
+    "x_semdedup_multiassign" -> ((s, dir) => {
+      // the boundary-safe production form of x_semdedup: nAssign=2 joins
+      // each vector into its TWO nearest cells (the fix that took 1M-
+      // vector planted recall from 97.2% to 99.99% — BENCH.md round 6c).
+      // The planted-union contract carries over unchanged: an identical
+      // pair shares EVERY cell, multi-assignment only ADDS candidates the
+      // tau filter then rejects, and the post-filter collapse dedups
+      // multi-cell hits — so the pair set still equals DuckDB's
+      // exhaustive >= 0.95 recompute.
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select("vec_id", "embedding")
+      val planted = e.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      graft.ops.SemDedup.semDedupPairs(e.unionByName(planted), tau = 0.95,
+          nCells = 8, nAssign = 2)
+        .select(col("vec_a"), col("vec_b"),
+          round(col("cosine"), 6).as("cosine_r6"))
+        .orderBy("vec_a", "vec_b")
+    }),
     "x_cosine_pairs" -> ((s, dir) => {
       // consecutive-pair cosine via NATIVE higher-order functions
       // (zip_with + aggregate — no UDF boundary), oracle-checked against
@@ -1049,6 +1067,20 @@ object SparkEntry {
       // tau 0.95 the within-cell pair set equals the exhaustive set
       // (identical vectors always share a k-means cell), so the clustering
       // geometry needs no SQL replay
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id < 500)
+        |SELECT vec_a, vec_b, cosine_r6 FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_cosine_similarity(cast(a.embedding AS DOUBLE[]),
+        |          cast(b.embedding AS DOUBLE[])), 6) AS cosine_r6
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |WHERE cosine_r6 >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+    "x_semdedup_multiassign" ->
+      // identical oracle to x_semdedup: multi-assignment changes the
+      // candidate set, never the verified pair set (see the query's note)
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
         |  UNION ALL
