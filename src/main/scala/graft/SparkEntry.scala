@@ -565,6 +565,24 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine_r6"))
         .orderBy("vec_a", "vec_b")
     }),
+    "x_pq_topk" -> ((s, dir) => {
+      // product-quantized ANN (Pq.scala): encode once (m one-byte codes
+      // per vector — 16x smaller than the raw floats at m=16), shortlist
+      // with the ADC table scan, exact-cosine refine of the 4k shortlist
+      // (the FAISS IndexRefine recipe). Codebook geometry is k-means over
+      // the deterministic sample — not SQL-recomputable — so the row is
+      // contract-gated like x_ann_ivf: k rows, descending cosine, recall
+      // floor 0.8 vs the exact top-k (measured 0.98 / 0.98 / 0.96 at
+      // sf0.001 / 0.01 / 0.1, m=16 k=64 refine=4); the EMITTED rows are
+      // the brute rank form DuckDB fully recomputes.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = emb.orderBy("vec_id").select("embedding").head
+        .getSeq[Float](0).toArray
+      val model = graft.ops.Pq.train(emb, m = 16, k = 64)
+      val codes = graft.ops.Pq.encode(emb, model)
+      gatedBruteForm(emb, q, k = 50, minRecall = 0.8, label = "x_pq_topk",
+        probe = graft.ops.Pq.adcTopKRefined(codes, emb, model, q, 50))
+    }),
     "x_cosine_pairs" -> ((s, dir) => {
       // consecutive-pair cosine via NATIVE higher-order functions
       // (zip_with + aggregate — no UDF boundary), oracle-checked against
@@ -1047,6 +1065,7 @@ object SparkEntry {
     // after asserting the probe's contract in-query (see the entries)
     "x_ann_ivf" -> bruteTopKSql,
     "x_ann_ivf_probe" -> bruteTopKSql,
+    "x_pq_topk" -> bruteTopKSql,
     "x_embed_neardup" ->
       // planted-duplicate union: recall is deterministic at threshold
       // 0.95 (identical vectors share buckets by construction), so the

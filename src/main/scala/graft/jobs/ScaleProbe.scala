@@ -374,6 +374,38 @@ object ScaleProbe {
       }
     }
 
+    // PQ: encode once (16 bytes/vector vs 256), ADC shortlist + exact
+    // refine vs brute force — the memory half of the ANN scale story.
+    // Recall target: refined ~= brute (measured 0.96-0.98 at driver SFs).
+    if (sections("pq")) {
+      val vecs = synthVecs(spark, nVecs, 64, cpus.toInt).localCheckpoint()
+      val q = vecs.orderBy("vec_id").select("embedding").head.getSeq[Float](0).toArray
+      val (model, tTrain) = time(graft.ops.Pq.train(vecs, m = 16, k = 64))
+      val (codes, tEnc) = time(graft.ops.Pq.encode(vecs, model).localCheckpoint())
+      val (adcIds, tAdc) = time(
+        graft.ops.Pq.adcTopK(codes, model, q, 50).collect().map(_.getLong(0)).toSet)
+      val (bruteIds, tBrute) = time(
+        Similarity.bruteForceTopK(vecs, q, 50).collect().map(_.getLong(0)).toSet)
+      out("pq_train_sec") = tTrain
+      out("pq_encode_sec") = tEnc
+      out("pq_adc_sec") = tAdc
+      out("pq_brute_sec") = tBrute
+      out("pq_adc_recall50") = (adcIds & bruteIds).size
+      // refine-multiplier tradeoff: uniform-random vectors are the
+      // adversarial case (the true top-50 cosines nearly tie), so the
+      // shortlist needed for a recall target is the honest reading here
+      var tRefTotal = 0.0
+      for (refine <- Seq(4, 16, 64)) {
+        val (refIds, tRef) = time(
+          graft.ops.Pq.adcTopKRefined(codes, vecs, model, q, 50, refine = refine)
+            .collect().map(_.getLong(0)).toSet)
+        out(s"pq_refined_r${refine}_sec") = tRef
+        out(s"pq_refined_r${refine}_recall50") = (refIds & bruteIds).size
+        tRefTotal += tRef
+      }
+      mark("pq", tTrain + tEnc + tAdc + tRefTotal + tBrute)
+    }
+
     if (sections("pipeline")) {
       val batchN = math.max(1000, nDocs / 50)
       for (n <- Seq(math.max(2 * batchN, nDocs / 10), nDocs)) {

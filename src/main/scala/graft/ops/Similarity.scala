@@ -191,6 +191,14 @@ object Similarity {
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(sampleSize)
       .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    localKMeans(sample, k)
+  }
+
+  /** The driver-side Lloyd's loop of [[trainIvfCentroids]], factored so
+    * [[Pq]] trains its per-subspace codebooks with the EXACT same
+    * deterministic recipe (norm-sorted spread init, 20 iterations, empty
+    * cells keep their previous centroid). */
+  private[ops] def localKMeans(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
     require(sample.nonEmpty)
     val dim = sample.head.length
     // deterministic init: spread picks over norm-sorted sample
