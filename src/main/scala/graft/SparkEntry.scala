@@ -761,6 +761,35 @@ object SparkEntry {
           salt = "mix")
         .select(col("doc_id"), col("lang"), col("ws_tokens"))
         .orderBy("doc_id")),
+    "x_temperature_mix" -> ((s, dir) => {
+      // temperature-weighted domain mixing (the size^alpha pretraining
+      // recipe): budgets derived from stratum counts with integer-exact
+      // arithmetic (isqrt weights at alpha=0.5), selection = deterministic
+      // hash-ordered prefix. DuckDB recomputes the WHOLE thing — counts,
+      // weights, budget division, membership — not just the rate.
+      val docs = t(s, dir, "documents")
+      val budgets = graft.ops.Sampling.temperatureBudgets(
+        docs, totalBudget = 300L, alpha = 0.5, stratumCol = "lang")
+      val budgetExpr = budgets.foldLeft(lit(null).cast("long")) {
+        case (acc, (k, v)) => when(col("lang") === k, lit(v)).otherwise(acc)
+      }
+      graft.ops.Sampling.temperatureMix(docs, totalBudget = 300L,
+          alpha = 0.5, salt = "mixt")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("budget", budgetExpr)
+        .orderBy("doc_id")
+    }),
+    "x_seq_pack" -> ((s, dir) =>
+      // sequence packing for LM training: concat-and-chunk placement table
+      // (which slice of which doc lands where in fixed 512-token training
+      // sequences), deterministic hash concat order, two-pass prefix sum
+      // (no global window task). All integer math — DuckDB recomputes
+      // every placement exactly.
+      graft.ops.Packing.packSequences(
+          t(s, dir, "documents").withColumn("ws_tokens",
+            graft.ops.WsTokenCount.ws_token_count(col("text"))),
+          capacity = 512L, salt = "pack", ranges = 8)
+        .orderBy("doc_id", "seq_id")),
     "x_token_count_native" -> ((s, dir) =>
       // native codegen'd Catalyst expression (no UDF boxing)
       t(s, dir, "documents").select(col("doc_id"),
@@ -1953,6 +1982,49 @@ object SparkEntry {
         |   OR (lang = 'de' AND before < 8000)
         |   OR (lang = 'es' AND before < 8000)
         |ORDER BY doc_id""".stripMargin,
+    "x_temperature_mix" ->
+      // full recompute: stratum counts -> isqrt weights -> truncating
+      // budget division -> hash-ordered prefix membership. sum(bigint) is
+      // HUGEINT in DuckDB; the // division then casts back down.
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, cast(floor(sqrt(cast(n AS double))) AS bigint) AS w FROM n),
+        |tw AS (SELECT sum(w) AS tw FROM w),
+        |b AS (SELECT lang, cast(300 * w // tw AS bigint) AS budget FROM w, tw),
+        |d AS (SELECT doc_id, lang,
+        |        md5_number_lower('mixt:' || cast(doc_id as varchar)) % 1000000 AS h
+        |      FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |      FROM d)
+        |SELECT r.doc_id, r.lang, b.budget
+        |FROM r JOIN b USING (lang)
+        |WHERE rn <= b.budget
+        |ORDER BY doc_id""".stripMargin,
+    "x_seq_pack" ->
+      // concat-and-chunk placement: global hash-ordered before-sums, then
+      // one row per (doc, sequence) overlap with pure integer slicing.
+      // WHERE len > 0 runs before the window (both engines), matching the
+      // zero-token-doc drop.
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    cast(len(list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'),
+        |      x -> x <> '')) as bigint) AS len,
+        |    md5_number_lower('pack:' || cast(doc_id as varchar)) % 1000000 AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len,
+        |    cast(coalesce(sum(len) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS before
+        |  FROM d WHERE len > 0),
+        |e AS (
+        |  SELECT doc_id, before, len,
+        |    unnest(generate_series(before // 512, (before + len - 1) // 512)) AS seq_id
+        |  FROM c)
+        |SELECT doc_id, seq_id,
+        |  greatest(0, seq_id * 512 - before) AS doc_offset,
+        |  greatest(before, seq_id * 512) - seq_id * 512 AS seq_offset,
+        |  least(before + len, (seq_id + 1) * 512) - greatest(before, seq_id * 512) AS piece_len
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
     "x_split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN b < 800000 THEN 'train'

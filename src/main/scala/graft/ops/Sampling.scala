@@ -94,6 +94,54 @@ object Sampling {
       .drop("__before")
   }
 
+  /** Temperature-weighted mixture budgets — the "sample domains
+    * proportional to size^alpha" recipe (GPT-3 / Llama data mixing):
+    * upweight small strata relative to their raw share so one giant
+    * domain doesn't drown the mix. Budgets are computed with INTEGER
+    * arithmetic end-to-end so the DuckDB oracle recomputes them exactly:
+    * weight W_d = floor(n_d^alpha) (for the oracled alpha = 0.5 this is
+    * isqrt — floor of a correctly-rounded sqrt, bit-equal across engines
+    * for n < 2^52; other alphas go through Math.pow, which carries no
+    * cross-engine ULP guarantee and stays test-side), and
+    * budget_d = totalBudget * W_d div sum(W) — truncating long division,
+    * overflow-safe while totalBudget * max(W) < 2^63 (at a 10^12-doc
+    * budget and 10^12-row strata that product is ~10^18, inside range).
+    *
+    * The stratum-count frame is ONE map-side-combined groupBy whose
+    * result is bounded by the number of strata (languages/sources —
+    * thousands, not rows), so the driver-side materialization is bounded
+    * by construction, and the budgets stay loggable/auditable. */
+  def temperatureBudgets(df: DataFrame, totalBudget: Long, alpha: Double,
+      stratumCol: String = "lang"): Map[String, Long] = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0,1]: $alpha")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val weights = counts.map { case (k, n) =>
+      k -> math.floor(math.pow(n.toDouble, alpha)).toLong
+    }
+    val totW = weights.map(_._2).sum
+    require(totW > 0, "all strata weigh zero")
+    weights.map { case (k, w) => k -> totalBudget * w / totW }.toMap
+  }
+
+  /** Select a temperature-weighted document mix: [[temperatureBudgets]]
+    * decides how many documents each stratum contributes, selection is the
+    * same deterministic hash-ordered prefix as [[tokenBudgetSample]] with
+    * every document weighing 1 (so `before < budget` IS `rank <= budget`).
+    * `bucketed = true` routes through the skew-proof two-pass form. */
+  def temperatureMix(df: DataFrame, totalBudget: Long, alpha: Double,
+      salt: String, stratumCol: String = "lang", keyCol: String = "doc_id",
+      bucketed: Boolean = false): DataFrame = {
+    val budgets = temperatureBudgets(df, totalBudget, alpha, stratumCol)
+    val ones = df.withColumn("__one", lit(1L))
+    val kept =
+      if (bucketed)
+        tokenBudgetSampleBucketed(ones, budgets, salt, stratumCol, "__one", keyCol)
+      else tokenBudgetSample(ones, budgets, salt, stratumCol, "__one", keyCol)
+    kept.drop("__one")
+  }
+
   /** The giant-stratum form of [[tokenBudgetSample]] — IDENTICAL contract,
     * skew-proof plan (the asOfBucketed two-pass pattern): the hash space
     * splits into `ranges` monotone buckets, pass 1 computes the running
