@@ -406,6 +406,35 @@ object ScaleProbe {
       mark("pq", tTrain + tEnc + tAdc + tRefTotal + tBrute)
     }
 
+    // Sequence packing: the two-pass prefix sum must hold its advantage
+    // over the naive single global window as n grows (the window form
+    // serializes the whole corpus into one task). Synth docs are ~120
+    // tokens, capacity 2048 -> ~n/17 sequences.
+    if (sections("pack")) {
+      val docs = synthDocs(spark, nDocs, cpus.toInt)
+        .withColumn("ws_tokens",
+          graft.ops.WsTokenCount.ws_token_count(col("text")))
+        .select("doc_id", "ws_tokens")
+        .localCheckpoint()
+      val (n64, tP64) = time(
+        graft.ops.Packing.packSequences(docs, 2048L, "probe", ranges = 64).count())
+      val (n1, tP1) = time(
+        graft.ops.Packing.packSequences(docs, 2048L, "probe", ranges = 1).count())
+      require(n64 == n1, s"two-pass placement mismatch: $n64 vs $n1")
+      out("pack_rows") = n64
+      out("pack_ranges64_sec") = tP64
+      out("pack_ranges1_single_window_sec") = tP1
+      val (nMix, tMix) = time(
+        graft.ops.Sampling.temperatureMix(
+          docs.withColumn("lang",
+            when(col("doc_id") % 100 < 90, "big").otherwise("small")),
+          totalBudget = nDocs / 10L, alpha = 0.5, salt = "probe",
+          bucketed = true).count())
+      out("tempmix_kept") = nMix
+      out("tempmix_bucketed_sec") = tMix
+      mark("pack", tP64 + tP1 + tMix)
+    }
+
     if (sections("pipeline")) {
       val batchN = math.max(1000, nDocs / 50)
       for (n <- Seq(math.max(2 * batchN, nDocs / 10), nDocs)) {
