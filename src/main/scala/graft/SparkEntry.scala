@@ -307,7 +307,12 @@ object SparkEntry {
         .withColumn("toks", expr("filter(split(lower(text), '\\\\W+'), x -> x != '')"))
         .withColumn("text", concat(
           array_join(expr(
-            "transform(sequence(0, int(ceil(size(toks) / 8.0)) - 1), " +
+            // Spark's sequence(0, -1) DESCENDS (emits [0, -1]) — a
+            // zero-token doc must yield an empty line list, as the
+            // oracle's generate_series(0, -1) does (NgramLm.positions
+            // guards the same pitfall)
+            "transform(CASE WHEN size(toks) = 0 THEN array() " +
+              "ELSE sequence(0, int(ceil(size(toks) / 8.0)) - 1) END, " +
               "i -> concat(array_join(slice(toks, i * 8 + 1, 8), ' '), " +
               "CASE WHEN (doc_id + i) % 4 != 0 THEN '.' ELSE '' END))"), "\n"),
           when(col("doc_id") % 97 === 0, lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
@@ -774,7 +779,7 @@ object SparkEntry {
         case (acc, (k, v)) => when(col("lang") === k, lit(v)).otherwise(acc)
       }
       graft.ops.Sampling.temperatureMix(docs, totalBudget = 300L,
-          alpha = 0.5, salt = "mixt")
+          alpha = 0.5, salt = "mixt", precomputed = budgets)
         .select(col("doc_id"), col("lang"))
         .withColumn("budget", budgetExpr)
         .orderBy("doc_id")

@@ -290,19 +290,25 @@ object AnnIndex {
   def buildIvf(embeddings: DataFrame, dir: String, nCells: Int = 16,
       rebuild: Boolean = false, filesPerBucket: Int = 1): Unit = {
     val spark = embeddings.sparkSession
-    val token = inputToken(embeddings)
+    val token = inputToken(embeddings) // before the barrier — needs file lineage
     if (!rebuild && upToDate(spark, dir, "ivf", nCells, token)) return
-    val nRows = embeddings.count()
+    // barrier: count + trainer passes (init sample, and at large k the
+    // KMeansDist count + 5 Lloyd's iterations) + the assignment write all
+    // read this frame — without it every pass re-executes the upstream
+    // lineage (the SemDedup multi-consumer rule; KMeansDist.train
+    // documents that it does NOT persist its input)
+    val emb = embeddings.localCheckpoint()
+    val nRows = emb.count()
     var centers: Array[Array[Double]] = Array.empty
     if (nRows > 0) {
       // trainer switched on nCells: driver-sample Lloyd's small, the
       // distributed KMeansDist at large k (same switch as SemDedup). At
       // very large k the centroid table itself grows k*dim — it is the
       // model persisted in meta, so the bound is the model, not the data.
-      centers = Similarity.trainCentroids(embeddings, nCells)
+      centers = Similarity.trainCentroids(emb, nCells)
       val kern = new Similarity.CentroidKernel(centers)
       val cellUdf = udf((v: Seq[Float]) => kern.nearest(v))
-      embeddings
+      emb
         .withColumn("ivf_cell", cellUdf(col("embedding")))
         .repartition(col("ivf_cell"),
           pmod(xxhash64(col("vec_id")), lit(filesPerBucket))) // bounded files/cell

@@ -58,11 +58,20 @@ object LineDedup {
     * row with text_clean = ""). */
   def dedupLines(docs: DataFrame, minCount: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // barrier: the split/trim/explode (the most expensive map-side work)
+    // feeds BOTH the dup-set aggregation and the membership join — one
+    // exploded frame, md5 computed once, materialized behind a
+    // localCheckpoint (the multi-consumer rule)
     val lines = explodeLines(docs, idCol, textCol)
-    val dup = duplicatedLines(docs, minCount, idCol, textCol)
+      .withColumn("line_md5", md5(col("line")))
+      .localCheckpoint()
+    val dup = lines
+      .groupBy(col("line_md5"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
       .select(col("line_md5"), lit(true).as("is_dup"))
     val flagged = lines
-      .join(dup, md5(col("line")) === col("line_md5"), "left")
+      .join(dup, Seq("line_md5"), "left")
       .select(col(idCol), col("pos"), col("line"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
     val agg = flagged.groupBy(col(idCol)).agg(

@@ -118,7 +118,13 @@ object Sampling {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val weights = counts.map { case (k, n) =>
-      k -> math.floor(math.pow(n.toDouble, alpha)).toLong
+      // alpha = 0.5 goes through sqrt, which IEEE 754 requires to be
+      // correctly rounded — pow carries only a ~1 ulp contract, so
+      // floor(pow(k*k, 0.5)) could legally yield k-1 on some libm and
+      // break the documented bit-equality with the oracle's floor(sqrt(n))
+      val w = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      k -> math.floor(w).toLong
     }
     val totW = weights.map(_._2).sum
     require(totW > 0, "all strata weigh zero")
@@ -129,11 +135,17 @@ object Sampling {
     * decides how many documents each stratum contributes, selection is the
     * same deterministic hash-ordered prefix as [[tokenBudgetSample]] with
     * every document weighing 1 (so `before < budget` IS `rank <= budget`).
-    * `bucketed = true` routes through the skew-proof two-pass form. */
+    * `bucketed = true` routes through the skew-proof two-pass form.
+    * Callers that already hold the budgets (for auditing, or to reuse one
+    * stratum-count job) pass them via `precomputed` — the count job runs
+    * at most once per mix either way. */
   def temperatureMix(df: DataFrame, totalBudget: Long, alpha: Double,
       salt: String, stratumCol: String = "lang", keyCol: String = "doc_id",
-      bucketed: Boolean = false): DataFrame = {
-    val budgets = temperatureBudgets(df, totalBudget, alpha, stratumCol)
+      bucketed: Boolean = false,
+      precomputed: Map[String, Long] = null): DataFrame = {
+    val budgets =
+      if (precomputed != null) precomputed
+      else temperatureBudgets(df, totalBudget, alpha, stratumCol)
     val ones = df.withColumn("__one", lit(1L))
     val kept =
       if (bucketed)
