@@ -1245,10 +1245,15 @@ object SparkEntry {
         |  FROM toks, unnest(generate_series(1, greatest(len(t) - 9, 0))) AS u(i)),
         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |fl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+        |         THEN 0 ELSE 1 END AS f
+        |  FROM p),
         |isl AS (
         |  SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM p)
+        |    sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM fl)
         |SELECT doc_id, min(pos)::BIGINT AS start_tok, (max(pos) + 10)::BIGINT AS end_tok,
         |  count(*)::BIGINT AS n_windows
         |FROM isl GROUP BY doc_id, grp
@@ -1466,13 +1471,13 @@ object SparkEntry {
         |audit AS (
         |  SELECT doc_id,
         |    len(ls)::BIGINT AS n_lines,
-        |    list_filter(ls, l -> list_contains(['.', '!', '?', '"'], right(rtrim(l), 1))
+        |    list_filter(ls, l -> list_contains(['.', '!', '?', '"'], right(rtrim(l, ' ' || chr(9) || chr(13)), 1))
         |        AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3
         |        AND NOT contains(lower(l), 'javascript')) AS keptl,
-        |    len(list_filter(ls, l -> NOT list_contains(['.', '!', '?', '"'], right(rtrim(l), 1))))::BIGINT AS n_dropped_no_punct,
-        |    len(list_filter(ls, l -> list_contains(['.', '!', '?', '"'], right(rtrim(l), 1))
+        |    len(list_filter(ls, l -> NOT list_contains(['.', '!', '?', '"'], right(rtrim(l, ' ' || chr(9) || chr(13)), 1))))::BIGINT AS n_dropped_no_punct,
+        |    len(list_filter(ls, l -> list_contains(['.', '!', '?', '"'], right(rtrim(l, ' ' || chr(9) || chr(13)), 1))
         |        AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) < 3))::BIGINT AS n_dropped_short,
-        |    len(list_filter(ls, l -> list_contains(['.', '!', '?', '"'], right(rtrim(l), 1))
+        |    len(list_filter(ls, l -> list_contains(['.', '!', '?', '"'], right(rtrim(l, ' ' || chr(9) || chr(13)), 1))
         |        AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3
         |        AND contains(lower(l), 'javascript')))::BIGINT AS n_js_lines,
         |    contains(lower(text), 'lorem ipsum')::INT AS has_lorem,

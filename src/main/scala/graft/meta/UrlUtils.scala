@@ -235,9 +235,16 @@ object UrlUtils {
     "streamlit.app", "hf.space", "repl.co", "webflow.io", "ghost.io",
     "substack.com", "carrd.co", "notion.site") ++
     // r6: the us k12/community-college/library registries (third-level
-    // under every state — the full PSL us section pattern)
-    UsStateCodes.flatMap(st =>
-      Seq(s"k12.$st.us", s"cc.$st.us", s"lib.$st.us")) ++
+    // under every state). NOT uniform across states: the real PSL removed
+    // k12 for hi/nd/ri/sd/wv (Mozilla bugs 614565, 947705 — those states
+    // run a single statewide domain) and lib for wv (bug 941670), so
+    // those six rules must NOT be generated.
+    UsStateCodes.flatMap { st =>
+      val k12 = if (Set("hi", "nd", "ri", "sd", "wv")(st)) Nil
+                else Seq(s"k12.$st.us")
+      val lib = if (st == "wv") Nil else Seq(s"lib.$st.us")
+      k12 ++ Seq(s"cc.$st.us") ++ lib
+    } ++
     // r6: the blogspot ccTLD family beyond the r4 subset (PSL private)
     Seq("blogspot.ca", "blogspot.ch", "blogspot.cl", "blogspot.co.il",
       "blogspot.co.nz", "blogspot.co.za", "blogspot.cz", "blogspot.dk",

@@ -26,6 +26,13 @@ object C4Filters {
 
   private def lines(c: Column): Column = split(c, "\n")
 
+  /** trailing trim that also strips \t and \r — splitting CRLF text on
+    * \n leaves every line \r-terminated, and plain rtrim (space-only)
+    * would then fail the terminal-punctuation test for the WHOLE corpus
+    * (LineDedup trims the same set for the same reason) */
+  private def rstrip(l: String): String =
+    s"trim(TRAILING concat(' ', chr(9), chr(13)) FROM $l)"
+
   /** words on a line, whitespace-split, empties dropped */
   private def nWords(l: String): String =
     s"size(filter(split($l, '\\\\s+'), x -> x != ''))"
@@ -33,7 +40,7 @@ object C4Filters {
   /** a line is "kept" iff terminal-punctuated AND long enough AND not a
     * javascript boilerplate line */
   private def keepPred(minWords: Int): String =
-    "l -> substring(rtrim(l), -1, 1) IN ('.', '!', '?', '\"') " +
+    s"l -> substring(${rstrip("l")}, -1, 1) IN ('.', '!', '?', '\"') " +
       s"AND ${nWords("l")} >= $minWords " +
       "AND NOT contains(lower(l), 'javascript')"
 
@@ -52,14 +59,14 @@ object C4Filters {
       // then javascript — each dropped line lands in exactly one bucket
       .withColumn("n_dropped_no_punct",
         expr(s"size(filter(split($textCol, '\n'), " +
-          "l -> NOT substring(rtrim(l), -1, 1) IN ('.', '!', '?', '\"')))").cast("long"))
+          s"l -> NOT substring(${rstrip("l")}, -1, 1) IN ('.', '!', '?', '\"')))").cast("long"))
       .withColumn("n_dropped_short",
         expr(s"size(filter(split($textCol, '\n'), " +
-          "l -> substring(rtrim(l), -1, 1) IN ('.', '!', '?', '\"') " +
+          s"l -> substring(${rstrip("l")}, -1, 1) IN ('.', '!', '?', '\"') " +
           s"AND ${nWords("l")} < $minWords))").cast("long"))
       .withColumn("n_js_lines",
         expr(s"size(filter(split($textCol, '\n'), " +
-          "l -> substring(rtrim(l), -1, 1) IN ('.', '!', '?', '\"') " +
+          s"l -> substring(${rstrip("l")}, -1, 1) IN ('.', '!', '?', '\"') " +
           s"AND ${nWords("l")} >= $minWords " +
           "AND contains(lower(l), 'javascript')))").cast("long"))
       .withColumn("has_lorem",

@@ -84,7 +84,11 @@ object NbClassifier {
     val model = NbClassifier.train(train, labelCol, textCol).localCheckpoint()
     val pr = priors(train, labelCol, textCol).localCheckpoint()
     val nTrain = pr.agg(sum(col("n_docs"))).head.getLong(0)
-    score(test, model, pr, nTrain, vocabSize(train, textCol), textCol)
+    // V from the checkpointed model, not a third training-corpus explode:
+    // every training token lands in some (label, tok, cnt) row, so
+    // countDistinct(tok) over the vocabulary-sized model == vocabSize(train)
+    val v = model.agg(countDistinct(col("tok"))).head.getLong(0)
+    score(test, model, pr, nTrain, v, textCol)
       .withColumn("ll_r6", round(col("ll"), 6))
       .groupBy(col("doc_id"))
       .agg(max(struct(col("ll_r6"), col("label"))).as("_best"))

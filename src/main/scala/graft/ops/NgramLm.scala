@@ -73,9 +73,15 @@ object NgramLm {
       .drop("_ts")
   }
 
-  /** In-corpus scoring convenience: train on `docs`, score `docs`. */
+  /** In-corpus scoring convenience: train on `docs`, score `docs`. V is
+    * derived from the checkpointed MODEL, not a third corpus explode:
+    * every corpus token occurs as some position's w2, so
+    * countDistinct(w2) over the (vocabulary-sized) bigram table equals
+    * [[vocabSize]] over the corpus — one aggregate on a small frame
+    * instead of a full re-tokenize pass. */
   def scoreInCorpus(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val model = train(docs, textCol).localCheckpoint()
-    score(docs, model, vocabSize(docs, textCol), textCol)
+    val v = model.agg(countDistinct(col("w2"))).head.getLong(0)
+    score(docs, model, v, textCol)
   }
 }

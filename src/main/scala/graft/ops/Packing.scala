@@ -43,29 +43,14 @@ object Packing {
       tokenCol: String = "ws_tokens", keyCol: String = "doc_id",
       ranges: Int = 64): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
-    require(ranges > 0, s"ranges must be positive: $ranges")
-    import org.apache.spark.sql.expressions.Window
-    val width = math.max(1L, 1000000L / ranges)
-    val tagged = df
-      .select(col(keyCol), col(tokenCol).cast("long").as("__len"))
-      .filter(col("__len") > 0)
-      .withColumn("__b", Sampling.bucketCol(col(keyCol).cast("string"), salt))
-      .withColumn("__r", (col("__b") / width).cast("long"))
-    val wLocal = Window.partitionBy(col("__r"))
-      .orderBy(col("__b").asc, col(keyCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wCarry = Window.orderBy(col("__r").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // pass 2's carry-ins: one row per hash range — `ranges` rows total, a
-    // broadcast-tier frame regardless of corpus size
-    val offsets = tagged.groupBy(col("__r"))
-      .agg(sum(col("__len")).as("__rt"))
-      .withColumn("__off", coalesce(sum(col("__rt")).over(wCarry), lit(0L)))
-      .select(col("__r"), col("__off"))
-    val placed = tagged
-      .withColumn("__local", coalesce(sum(col("__len")).over(wLocal), lit(0L)))
-      .join(broadcast(offsets), Seq("__r"))
-      .withColumn("__before", col("__local") + col("__off"))
+    // the two-pass prefix sum over the salted-hash concat order is the
+    // shared [[Sampling.bucketedBefore]] (stratum-free form) — ONE copy
+    // of the skew-proof machinery for both the token-budget and packing
+    // contracts
+    val placed = Sampling.bucketedBefore(
+        df.select(col(keyCol), col(tokenCol).cast("long").as("__len"))
+          .filter(col("__len") > 0),
+        "__len", salt, keyCol, ranges, Nil)
       // the sequences document d overlaps: before div C .. (before+len-1)
       // div C — integer `div`, NOT `/` (which widens to double and loses
       // exactness past 2^52 absolute token positions)

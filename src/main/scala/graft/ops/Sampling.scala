@@ -154,40 +154,56 @@ object Sampling {
     kept.drop("__one")
   }
 
-  /** The giant-stratum form of [[tokenBudgetSample]] — IDENTICAL contract,
-    * skew-proof plan (the asOfBucketed two-pass pattern): the hash space
-    * splits into `ranges` monotone buckets, pass 1 computes the running
-    * before-sum WITHIN (stratum, range) so no window task sees more than
-    * ~1/ranges of a stratum, and pass 2 adds each range's carry-in offset
-    * from a tiny per-(stratum, range) totals frame. A 10^9-row stratum
-    * that would serialize into one window task spreads over `ranges`. */
-  def tokenBudgetSampleBucketed(df: DataFrame, budgets: Map[String, Long],
-      salt: String, stratumCol: String = "lang",
-      tokenCol: String = "ws_tokens", keyCol: String = "doc_id",
-      ranges: Int = 64): DataFrame = {
+  /** The skew-proof two-pass exclusive prefix sum over the salted-hash
+    * order (the asOfBucketed pattern), shared by
+    * [[tokenBudgetSampleBucketed]] and [[Packing.packSequences]]: adds
+    * `__before` = sum of `tokenCol` over all rows strictly earlier in the
+    * (bucket, key) order, per stratum when `strata` is non-empty. The
+    * hash space splits into `ranges` monotone buckets; pass 1 computes
+    * the running sum WITHIN (strata, range) so no window task sees more
+    * than ~1/ranges of a stratum, pass 2 adds each range's carry-in from
+    * a broadcast-tier totals frame (|strata| x ranges rows). A 10^9-row
+    * stratum that would serialize into one window task spreads over
+    * `ranges`. */
+  private[ops] def bucketedBefore(df: DataFrame, tokenCol: String,
+      salt: String, keyCol: String, ranges: Int,
+      strata: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(ranges > 0, s"ranges must be positive: $ranges")
     val width = math.max(1L, Buckets / ranges)
     val tagged = df
       .withColumn("__b", bucketCol(col(keyCol).cast("string"), salt))
       .withColumn("__r", (col("__b") / width).cast("long"))
-    val wLocal = Window.partitionBy(col(stratumCol), col("__r"))
+    val sCols = strata.map(col)
+    val wLocal = Window.partitionBy(sCols :+ col("__r"): _*)
       .orderBy(col("__b").asc, col(keyCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wCarry = Window.partitionBy(col(stratumCol))
-      .orderBy(col("__r").asc)
+    val wCarry = (if (strata.isEmpty) Window.orderBy(col("__r").asc)
+                  else Window.partitionBy(sCols: _*).orderBy(col("__r").asc))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = tagged.groupBy(col(stratumCol), col("__r"))
+    val offsets = tagged.groupBy(sCols :+ col("__r"): _*)
       .agg(sum(col(tokenCol).cast("long")).as("__rt"))
       .withColumn("__off", coalesce(sum(col("__rt")).over(wCarry), lit(0L)))
-      .select(col(stratumCol), col("__r"), col("__off"))
-    val budgetExpr = budgets.foldLeft(lit(null).cast("long")) {
-      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
-    }
+      .select(sCols :+ col("__r") :+ col("__off"): _*)
     tagged
       .withColumn("__local",
         coalesce(sum(col(tokenCol).cast("long")).over(wLocal), lit(0L)))
-      .join(offsets, Seq(stratumCol, "__r"))
-      .filter(col("__local") + col("__off") < budgetExpr)
+      .join(broadcast(offsets), strata :+ "__r")
+      .withColumn("__before", col("__local") + col("__off"))
       .drop("__b", "__r", "__local", "__off")
+  }
+
+  /** The giant-stratum form of [[tokenBudgetSample]] — IDENTICAL contract,
+    * skew-proof plan via [[bucketedBefore]]. */
+  def tokenBudgetSampleBucketed(df: DataFrame, budgets: Map[String, Long],
+      salt: String, stratumCol: String = "lang",
+      tokenCol: String = "ws_tokens", keyCol: String = "doc_id",
+      ranges: Int = 64): DataFrame = {
+    val budgetExpr = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    bucketedBefore(df, tokenCol, salt, keyCol, ranges, Seq(stratumCol))
+      .filter(col("__before") < budgetExpr)
+      .drop("__before")
   }
 }

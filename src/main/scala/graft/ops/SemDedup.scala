@@ -66,6 +66,11 @@ object SemDedup {
     // barrier #1: the trainer makes `iters` passes and the assignment one
     // more — without it each pass recomputes the upstream lineage
     val base = embeddings.select(col(idCol), col(embCol)).localCheckpoint()
+    // empty corpus slice → empty pair set (k-means init would throw on an
+    // empty sample; LineDedup/SubstringDedup return empty the same way)
+    if (base.isEmpty)
+      return base.select(col(idCol).as("vec_a"), col(idCol).as("vec_b"),
+        lit(0).as("cell"), lit(0.0).as("cosine")).limit(0)
     val centers = trainCenters(base, nCells, idCol, embCol)
     // barrier #2: the hot-cell count and both self-join branches read the
     // assigned table; without it the centroid UDF runs 3x per row
@@ -95,6 +100,8 @@ object SemDedup {
   def cappedCells(embeddings: DataFrame, nCells: Int = 16, maxCell: Int = 2000,
       nAssign: Int = 1, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val base = embeddings.select(col(idCol), col(embCol)).localCheckpoint()
+    if (base.isEmpty)
+      return base.select(lit(0).as("cell"), lit(0L).as("n_vecs")).limit(0)
     val centers = trainCenters(base, nCells, idCol, embCol)
     withCells(base, centers, embCol, nAssign)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))

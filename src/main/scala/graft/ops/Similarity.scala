@@ -334,7 +334,12 @@ object Similarity {
     * `ivf_cell` so the scan prunes to probed cells. */
   def ivfTopK(embeddings: DataFrame, query: Array[Float], k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centers = trainCentroids(embeddings, nCells)
+    // KMeansDist (the > 256-cell route) makes count + init + 5 Lloyd's
+    // passes and documents that it does NOT persist its input — barrier
+    // before handing it the frame (AnnIndex.buildIvf/SemDedup do the
+    // same). The small-k route is one bounded driver sample; no barrier.
+    val emb = if (nCells > 256) embeddings.localCheckpoint() else embeddings
+    val centers = trainCentroids(emb, nCells)
     val qd = query.map(_.toDouble)
     val probeCells = centers.indices.sortBy { c =>
       var d = 0.0
@@ -346,7 +351,7 @@ object Similarity {
     val cellUdf = udf((v: Seq[Float]) => kern.nearest(v))
     val q = query
     val cosUdf = udf((v: Seq[Float]) => cosine(v, q.toSeq))
-    embeddings
+    emb
       .withColumn("ivf_cell", cellUdf(col("embedding")))
       .filter(col("ivf_cell").isin(probeCells.toSeq: _*))
       .withColumn("cosine", cosUdf(col("embedding")))

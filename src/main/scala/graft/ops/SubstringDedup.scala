@@ -80,10 +80,16 @@ object SubstringDedup {
     docs.select(col("doc_id"),
       posexplode(windowHashUdf(n)(col(textCol))).as(Seq("pos", "gram_hash")))
 
-  /** Maximal duplicated token spans: every n-window starting inside
-    * [start_tok, end_tok - n] occurs >= minCount times corpus-wide.
-    * Returns (doc_id, start_tok, end_tok, n_windows) with end_tok
-    * exclusive; spans of the same document never overlap.
+  /** Maximal duplicated token spans: the union of [p, p+n) coverage over
+    * every duplicated window start p, segmented into runs — every token
+    * inside a span is covered by >= 1 n-window occurring >= minCount
+    * times corpus-wide. Returns (doc_id, start_tok, end_tok, n_windows)
+    * with end_tok exclusive and n_windows = duplicated window starts in
+    * the span; spans of the same document are DISJOINT and non-adjacent
+    * (segmentation breaks only at coverage gaps, so duplicated starts
+    * closer than n tokens — overlapping coverage from different external
+    * matches — merge into one span instead of emitting overlapping rows
+    * a per-doc `sum(end_tok - start_tok)` would double-count).
     *
     * `salt` > 1 pre-splits the dup-fingerprint membership join for viral
     * grams: positions scatter across `salt` replicas of the (small
@@ -105,10 +111,15 @@ object SubstringDedup {
         pos.withColumn("s", pmod(xxhash64(col("doc_id"), col("pos")), lit(salt)).cast("int"))
           .join(replicas, Seq("gram_hash", "s"), "left_semi").drop("s")
       }
-    // islands-and-gaps: consecutive duplicated window starts share
-    // (pos - row_number) within a document
+    // islands over COVERAGE, not starts: a new span begins only when the
+    // previous duplicated window's [p, p+n) coverage has fully ended
+    // (gap > n), so overlapping/touching coverage merges into one span
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dupPos.withColumn("grp", col("pos") - row_number().over(w))
+    dupPos
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, lit(0)).otherwise(lit(1)))
+      .withColumn("grp", sum(col("__new")).over(w))
+      .drop("__new")
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("start_tok"),
         (max(col("pos")) + lit(n)).as("end_tok"),

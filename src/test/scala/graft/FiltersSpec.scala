@@ -91,6 +91,18 @@ class FiltersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toSeq == Seq(1L))
   }
 
+  test("c4 survives CRLF corpora: \\r-terminated lines still pass the punct test") {
+    // splitting CRLF text on \n leaves every line ending in \r — a
+    // space-only rtrim would count the ENTIRE document as no-punct and
+    // clean() would delete it (the LineDedup trim-set rule applies here)
+    val crlf = Seq.fill(3)(goodLine).mkString("\r\n") + "\r\n"
+    val r = C4Filters.lineAudit(docsDf(Seq((1L, crlf)))).head()
+    assert(r.getAs[Long]("n_kept_lines") == 3)
+    assert(r.getAs[Long]("n_dropped_no_punct") == 1) // only the trailing empty line
+    val kept = C4Filters.clean(docsDf(Seq((1L, crlf)))).count()
+    assert(kept == 1L)
+  }
+
   test("c4 clean carries the CLEANED text, not the original") {
     val text = Seq(goodLine, "dangling fragment", goodLine, goodLine).mkString("\n")
     val out = C4Filters.clean(docsDf(Seq((1L, text)))).select("text").head.getString(0)

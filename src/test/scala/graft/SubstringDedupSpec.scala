@@ -88,6 +88,30 @@ class SubstringDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain == salted && plain.nonEmpty)
   }
 
+  test("overlapping coverage from DIFFERENT matches merges into one disjoint span") {
+    // doc X's window at pos 0 matches doc B, its window at pos 2 matches
+    // doc C, and the bridging window at pos 1 matches nothing: duplicated
+    // starts {0, 2} are non-consecutive but their coverage [0,10) and
+    // [2,12) overlaps — the span set must be the single [0,12), never two
+    // overlapping rows a per-doc sum(end-start) would double-count
+    val a = words(61, 10); val b = words(62, 2)
+    val x = (a ++ b).mkString(" ")                          // 12 tokens
+    val docB = (a ++ words(63, 10)).mkString(" ")           // shares window@0
+    val docC = (words(64, 2) ++ a.drop(2) ++ b ++ words(65, 8)).mkString(" ") // shares window@2
+    val spans = SubstringDedup.duplicateSpans(
+        docsDf(Seq((1L, x), (2L, docB), (3L, docC))), n = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).sortBy(_._1)
+    assert(spans.toSeq == Seq((1L, 0, 12, 2L), (2L, 0, 10, 1L), (3L, 2, 12, 1L)))
+    // spans within a doc are disjoint by contract
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(p, q) => assert(p._3 <= q._2, s"overlap: $p $q")
+        case _ => ()
+      }
+    }
+  }
+
   test("adjacent distinct duplicated runs merge into one maximal island") {
     // two different shared runs back-to-back: windows bridging the junction
     // also repeat (both docs share the full 20-token concatenation), so the
