@@ -212,6 +212,40 @@ object SparkEntry {
           col("n_tok_before").cast("long").as("n_tok_before"),
           col("n_tok_after").cast("long").as("n_tok_after"))
         .orderBy("doc_id")),
+    "x_table_prune" -> ((s, dir) => {
+      // Iceberg-model data skipping driven end-to-end: events land in a
+      // transcript table as 4 batches, each range-clustered on ts with
+      // per-file bounds recorded in the manifest (FileStats); a time-range
+      // query then runs through the manifest-pruned readRange path. The
+      // in-query require pins that pruning ACTUALLY skipped files — the
+      // layout makes half the month prunable per batch — while the oracle
+      // replays the semantic query on the raw events table, proving the
+      // pruned scan changes which files open, never what the query
+      // returns. ts is emitted as epoch micros (engine-neutral hashing).
+      import graft.table.TranscriptTable
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_prune_sf${sfOf(dir)}/t"
+      graft.util.Fs.rmrf(tbl)
+      val ev = t(s, dir, "events")
+      (0 until 4).foreach { b =>
+        TranscriptTable.writeBatch(
+          ev.filter(pmod(col("event_id"), lit(4)) === b)
+            .repartitionByRange(2, col("ts")).sortWithinPartitions("ts"),
+          tbl, f"b$b%03d", statsCols = Seq("ts"))
+      }
+      // LocalDateTime bounds: the parquet ts is TIMESTAMP_NTZ (naive
+      // micros), so the literal must be NTZ too — an Instant/LTZ bound
+      // would shift on non-UTC sessions and mismatch the column type
+      val lo = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+      val hi = java.time.LocalDateTime.parse("2024-01-13T00:00:00")
+      val plan = TranscriptTable.planRange(tbl, "ts", lo, hi)
+      require(plan.nFilesSkipped >= plan.nFilesTotal / 2,
+        s"data skipping must prune the clustered layout: $plan")
+      TranscriptTable.readRange(s, tbl, "ts", lo, hi)
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
     "x_line_dedup" -> ((s, dir) => {
       // CCNet/RefinedWeb line-level boilerplate pass. The synthetic
       // documents are single-line, so the row builds multi-line PAGES
@@ -1291,6 +1325,15 @@ object SparkEntry {
         |    count(*)::BIGINT AS n_after
         |  FROM kept GROUP BY doc_id) k ON d0.doc_id = k.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
+    "x_table_prune" ->
+      // the semantic time-range query on the raw events table: equality
+      // against the manifest-pruned table read proves data skipping is
+      // IO-only — file bounds change what opens, never what returns
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |              AND TIMESTAMP '2024-01-13 00:00:00'
+        |ORDER BY event_id""".stripMargin,
     "x_line_dedup" ->
       // pages rebuilt identically (string_agg ORDER BY doc_id == the
       // array_sort(collect_list(struct)) fold); line identity = trim of

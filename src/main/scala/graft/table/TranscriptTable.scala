@@ -53,13 +53,30 @@ object TranscriptTable {
   /** Write one batch then commit it atomically. `manifestExtra` carries the
     * batch lineage summary into the manifest for audit; the batch SCHEMA
     * is always recorded (see [[read]] — schema evolution resolves from
-    * manifests alone, the Iceberg model, never from data-file footers). */
+    * manifests alone, the Iceberg model, never from data-file footers).
+    * `statsCols` opts the batch into file-level min/max bounds
+    * ([[FileStats]]) for manifest-pruned reads ([[readRange]]) — one
+    * batch-local columnar aggregate before the commit flip. */
   def writeBatch(df: DataFrame, table: String, batchId: String,
-      manifestExtra: Map[String, String] = Map.empty): Unit = {
+      manifestExtra: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Unit = {
     if (isCommitted(table, batchId)) return // idempotent resume
     writeData(df, table, batchId)
-    commit(table, batchId, manifestExtra + ("schema" -> df.schema.json))
+    commit(table, batchId, manifestExtra + ("schema" -> df.schema.json) ++
+      statsExtras(df.sparkSession, table, batchId, statsCols))
   }
+
+  /** File-stats manifest entries for a STAGED (written, uncommitted)
+    * batch: collected by re-scanning only the stats columns of the
+    * just-written parquet, grouped by file. Empty `statsCols` → no
+    * entries (zero cost). */
+  def statsExtras(spark: SparkSession, table: String, batchId: String,
+      statsCols: Seq[String]): Map[String, String] =
+    if (statsCols.isEmpty) Map.empty
+    else Map(
+      "stats_cols" -> statsCols.mkString(","),
+      "file_stats" -> FileStats.encode(
+        FileStats.collect(spark, dataDir(table, batchId), statsCols)))
 
   /** Stage the data files of one batch WITHOUT committing: the batch stays
     * invisible (no manifest) until [[commit]] flips it. Lets callers derive
@@ -200,19 +217,47 @@ object TranscriptTable {
       _ => parseBatchSchema(table, batchId))
   }
 
-  private def parseBatchSchema(table: String, batchId: String)
-      : Option[org.apache.spark.sql.types.StructType] = {
+  /** A string-valued manifest entry, unescaped. Scanned manually — a
+    * `(?:[^"\\]|\\.)*` regex stack-overflows on multi-KB values
+    * (backtracking frame per character). */
+  private def manifestValue(table: String, batchId: String,
+      key: String): Option[String] = {
     val json = manifestJson(table, batchId)
-    val keyAt = json.indexOf("\"schema\": \"")
+    val marker = "\"" + key + "\": \""
+    val keyAt = json.indexOf(marker)
     if (keyAt < 0) return None
-    val start = keyAt + "\"schema\": \"".length
+    val start = keyAt + marker.length
     var i = start
     while (i < json.length && json.charAt(i) != '"') {
       if (json.charAt(i) == '\\') i += 2 else i += 1
     }
     if (i >= json.length) return None
-    Some(org.apache.spark.sql.types.DataType.fromJson(junstr(json.substring(start, i)))
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    Some(junstr(json.substring(start, i)))
+  }
+
+  private def parseBatchSchema(table: String, batchId: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    manifestValue(table, batchId, "schema").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The batch's recorded per-file column bounds, if any. */
+  def fileStats(table: String, batchId: String)
+      : Map[String, Map[String, FileStats.ColStat]] =
+    manifestValue(table, batchId, "file_stats")
+      .map(FileStats.decode).getOrElse(Map.empty)
+
+  /** Data files listed by the batch's manifest (names, not paths). */
+  def batchFiles(table: String, batchId: String): Seq[String] = {
+    val json = manifestJson(table, batchId)
+    val start = json.indexOf("\"files\": [")
+    if (start < 0) return Seq.empty
+    val end = json.indexOf(']', start)
+    val m = java.util.regex.Pattern.compile("\"([^\"]+)\"")
+      .matcher(json.substring(start + "\"files\": [".length, end))
+    val b = Seq.newBuilder[String]
+    while (m.find()) b += m.group(1)
+    b.result()
   }
 
   /** Recursively relax every nullability flag (top-level `nullable`, array
@@ -304,6 +349,59 @@ object TranscriptTable {
     }
   }
 
+  /** A manifest-pruned scan plan for `column` in [lo, hi]: which data
+    * files can contain a matching row, per the recorded [[FileStats]]
+    * bounds. Files of batches without stats (or without stats for this
+    * column) are KEPT — pruning is never allowed to be wrong, only to be
+    * unavailable. The skipped count is the audit (no silent caps: how
+    * much a query's layout saved is a queryable number, not a guess). */
+  final case class ScanPlan(keptPaths: Seq[String], nFilesTotal: Int,
+      nFilesSkipped: Int, batches: Seq[String])
+
+  def planRange(table: String, column: String, lo: Any, hi: Any,
+      asOfBatch: String = null): ScanPlan = {
+    val batches = liveBatches(table, asOfBatch)
+    require(batches.nonEmpty, s"no committed batches in $table")
+    val loC = FileStats.canonBound(lo)
+    val hiC = FileStats.canonBound(hi)
+    var total = 0
+    var skipped = 0
+    val kept = Seq.newBuilder[String]
+    batches.foreach { b =>
+      val stats = fileStats(table, b)
+      val files = batchFiles(table, b)
+      total += files.length
+      files.foreach { f =>
+        val keep = stats.get(f).flatMap(_.get(column)) match {
+          case Some(s) => FileStats.overlaps(s, loC, hiC)
+          case None    => true // no bounds recorded for this file/column
+        }
+        if (keep) kept += s"${dataDir(table, b)}/$f" else skipped += 1
+      }
+    }
+    ScanPlan(kept.result(), total, skipped, batches)
+  }
+
+  /** Range read with manifest-level data skipping: plans via
+    * [[planRange]], scans only overlapping files (with the union schema,
+    * so evolution still resolves), then applies the EXACT predicate —
+    * bounds prune IO, the filter pins semantics. Bounds are inclusive;
+    * null = unbounded on that side. */
+  def readRange(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any, asOfBatch: String = null): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val plan = planRange(table, column, lo, hi, asOfBatch)
+    val pred = (if (lo == null) lit(true) else col(column) >= lit(lo)) &&
+      (if (hi == null) lit(true) else col(column) <= lit(hi))
+    if (plan.keptPaths.isEmpty)
+      return readAsOf(spark, table, asOfBatch).filter(lit(false))
+    unionSchema(table, plan.batches) match {
+      case Some(schema) =>
+        spark.read.schema(schema).parquet(plan.keptPaths: _*).filter(pred)
+      case None => spark.read.parquet(plan.keptPaths: _*).filter(pred)
+    }
+  }
+
   /** Small-file compaction (Iceberg-style table maintenance): rewrite a set
     * of committed batches as ONE new batch with `targetFiles` files and
     * atomically supersede them. The flip is a single manifest rename — the
@@ -313,7 +411,32 @@ object TranscriptTable {
     * replaced ids, so a resumed producer still no-ops on them. Old DATA
     * stays until [[vacuum]], keeping pre-compaction time travel valid. */
   def compact(spark: SparkSession, table: String, batchIds: Seq[String],
-      newBatchId: String, targetFiles: Int = 1): Unit = {
+      newBatchId: String, targetFiles: Int = 1): Unit =
+    compactWith(spark, table, batchIds, newBatchId,
+      _.coalesce(targetFiles), Nil)
+
+  /** Clustering compaction: rewrite the batches RANGE-PARTITIONED and
+    * sorted on `sortCols`, so each output file owns a disjoint slice of
+    * the sort-key space — the layout that makes [[readRange]] pruning on
+    * those columns effective (Iceberg's rewrite_data_files with a sort
+    * order). File bounds for `statsCols` (default: the sort columns) are
+    * recorded on the new manifest. Sorting is a batch-set-local shuffle —
+    * compaction-sized, never table-sized. */
+  def compactSorted(spark: SparkSession, table: String, batchIds: Seq[String],
+      newBatchId: String, sortCols: Seq[String], targetFiles: Int,
+      statsCols: Seq[String] = Nil): Unit = {
+    require(sortCols.nonEmpty, "compactSorted needs sort columns")
+    import org.apache.spark.sql.functions.col
+    val cols = sortCols.map(col)
+    compactWith(spark, table, batchIds, newBatchId,
+      df => df.repartitionByRange(targetFiles, cols: _*)
+        .sortWithinPartitions(cols: _*),
+      if (statsCols.isEmpty) sortCols else statsCols)
+  }
+
+  private def compactWith(spark: SparkSession, table: String,
+      batchIds: Seq[String], newBatchId: String,
+      layout: DataFrame => DataFrame, statsCols: Seq[String]): Unit = {
     require(batchIds.nonEmpty, "nothing to compact")
     require(batchIds.forall(isCommitted(table, _)),
       s"compact requires committed batches: $batchIds")
@@ -332,7 +455,7 @@ object TranscriptTable {
       case Some(s) => spark.read.schema(s).parquet(batchIds.map(b => dataDir(table, b)): _*)
       case None    => spark.read.parquet(batchIds.map(b => dataDir(table, b)): _*)
     }
-    df.coalesce(targetFiles).write.mode(SaveMode.Overwrite)
+    layout(df).write.mode(SaveMode.Overwrite)
       .parquet(dataDir(table, newBatchId))
     val withLineage = batchIds.filter(b => Files.exists(Paths.get(lineageDir(table, b))))
     if (withLineage.nonEmpty)
@@ -348,7 +471,8 @@ object TranscriptTable {
     commit(table, newBatchId, Map(
       "replaces" -> batchIds.sorted.mkString(","),
       "n_turns" -> nTurns.toString,
-      "schema" -> df.schema.json))
+      "schema" -> df.schema.json) ++
+      statsExtras(spark, table, newBatchId, statsCols))
   }
 
   /** Reclaim the data/lineage files of compaction-retired batches. After

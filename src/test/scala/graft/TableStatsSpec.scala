@@ -1,0 +1,147 @@
+package graft
+
+import graft.table.{FileStats, TranscriptTable => TT}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** File-level column bounds in manifests + manifest-pruned range reads +
+  * clustering compaction — the Iceberg data-skipping model. */
+class TableStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def freshTable(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString + "/t"
+
+  test("stats encode/decode round-trips arbitrary string bounds") {
+    val stats = Map(
+      "part-0.parquet" -> Map(
+        "ts" -> FileStats.ColStat("num", "-12", "34"),
+        "txt" -> FileStats.ColStat("str", "a|b;c\nd%", "é中")),
+      "part-1.parquet" -> Map(
+        "txt" -> FileStats.ColStat("null", "", ""),
+        "new_col" -> FileStats.ColStat("absent", "", "")))
+    assert(FileStats.decode(FileStats.encode(stats)) == stats)
+  }
+
+  test("range read prunes files by recorded bounds and matches the unpruned scan") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_stats")
+    // 4 range-partitioned files per batch -> disjoint id slices per file
+    val b0 = (0L until 400L).map(i => (i, s"d$i")).toDF("id", "text")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    val b1 = (400L until 800L).map(i => (i, s"d$i")).toDF("id", "text")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    TT.writeBatch(b0, out, "b000", statsCols = Seq("id"))
+    TT.writeBatch(b1, out, "b001", statsCols = Seq("id"))
+    assert(TT.fileStats(out, "b000").nonEmpty)
+
+    val plan = TT.planRange(out, "id", 90L, 110L)
+    assert(plan.nFilesTotal == 8)
+    // [90,110] spans at most 2 of the 8 disjoint ~100-wide slices
+    assert(plan.keptPaths.length <= 2 && plan.nFilesSkipped >= 6)
+
+    val pruned = TT.readRange(spark, out, "id", 90L, 110L)
+      .select("id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val full = TT.read(spark, out).filter(col("id") >= 90 && col("id") <= 110)
+      .select("id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pruned == full && pruned.size == 21)
+  }
+
+  test("batches without stats are never pruned; bounds stay exact") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_stats_mixed")
+    TT.writeBatch((0L until 100L).map(i => (i, "a")).toDF("id", "text"),
+      out, "b000") // NO statsCols: legacy batch
+    TT.writeBatch((100L until 200L).map(i => (i, "b")).toDF("id", "text")
+      .repartitionByRange(2, col("id")), out, "b001", statsCols = Seq("id"))
+    val plan = TT.planRange(out, "id", 0L, 10L)
+    // legacy batch files all kept; both b001 slices (>= 100) skipped
+    assert(plan.nFilesSkipped == 2)
+    val got = TT.readRange(spark, out, "id", 0L, 10L).count()
+    assert(got == 11L)
+  }
+
+  test("all-null and schema-absent columns are skippable: range predicates never match null") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_stats_null")
+    val withNull = Seq((1L, null.asInstanceOf[java.lang.Long]),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("id", "score")
+    TT.writeBatch(withNull, out, "b000", statsCols = Seq("score"))
+    // b001 predates the score column entirely (schema evolution)
+    TT.writeBatch(Seq((3L, "x")).toDF("id", "text"), out, "b001",
+      statsCols = Seq("score"))
+    val plan = TT.planRange(out, "score", 0L, 100L)
+    assert(plan.keptPaths.isEmpty && plan.nFilesSkipped == plan.nFilesTotal)
+    assert(TT.readRange(spark, out, "score", 0L, 100L).count() == 0L)
+  }
+
+  test("string bounds compare in UTF-8 byte order") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_stats_str")
+    TT.writeBatch(Seq(("apple", 1L), ("banana", 2L)).toDF("word", "n"),
+      out, "b000", statsCols = Seq("word"))
+    TT.writeBatch(Seq(("melon", 3L), ("peach", 4L)).toDF("word", "n"),
+      out, "b001", statsCols = Seq("word"))
+    val plan = TT.planRange(out, "word", "aa", "c")
+    assert(plan.nFilesSkipped >= 1) // the melon..peach file cannot overlap
+    val got = TT.readRange(spark, out, "word", "aa", "c")
+      .select("word").collect().map(_.getString(0)).toSet
+    assert(got == Set("apple", "banana"))
+  }
+
+  test("timestamp bounds prune via epoch-micros canonical form") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_stats_ts")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-02 00:00:00")),
+      (3L, ts("2024-06-01 00:00:00")), (4L, ts("2024-06-02 00:00:00")))
+      .toDF("id", "ts").repartitionByRange(2, col("ts"))
+    TT.writeBatch(df, out, "b000", statsCols = Seq("ts"))
+    val plan = TT.planRange(out, "ts", ts("2024-05-01 00:00:00"), null)
+    assert(plan.nFilesTotal == 2 && plan.nFilesSkipped == 1)
+    assert(TT.readRange(spark, out, "ts", ts("2024-05-01 00:00:00"), null)
+      .count() == 2L)
+  }
+
+  test("compactSorted re-clusters scattered batches so range reads prune") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_stats_sortcomp")
+    // ids deliberately interleaved across batches AND within files: range
+    // partitioning on the LEXICAL text order (d0 < d10 < d100 < d2 ...)
+    // scrambles the numeric id ranges, so every file's [min,max] id
+    // bounds span nearly the whole corpus before compaction
+    (0 until 3).foreach { b =>
+      val rows = (0L until 300L).filter(_ % 3 == b).map(i => (i, s"d$i"))
+      TT.writeBatch(rows.toDF("id", "text").repartitionByRange(2, col("text")),
+        out, f"b$b%03d", statsCols = Seq("id"))
+    }
+    val before = TT.planRange(out, "id", 10L, 20L)
+    assert(before.nFilesSkipped == 0) // scattered layout: nothing prunable
+
+    TT.compactSorted(spark, out, Seq("b000", "b001", "b002"), "c000",
+      sortCols = Seq("id"), targetFiles = 6)
+    val after = TT.planRange(out, "id", 10L, 20L)
+    assert(after.nFilesTotal == 6 && after.nFilesSkipped >= 4)
+
+    val got = TT.readRange(spark, out, "id", 10L, 20L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (10L to 20L).toSet)
+    // content contract unchanged by the rewrite
+    assert(TT.read(spark, out).count() == 300L)
+  }
+}
