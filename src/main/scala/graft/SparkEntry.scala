@@ -168,6 +168,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    "x_bloom_dedup" -> ((s, dir) => {
+      // the Bloom-gated EXACT incremental dedup (Dolma-style): corpus
+      // docs < 250 committed into a sharded filter + shard-partitioned
+      // md5 store; the batch (docs >= 250 plus 25 PLANTED exact copies of
+      // corpus docs 0..24, re-keyed +10000 — the planted-union technique,
+      // since no organic exact dup crosses the 250 boundary) flows
+      // through the gate. Only the probe-positive sliver ever joins the
+      // store, and only its shards' directories are scanned; the result
+      // is EXACT regardless of fp draws, which is precisely what the
+      // oracle pins: survivors == batch minus corpus md5 membership.
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250).unionByName(
+        d.filter(col("doc_id") < 25).withColumn("doc_id", col("doc_id") + 10000))
+      val bdir = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_sf${sfOf(dir)}"
+      graft.ops.BloomDedup.buildBloom(corpus, bdir, shards = 8)
+      graft.ops.BloomDedup.dedupAgainst(batch, bdir)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     "x_decontaminate" -> ((s, dir) => {
       // benchmark decontamination (r6): docs >= 250 play the eval set —
       // the same split as x_dedup_incremental, where cross-boundary
@@ -1671,6 +1691,18 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "x_bloom_dedup" ->
+      // the EXACT contract the Bloom gate must reproduce regardless of
+      // false-positive draws: batch (with the planted re-keyed copies)
+      // minus corpus md5 membership — fp costs a confirmed lookup, never
+      // a row
+      """WITH batch AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, lang, text FROM documents WHERE doc_id < 25)
+        |SELECT doc_id, lang FROM batch
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
+        |ORDER BY doc_id""".stripMargin,
     "x_dedup_incremental" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t

@@ -1,0 +1,131 @@
+package graft
+
+import graft.ops.{BloomDedup, Dedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Sharded Bloom-filter dedup gate: no false negatives, exact composed
+  * output, bit-identical append, measured fp rate. */
+class BloomDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(ids: Seq[Long], tag: String) = {
+    val sp = spark; import sp.implicits._
+    ids.map(i => (i, s"doc $tag ${graft.jobs.Synth.mix(i).toHexString} body $i"))
+      .toDF("doc_id", "text")
+  }
+
+  private def fresh(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString + "/bloom"
+
+  // corpus docs 0..499 written to parquet so inputToken has file lineage
+  private def corpusDf(dir: String): org.apache.spark.sql.DataFrame = {
+    val p = s"$dir/corpus.parquet"
+    docs(0L until 500L, "c").write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
+  test("no false negatives: every true duplicate is flagged") {
+    val dir = fresh("graft_bloom_fn")
+    val corpus = corpusDf(dir)
+    BloomDedup.buildBloom(corpus, dir, shards = 8)
+    // batch = 50 exact copies of corpus docs + 50 new docs
+    val batch = docs(100L until 150L, "c").unionByName(docs(1000L until 1050L, "n"))
+    val hits = BloomDedup.mightContain(batch, dir)
+      .filter(col("bloom_hit")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((100L until 150L).forall(hits.contains), "a Bloom filter must never miss")
+  }
+
+  test("dedupAgainst == exactDedupAgainst, bit-for-bit") {
+    val dir = fresh("graft_bloom_exact")
+    val corpus = corpusDf(dir)
+    BloomDedup.buildBloom(corpus, dir, shards = 8)
+    val batch = docs(450L until 520L, "c").unionByName(docs(2000L until 2020L, "n"))
+    val viaBloom = BloomDedup.dedupAgainst(batch, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = Dedup.exactDedupAgainst(batch, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact)
+    assert(viaBloom == ((500L until 520L) ++ (2000L until 2020L)).toSet)
+  }
+
+  test("cogrouped probe agrees with the broadcast probe") {
+    val dir = fresh("graft_bloom_cg")
+    BloomDedup.buildBloom(corpusDf(dir), dir, shards = 8)
+    val batch = docs(480L until 540L, "c")
+    val a = BloomDedup.mightContain(batch, dir)
+      .select("doc_id", "bloom_hit").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val b = BloomDedup.mightContainCogrouped(batch, dir)
+      .select("doc_id", "bloom_hit").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(a == b)
+  }
+
+  test("append is bit-identical to a rebuild over the union") {
+    val dirA = fresh("graft_bloom_appA")
+    val dirB = fresh("graft_bloom_appB")
+    val corpus = corpusDf(dirA)
+    BloomDedup.buildBloom(corpus, dirA, shards = 8)
+    val batch2 = docs(500L until 600L, "c")
+    BloomDedup.appendBloom(batch2, dirA, newToken = Some(42L))
+
+    // rebuild at the SAME geometry (m fixed by first build's key count):
+    // force identical bytes_per_shard by building from the original
+    // corpus, then appending — vs appending twice in different order
+    BloomDedup.buildBloom(corpus, dirB, shards = 8)
+    BloomDedup.appendBloom(docs(550L until 600L, "c"), dirB, Some(1L))
+    BloomDedup.appendBloom(docs(500L until 550L, "c"), dirB, Some(2L))
+
+    def bitsOf(dir: String) = spark.read.parquet(s"$dir/filters")
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(bitsOf(dirA) == bitsOf(dirB), "OR order must not matter")
+
+    // appended keys probe as present; untouched new keys stay absent
+    val hits = BloomDedup.mightContain(docs(500L until 600L, "c"), dirA)
+      .filter(col("bloom_hit")).count()
+    assert(hits == 100L)
+  }
+
+  test("false-positive rate stays near the designed bound") {
+    val dir = fresh("graft_bloom_fp")
+    BloomDedup.buildBloom(corpusDf(dir), dir, bitsPerKey = 10, nHashes = 7,
+      shards = 4)
+    // 2000 keys that are definitely not in the corpus
+    val fresh_ = docs(100000L until 102000L, "x")
+    val fp = BloomDedup.mightContain(fresh_, dir)
+      .filter(col("bloom_hit")).count()
+    // designed fp at 10 bits/key, k=7 is ~0.8%; allow generous slack
+    assert(fp <= 60, s"fp rate out of band: $fp / 2000")
+    val (nKeys, bpk) = BloomDedup.bloomLoad(spark, dir)
+    assert(nKeys == 500L && bpk >= 10.0)
+  }
+
+  test("empty sliver short-circuits; fresh build is a zero-job no-op") {
+    val dir = fresh("graft_bloom_idem")
+    val corpus = corpusDf(dir)
+    BloomDedup.buildBloom(corpus, dir, shards = 4)
+    // all-new batch: nothing flagged, store never joined
+    val out = BloomDedup.dedupAgainst(docs(50000L until 50020L, "z"), dir)
+    assert(out.count() == 20L)
+    // token-fresh rebuild returns without touching the filters
+    val mtime = new java.io.File(s"$dir/filters").lastModified()
+    BloomDedup.buildBloom(corpus, dir, shards = 4)
+    assert(new java.io.File(s"$dir/filters").lastModified() == mtime)
+  }
+}
