@@ -434,6 +434,17 @@ object TranscriptTable {
       if (statsCols.isEmpty) sortCols else statsCols)
   }
 
+  /** Z-order clustering compaction ([[ZOrder]]): multi-dimensional
+    * locality, so [[readRange]] prunes on EVERY z column — the layout for
+    * tables queried along more than one axis (time AND key, say). File
+    * bounds for all z columns are recorded. */
+  def compactZOrder(spark: SparkSession, table: String, batchIds: Seq[String],
+      newBatchId: String, zCols: Seq[String], targetFiles: Int,
+      statsCols: Seq[String] = Nil): Unit =
+    compactWith(spark, table, batchIds, newBatchId,
+      df => ZOrder.cluster(df, zCols, targetFiles),
+      if (statsCols.isEmpty) zCols else statsCols)
+
   private def compactWith(spark: SparkSession, table: String,
       batchIds: Seq[String], newBatchId: String,
       layout: DataFrame => DataFrame, statsCols: Seq[String]): Unit = {

@@ -118,6 +118,43 @@ class TableStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 2L)
   }
 
+  test("compactZOrder prunes on BOTH dimensions; single-col sort prunes on one") {
+    val sp = spark; import sp.implicits._
+    // two independent uniform dims: x = i mod 100, y = i div 100
+    def grid() = (0L until 10000L).map(i => (i, i % 100L, i / 100L))
+      .toDF("id", "x", "y")
+
+    val zTbl = freshTable("graft_stats_z")
+    TT.writeBatch(grid().repartitionByRange(4, col("id")), zTbl, "b000",
+      statsCols = Seq("x", "y"))
+    TT.compactZOrder(spark, zTbl, Seq("b000"), "c000",
+      zCols = Seq("x", "y"), targetFiles = 16)
+
+    val sTbl = freshTable("graft_stats_s")
+    TT.writeBatch(grid().repartitionByRange(4, col("id")), sTbl, "b000",
+      statsCols = Seq("x", "y"))
+    TT.compactSorted(spark, sTbl, Seq("b000"), "c000",
+      sortCols = Seq("x"), targetFiles = 16, statsCols = Seq("x", "y"))
+
+    // one-dim 10% query: z-order prunes ~1 - sqrt(s) of files on EITHER
+    // dim; the x-sort prunes x perfectly and y not at all
+    val zx = TT.planRange(zTbl, "x", 10L, 19L)
+    val zy = TT.planRange(zTbl, "y", 10L, 19L)
+    val sx = TT.planRange(sTbl, "x", 10L, 19L)
+    val sy = TT.planRange(sTbl, "y", 10L, 19L)
+    assert(zx.nFilesSkipped >= 8 && zy.nFilesSkipped >= 8,
+      s"z-order must prune both dims: x skipped ${zx.nFilesSkipped}, y ${zy.nFilesSkipped}")
+    // 100 distinct x over 16 files ≈ 6 values/file: a 10-value range
+    // legitimately touches up to 3 files
+    assert(sx.nFilesSkipped >= 13, s"x-sort prunes x: ${sx.nFilesSkipped}")
+    assert(sy.nFilesSkipped == 0, "x-sort cannot prune y")
+
+    // content identical through every layout
+    val zGot = TT.readRange(spark, zTbl, "x", 10L, 19L).count()
+    val sGot = TT.readRange(spark, sTbl, "x", 10L, 19L).count()
+    assert(zGot == 1000L && sGot == 1000L)
+  }
+
   test("compactSorted re-clusters scattered batches so range reads prune") {
     val sp = spark; import sp.implicits._
     val out = freshTable("graft_stats_sortcomp")
