@@ -435,6 +435,103 @@ object ScaleProbe {
       mark("pack", tP64 + tP1 + tMix)
     }
 
+    // Bloom dedup gate: build over nVecs keys, then the per-batch shapes
+    // the filter exists for — a mostly-new batch (the common tick) and an
+    // append — against the direct corpus-scan anti-join. The gate must
+    // (a) stay exact, (b) make the warm mostly-new tick corpus-scan-free,
+    // (c) append in O(batch).
+    if (sections("bloom")) {
+      import spark.implicits._
+      val n = nVecs.toLong
+      val tmp = System.getProperty("java.io.tmpdir")
+      val corpusPath = s"$tmp/graft_scaleprobe_bloom_corpus"
+      rmrf(corpusPath)
+      spark.range(n).select(col("id").as("doc_id"),
+          concat(lit("bloom probe key "), col("id"), lit(" body")).as("text"))
+        .write.mode("overwrite").parquet(corpusPath)
+      val corpus = spark.read.parquet(corpusPath)
+      val bdir = s"$tmp/graft_scaleprobe_bloom"
+      rmrf(bdir)
+      val (_, tBuild) = time(
+        graft.ops.BloomDedup.buildBloom(corpus, bdir, shards = 64))
+      // batch: 10% new keys + 1% exact copies
+      val batch = spark.range(n, n + n / 10).select(col("id").as("doc_id"),
+          concat(lit("new key "), col("id"), lit(" body")).as("text"))
+        .unionByName(spark.range(n / 100).select(
+          (col("id") + 2 * n).as("doc_id"),
+          concat(lit("bloom probe key "), col("id"), lit(" body")).as("text")))
+        .localCheckpoint()
+      val (kept, tGate) = time(
+        graft.ops.BloomDedup.dedupAgainst(batch, bdir).count())
+      val (keptDirect, tDirect) = time(
+        Dedup.exactDedupAgainst(batch, corpus).count())
+      // the third arm: anti-join against the persisted (pre-hashed) key
+      // store with NO bloom gate — isolates what the filter itself buys
+      // (cleared-row short-circuit + shard pruning) from what the store
+      // buys (not re-hashing the corpus text every batch)
+      val (keptStore, tStore) = time {
+        val store = spark.read.parquet(s"$bdir/keys").select("h1", "h2").distinct()
+        val hp = udf((m: String) => graft.ops.BloomDedup.hashPair(m))
+        batch.withColumn("__hp", hp(md5(col("text"))))
+          .withColumn("h1", col("__hp._1")).withColumn("h2", col("__hp._2"))
+          .join(store, Seq("h1", "h2"), "left_anti").count()
+      }
+      require(kept == keptDirect && kept == keptStore && kept == n / 10,
+        s"bloom gate must be exact: $kept vs $keptDirect/$keptStore (want ${n / 10})")
+      out("bloom_store_antijoin_sec") = tStore
+      // the approximate (Dolma) form: map-side only, corpus untouched —
+      // the O(batch)-regardless-of-corpus regime; kept undercounts by
+      // the fp draw, which the exact arms above bound
+      val (keptApprox, tApprox) = time(
+        graft.ops.BloomDedup.dedupAgainstApprox(batch, bdir).count())
+      require(keptApprox <= kept,
+        s"approx form must only over-drop: $keptApprox vs $kept")
+      out("bloom_approx_gate_sec") = tApprox
+      out("bloom_approx_fp_dropped") = kept - keptApprox
+      val (_, tAppend) = time(
+        graft.ops.BloomDedup.appendBloom(batch, bdir, Some(1L)))
+      val (nk, bpk) = graft.ops.BloomDedup.bloomLoad(spark, bdir)
+      out("bloom_keys") = n
+      out("bloom_build_sec") = tBuild
+      out("bloom_gate_sec") = tGate
+      out("bloom_direct_antijoin_sec") = tDirect
+      out("bloom_append_sec") = tAppend
+      out("bloom_keys_after_append") = nk
+      out("bloom_bits_per_key_now") = bpk
+      mark("bloom", tBuild + tGate + tDirect + tAppend)
+    }
+
+    // Manifest data skipping: one month of synthetic events compacted
+    // into 32 ts-clustered files; a 3-day range query through readRange
+    // vs the full-scan filter. The honest scale metric is files OPENED
+    // (the plan numbers) — wall clock at local scale is page-cached.
+    if (sections("skip")) {
+      val n = nVecs.toLong
+      val tmp = System.getProperty("java.io.tmpdir")
+      val table = s"$tmp/graft_scaleprobe_skiptbl"
+      rmrf(table)
+      val ev = spark.range(n).select(col("id").as("event_id"),
+        (lit(1704067200L) + col("id") * (30L * 86400) / n).as("ts_s"),
+        pmod(col("id") * 2654435761L, lit(1000)).as("user_id"))
+      graft.table.TranscriptTable.writeBatch(
+        ev.repartitionByRange(32, col("ts_s")).sortWithinPartitions("ts_s"),
+        table, "b000", statsCols = Seq("ts_s"))
+      val lo = 1704067200L + 10L * 86400; val hi = lo + 3L * 86400
+      val plan = graft.table.TranscriptTable.planRange(table, "ts_s", lo, hi)
+      val (nPruned, tPruned) = time(
+        graft.table.TranscriptTable.readRange(spark, table, "ts_s", lo, hi).count())
+      val (nFull, tFull) = time(
+        graft.table.TranscriptTable.read(spark, table)
+          .filter(col("ts_s") >= lo && col("ts_s") <= hi).count())
+      require(nPruned == nFull, s"pruned read changed results: $nPruned vs $nFull")
+      out("skip_rows") = n
+      out("skip_files_total") = plan.nFilesTotal
+      out("skip_files_skipped") = plan.nFilesSkipped
+      out("skip_pruned_sec") = tPruned
+      out("skip_full_scan_sec") = tFull
+      mark("skip", tPruned + tFull)
+    }
+
     if (sections("pipeline")) {
       val batchN = math.max(1000, nDocs / 50)
       for (n <- Seq(math.max(2 * batchN, nDocs / 10), nDocs)) {

@@ -37,7 +37,7 @@ object BloomDedup {
   /** md5 hex → (h1, h2) for Kirsch–Mitzenmacher double hashing:
     * position_i = (h1 + i*h2) mod m, i < k. h1 = lower 8 digest bytes
     * little-endian (== Dedup.md5Lower64), h2 = upper 8. */
-  private[ops] def hashPair(md5hex: String): (Long, Long) = {
+  private[graft] def hashPair(md5hex: String): (Long, Long) = {
     // h2: upper 8 digest bytes, big-endian fold
     var h2 = 0L
     var i = 0
@@ -282,6 +282,21 @@ object BloomDedup {
           hitCol, org.apache.spark.sql.types.BooleanType, nullable = false))))
     out.drop("__h1", "__h2", "__shard")
   }
+
+  /** APPROXIMATE incremental dedup — the form Dolma actually runs at
+    * scale: drop every probe-positive row, accepting the designed fp
+    * rate as collateral loss. Purely map-side (the filter broadcasts,
+    * the corpus/store is NEVER touched per batch, nothing shuffles), so
+    * per-batch cost is O(batch) regardless of corpus size — the regime
+    * where this beats every join-based form (measured: the exact
+    * [[dedupAgainst]] pays a store join that a plain pre-hashed
+    * anti-join matches; THIS form is the one that wins, at the price of
+    * ~fp-rate wrongly dropped rows, bounded and queryable via
+    * [[bloomLoad]]). */
+  def dedupAgainstApprox(batch: DataFrame, dir: String,
+      textCol: String = "text"): DataFrame =
+    mightContain(batch, dir, textCol, "__hit")
+      .filter(!col("__hit")).drop("__hit")
 
   /** EXACT incremental dedup through the Bloom gate: rows the filter
     * clears are new by the no-false-negative law and skip all joins; the

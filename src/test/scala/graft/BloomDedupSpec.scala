@@ -102,6 +102,19 @@ class BloomDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits == 100L)
   }
 
+  test("approx gate only ever over-drops relative to the exact form") {
+    val dir = fresh("graft_bloom_approx")
+    BloomDedup.buildBloom(corpusDf(dir), dir, shards = 8)
+    val batch = docs(400L until 520L, "c").unionByName(docs(3000L until 3100L, "n"))
+    val exact = BloomDedup.dedupAgainst(batch, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val approx = BloomDedup.dedupAgainstApprox(batch, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(approx.subsetOf(exact), "approx keeps only rows the exact form keeps")
+    // every true duplicate is gone in BOTH forms (no false negatives)
+    assert((400L until 500L).forall(i => !approx.contains(i) && !exact.contains(i)))
+  }
+
   test("false-positive rate stays near the designed bound") {
     val dir = fresh("graft_bloom_fp")
     BloomDedup.buildBloom(corpusDf(dir), dir, bitsPerKey = 10, nHashes = 7,
