@@ -72,16 +72,25 @@ object CurateJob {
     * a corpus-side hot cap, and `corpusSigs` (the persisted signature
     * store) removes the per-batch corpus signature pass entirely — the
     * measured 2.8x of the long-doc ScaleProbe. The filters run FIRST, so
-    * the cross-corpus dedup sees only the already-curated sliver. */
+    * the cross-corpus dedup sees only the already-curated sliver.
+    * `bloomDir` (a FRESH [[graft.ops.BloomDedup]] filter — callers gate
+    * on [[graft.ops.BloomDedup.bloomFresh]]) replaces the exact-pass
+    * corpus md5 scan with the gate's O(batch) probe + sliver confirm;
+    * the output contract is IDENTICAL (the gate is exact), only the
+    * per-tick corpus scan disappears. */
   def curateIncremental(newDocs: DataFrame, corpus: DataFrame,
       keepLangs: Set[String] = Set("en"),
       minQuality: Double = 0.3,
       nearThreshold: Double = 0.8,
       textCol: String = "text",
-      corpusSigs: Option[DataFrame] = None): (DataFrame, IncCurateStats) = {
+      corpusSigs: Option[DataFrame] = None,
+      bloomDir: Option[String] = None): (DataFrame, IncCurateStats) = {
     val (batchCurated, batchStats) =
       curate(newDocs, keepLangs, minQuality, nearThreshold, textCol)
-    val afterExact = Dedup.exactDedupAgainst(batchCurated, corpus, textCol)
+    val afterExact = bloomDir match {
+      case Some(d) => graft.ops.BloomDedup.dedupAgainst(batchCurated, d, textCol)
+      case None    => Dedup.exactDedupAgainst(batchCurated, corpus, textCol)
+    }
     val nExact = afterExact.count()
     // exactFallback off: the explicit exact pass above already covers
     // capped-bucket byte-identical matches

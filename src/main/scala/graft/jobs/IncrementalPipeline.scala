@@ -32,7 +32,8 @@ object IncrementalPipeline {
       sigDir: String, batchId: String,
       keepLangs: Set[String] = Set("en"),
       minQuality: Double = 0.3,
-      nearThreshold: Double = 0.8): Unit = {
+      nearThreshold: Double = 0.8,
+      bloomDir: String = null): Unit = {
     if (TranscriptTable.isCommitted(table, batchId)) return // replay no-op
     val hasCorpus = TranscriptTable.committedBatches(table).nonEmpty
     val corpus =
@@ -40,14 +41,22 @@ object IncrementalPipeline {
       else newDocs.select("doc_id", "text").limit(0)
     // warm path: the store is fresh exactly when its token matches the
     // CURRENT table listing (re-pinned by the previous tick's step 4)
+    val corpusToken = if (hasCorpus) AnnIndex.inputToken(corpus) else None
     val sigs =
-      if (hasCorpus && Dedup.signatureStoreFresh(spark, sigDir,
-          AnnIndex.inputToken(corpus)))
+      if (hasCorpus && Dedup.signatureStoreFresh(spark, sigDir, corpusToken))
         Some(Dedup.readSignatureStore(spark, sigDir).localCheckpoint())
+      else None
+    // the Bloom gate replaces the exact pass's per-tick corpus md5 scan
+    // when its filter is fresh for the SAME token; stale → direct exact
+    // path (degrade-to-correct, like every cache here)
+    val bloom =
+      if (bloomDir != null && hasCorpus &&
+          graft.ops.BloomDedup.bloomFresh(spark, bloomDir, corpusToken))
+        Some(bloomDir)
       else None
     val (survivors, stats) = CurateJob.curateIncremental(
       newDocs, corpus, keepLangs, minQuality, nearThreshold,
-      corpusSigs = sigs)
+      corpusSigs = sigs, bloomDir = bloom)
     TranscriptTable.writeBatch(
       survivors.repartition(math.max(1, spark.sparkContext.defaultParallelism / 4)),
       table, batchId,
@@ -63,10 +72,24 @@ object IncrementalPipeline {
     // listing, so skipping the re-pin would force the next tick cold for
     // nothing (review finding) — an empty append is a metadata write.
     val committed = TranscriptTable.read(spark, table)
+    val newToken = AnnIndex.inputToken(committed)
     if (sigs.isDefined)
       Dedup.appendSignatureStore(survivors.select("doc_id", "text"), sigDir,
-        AnnIndex.inputToken(committed))
+        newToken)
     else
       Dedup.buildSignatureStore(committed.select("doc_id", "text"), sigDir)
+    // Bloom maintenance mirrors the signature store: warm → O(batch)
+    // append re-pinned to the post-commit token; cold/absent → rebuild
+    // over the committed table so the NEXT tick is warm
+    if (bloomDir != null) {
+      if (bloom.isDefined)
+        graft.ops.BloomDedup.appendBloom(
+          survivors.select("doc_id", "text"), bloomDir, newToken)
+      else
+        // rebuild=false: freshness re-checks against the POST-commit
+        // token, so an already-current filter no-ops (replay idempotence)
+        graft.ops.BloomDedup.buildBloom(
+          committed.select("doc_id", "text"), bloomDir)
+    }
   }
 }

@@ -120,6 +120,13 @@ object BloomDedup {
       catch { case _: Exception => false }
     }
 
+  /** True when the committed filter covers exactly the corpus with this
+    * freshness token — the signatureStoreFresh convention: warm callers
+    * gate on it, a stale token degrades to the direct path, never to a
+    * wrong answer. */
+  def bloomFresh(spark: SparkSession, dir: String, token: Option[Long]): Boolean =
+    fresh(spark, dir, token)
+
   private val hashPairUdf = udf((md5hex: String) => hashPair(md5hex))
 
   /** Distinct content keys of a frame as (h1, h2, shard). */

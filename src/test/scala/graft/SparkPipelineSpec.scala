@@ -170,6 +170,53 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(table, sigDir).foreach(rmrf)
   }
 
+  test("incremental pipeline with the Bloom gate: same answers, warm filter across ticks") {
+    val table = "/tmp/graft_inc_pipeline_bl"
+    val sigDir = "/tmp/graft_inc_pipeline_bl_sigs"
+    val bloomDir = "/tmp/graft_inc_pipeline_bl_bloom"
+    Seq(table, sigDir, bloomDir).foreach(rmrf)
+    val sp = spark
+    import sp.implicits._
+    def enText(seed: Long): String = (0 until 60).map(i =>
+      "the word" + graft.jobs.Synth.mix(seed * 97 + i).toHexString.take(3) +
+        " of this and that for is").mkString(" ")
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    graft.jobs.IncrementalPipeline.runBatch(spark,
+      docs((1000L, enText(1)), (1001L, enText(2)), (1002L, enText(3))),
+      table, sigDir, "b001", bloomDir = bloomDir)
+    // tick 1 built the filter over the committed table → tick 2 is warm
+    val tok1 = graft.ops.AnnIndex.inputToken(
+      TranscriptTable.read(spark, table).select("doc_id", "text"))
+    assert(graft.ops.BloomDedup.bloomFresh(spark, bloomDir, tok1),
+      "filter must be fresh for the next tick")
+
+    // tick 2: exact dup (gated through the bloom path), near-dup, fresh
+    graft.jobs.IncrementalPipeline.runBatch(spark,
+      docs((2000L, enText(1)), (2001L, enText(2) + " with tail words"),
+        (2002L, enText(5))),
+      table, sigDir, "b002", bloomDir = bloomDir)
+    val after2 = TranscriptTable.read(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after2 == Set(1000L, 1001L, 1002L, 2002L), after2.toString)
+
+    // the filter was APPENDED (not rebuilt) and re-pinned to the new table
+    val tok2 = graft.ops.AnnIndex.inputToken(
+      TranscriptTable.read(spark, table).select("doc_id", "text"))
+    assert(graft.ops.BloomDedup.bloomFresh(spark, bloomDir, tok2))
+    val (nKeys, _) = graft.ops.BloomDedup.bloomLoad(spark, bloomDir)
+    assert(nKeys == 4L, s"3 seed keys + 1 tick-2 survivor, got $nKeys")
+
+    // tick 3 against the evolving corpus: dup of a tick-2 survivor drops
+    graft.jobs.IncrementalPipeline.runBatch(spark,
+      docs((3000L, enText(5)), (3001L, enText(6))),
+      table, sigDir, "b003", bloomDir = bloomDir)
+    val fin = TranscriptTable.read(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fin == Set(1000L, 1001L, 1002L, 2002L, 3001L), fin.toString)
+    Seq(table, sigDir, bloomDir).foreach(rmrf)
+  }
+
   test("schema evolution: added columns resolve from manifests, old rows read null") {
     // Iceberg-model evolution: each manifest records its batch schema;
     // readers plan the scan with the UNION resolved from manifests ALONE
