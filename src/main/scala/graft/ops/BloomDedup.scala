@@ -127,11 +127,16 @@ object BloomDedup {
   def bloomFresh(spark: SparkSession, dir: String, token: Option[Long]): Boolean =
     fresh(spark, dir, token)
 
-  private val hashPairUdf = udf((md5hex: String) => hashPair(md5hex))
+  // null-safe: a null text row has a null md5 and NO key — it can never
+  // match anything (SQL join keys never equal null), so key extraction
+  // drops it and probes answer "definitely new" instead of NPE-ing the task
+  private val hashPairUdf = udf((md5hex: String) =>
+    if (md5hex == null) null else hashPair(md5hex))
 
   /** Distinct content keys of a frame as (h1, h2, shard). */
   private def keyed(df: DataFrame, textCol: String, shards: Int): DataFrame =
     df.select(md5(col(textCol)).as("__md5")).distinct()
+      .filter(col("__md5").isNotNull)
       .withColumn("__hp", hashPairUdf(col("__md5")))
       .select(col("__hp._1").as("h1"), col("__hp._2").as("h2"))
       .withColumn("shard", shardUdf(col("h1"), lit(shards)))
@@ -182,21 +187,50 @@ object BloomDedup {
     * The resulting bit arrays are BIT-IDENTICAL to a full rebuild over
     * the union at the same (m, k): set bits are a union of per-key
     * positions, so OR order is immaterial. `newToken` re-pins freshness
-    * (the appendLsh convention: the token must always move). */
+    * (the appendLsh convention: the token must always move). Re-appended
+    * keys are EXACTLY excluded (filter probe + store confirm on the hit
+    * sliver), so n_keys stays the true distinct count and the store never
+    * accumulates duplicate rows. */
   def appendBloom(newDocs: DataFrame, dir: String, newToken: Option[Long],
       textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
+    import spark.implicits._
     val meta = readMeta(spark, dir)
     val shards = meta("shards").toInt
     val kLocal = meta("k").toInt
     val bytesLocal = meta("bytes_per_shard").toInt
-    val keys = keyed(newDocs, textCol, shards).localCheckpoint()
+    val batchKeys = keyed(newDocs, textCol, shards).localCheckpoint()
+    // exact NOVELTY at O(batch) on the happy path: keys the caller
+    // re-appends (already in the store) must neither duplicate store rows
+    // nor inflate n_keys — the fp-rate diagnostic's denominator. Probe the
+    // committed filter first (a miss is novel by no-false-negatives, zero
+    // IO); only the hit sliver pays a shard-pruned store confirm.
+    val filtersAll = spark.read.parquet(s"$dir/filters")
+      .as[(Int, Array[Byte])].collect().toMap
+    val bcF = spark.sparkContext.broadcast(filtersAll)
+    val hitUdf = udf((h1: Long, h2: Long) =>
+      bcF.value.get(shardOf(h1, shards))
+        .exists(b => testBits(b, h1, h2, kLocal)))
+    val flagged = batchKeys.withColumn("__hit", hitUdf(col("h1"), col("h2")))
+      .localCheckpoint()
+    val misses = flagged.filter(!col("__hit")).drop("__hit")
+    val hitShards = flagged.filter(col("__hit"))
+      .select("shard").distinct().as[Int].collect().toSeq
+    val keys = (if (hitShards.isEmpty) misses else {
+      // a hit shard always has a filter row, hence >= 1 store key, hence
+      // an existing shard= directory (build and append both write keys
+      // before bits)
+      val store = spark.read.option("basePath", s"$dir/keys")
+        .parquet(hitShards.map(sh => s"$dir/keys/shard=$sh"): _*)
+        .select(col("h1"), col("h2"))
+      misses.unionByName(flagged.filter(col("__hit")).drop("__hit")
+        .join(store, Seq("h1", "h2"), "left_anti"))
+    }).localCheckpoint()
     val nNew = keys.count()
     keys.select(col("shard"), col("h1"), col("h2"))
       .repartition(col("shard"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("shard").parquet(s"$dir/keys")
-    import spark.implicits._
     val touched = keys.select("shard").distinct().as[Int].collect().toSet
     if (touched.nonEmpty) {
       val old = spark.read.parquet(s"$dir/filters")
@@ -221,7 +255,16 @@ object BloomDedup {
       untouched.unionByName(updated)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
       graft.util.Fs.rmrf(s"$dir/filters")
-      new java.io.File(staged).renameTo(new java.io.File(s"$dir/filters"))
+      // FileContext.rename THROWS on failure (java.io.File.renameTo
+      // returns a silently-ignorable false): a failed swap must abort
+      // BEFORE the meta re-pin, leaving a stale token that degrades the
+      // next tick to the direct path + cold rebuild — never a fresh-looking
+      // filter with no bits behind it
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new org.apache.hadoop.fs.Path(staged).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(s"$dir/filters"))
     }
     writeMeta(spark, dir, kLocal, shards, bytesLocal,
       meta("n_keys").toLong + nNew, newToken.getOrElse(0L))
@@ -251,9 +294,12 @@ object BloomDedup {
       .as[(Int, Array[Byte])].collect().toMap
     val bc = spark.sparkContext.broadcast(filters)
     val probeUdf = udf((md5hex: String) => {
-      val (h1, h2) = hashPair(md5hex)
-      bc.value.get(shardOf(h1, shards))
-        .exists(bits => testBits(bits, h1, h2, kLocal))
+      if (md5hex == null) false // null text: no key, definitely new
+      else {
+        val (h1, h2) = hashPair(md5hex)
+        bc.value.get(shardOf(h1, shards))
+          .exists(bits => testBits(bits, h1, h2, kLocal))
+      }
     })
     batch.withColumn(hitCol, probeUdf(md5(col(textCol))))
   }
@@ -280,7 +326,9 @@ object BloomDedup {
       .cogroup(filters.groupByKey(_._1)) { (shard, rows, fIt) =>
         val bits = fIt.toSeq.headOption.map(_._2)
         rows.map { r =>
-          val hit = bits.exists(b =>
+          // null text → null key (lands in shard 0 with null __h1):
+          // definitely new, and getAs[Long] would silently unbox to 0
+          val hit = !r.isNullAt(r.fieldIndex("__h1")) && bits.exists(b =>
             testBits(b, r.getAs[Long]("__h1"), r.getAs[Long]("__h2"), kLocal))
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ hit)
         }

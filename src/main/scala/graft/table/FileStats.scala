@@ -176,11 +176,33 @@ object FileStats {
       (l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
         l.getNano / 1000L).toString
     case d: Double => d.toString
-    case f: Float => f.toDouble.toString
+    // Float.toString, NOT toDouble.toString: collected float bounds go
+    // through Spark's float->string cast (shortest FLOAT repr, "0.1");
+    // widening first would canonicalize the same bound to
+    // "0.10000000149011612" and boundary queries would prune files that
+    // contain matching rows
+    case f: Float => f.toString
     case n: Number => new java.math.BigDecimal(n.toString).toPlainString
     case s: String => s
     case o => throw new IllegalArgumentException(
       s"unsupported prune bound type: ${o.getClass.getName}")
+  }
+
+  /** Spark's total order over canonical numeric strings: -Infinity <
+    * finite < Infinity < NaN (Spark sorts and compares NaN as the largest
+    * value, so float/double stats columns can legitimately carry
+    * "NaN"/"Infinity" bounds — BigDecimal alone would throw and brick
+    * every planRange on the column). */
+  private def numCmp(a: String, b: String): Int = {
+    def rank(s: String): Int = s match {
+      case "NaN"       => 3
+      case "Infinity"  => 2
+      case "-Infinity" => 0
+      case _           => 1
+    }
+    val ra = rank(a); val rb = rank(b)
+    if (ra != 1 || rb != 1) Integer.compare(ra, rb)
+    else BigDecimal(a).compare(BigDecimal(b))
   }
 
   /** Can a file with bounds `s` possibly contain a value in [lo, hi]
@@ -190,8 +212,7 @@ object FileStats {
   def overlaps(s: ColStat, lo: String, hi: String): Boolean = s.kind match {
     case "null" | "absent" => false
     case "num" =>
-      val mn = BigDecimal(s.min); val mx = BigDecimal(s.max)
-      (lo == null || mx >= BigDecimal(lo)) && (hi == null || mn <= BigDecimal(hi))
+      (lo == null || numCmp(s.max, lo) >= 0) && (hi == null || numCmp(s.min, hi) <= 0)
     case "str" =>
       (lo == null || !utf8Lt(s.max, lo)) && (hi == null || !utf8Lt(hi, s.min))
     case _ => true

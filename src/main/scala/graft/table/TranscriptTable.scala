@@ -372,10 +372,15 @@ object TranscriptTable {
       val files = batchFiles(table, b)
       total += files.length
       files.foreach { f =>
-        val keep = stats.get(f).flatMap(_.get(column)) match {
-          case Some(s) => FileStats.overlaps(s, loC, hiC)
-          case None    => true // no bounds recorded for this file/column
-        }
+        // both bounds null = no range predicate at all: every file is
+        // kept, INCLUDING all-null/absent-column files — readRange's
+        // predicate degenerates to keep-everything (null rows included),
+        // so pruning on "a range can't match null" would drop their rows
+        val keep = (loC == null && hiC == null) ||
+          (stats.get(f).flatMap(_.get(column)) match {
+            case Some(s) => FileStats.overlaps(s, loC, hiC)
+            case None    => true // no bounds recorded for this file/column
+          })
         if (keep) kept += s"${dataDir(table, b)}/$f" else skipped += 1
       }
     }

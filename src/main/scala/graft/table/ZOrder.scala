@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Equi-depth bucket boundaries per column: (buckets-1) ascending
-    * doubles each. One approxQuantile pass per column over the frame. */
+    * doubles each. ONE approxQuantile pass trains every column's sketch
+    * together — the per-column overload would rescan the full compaction
+    * input d times for the same result. */
   def boundaries(df: DataFrame, cols: Seq[String], buckets: Int = 256)
       : Seq[Array[Double]] = {
     require(cols.nonEmpty, "z-order needs columns")
@@ -36,7 +38,7 @@ object ZOrder {
       s"buckets must be a power of two: $buckets")
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
-    cols.map(c => casted.stat.approxQuantile(c, probs, 0.001))
+    casted.stat.approxQuantile(cols.toArray, probs, 0.001).toSeq
   }
 
   private def bucketOf(v: Double, bounds: Array[Double]): Int = {

@@ -141,4 +141,50 @@ class BloomDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     BloomDedup.buildBloom(corpus, dir, shards = 4)
     assert(new java.io.File(s"$dir/filters").lastModified() == mtime)
   }
+
+  test("re-appending overlapping keys neither double-counts n_keys nor duplicates store rows") {
+    val dir = fresh("graft_bloom_reapp")
+    val corpus = corpusDf(dir)
+    BloomDedup.buildBloom(corpus, dir, shards = 8)
+    // 30 corpus dups + 20 novel: only the novel keys may enter
+    BloomDedup.appendBloom(docs(470L until 520L, "c"), dir, Some(7L))
+    val (nKeys, _) = BloomDedup.bloomLoad(spark, dir)
+    assert(nKeys == 520L, s"500 corpus + 20 novel, got $nKeys")
+    val store = spark.read.parquet(s"$dir/keys")
+    assert(store.count() == 520L)
+    assert(store.select("h1", "h2").distinct().count() == 520L)
+    // replaying the SAME append is a pure no-op on count and bits
+    def bitsOf = spark.read.parquet(s"$dir/filters").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val before = bitsOf
+    BloomDedup.appendBloom(docs(470L until 520L, "c"), dir, Some(8L))
+    assert(BloomDedup.bloomLoad(spark, dir)._1 == 520L)
+    assert(bitsOf == before)
+  }
+
+  test("null text rows pass the gate unharmed and match exactDedupAgainst") {
+    val dir = fresh("graft_bloom_null")
+    val sp = spark; import sp.implicits._
+    val corpusP =
+      java.nio.file.Files.createTempDirectory("graft_bloom_nullc").toString + "/c.parquet"
+    docs(0L until 100L, "c").unionByName(
+      Seq((900L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(corpusP)
+    val corpus = spark.read.parquet(corpusP)
+    BloomDedup.buildBloom(corpus, dir, shards = 4) // must not NPE on null md5
+    val batch = docs(50L until 60L, "c").unionByName(
+      Seq((901L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val viaBloom = BloomDedup.dedupAgainst(batch, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = Dedup.exactDedupAgainst(batch, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a null key never equals anything (SQL semantics): the row survives
+    assert(viaBloom == exact, s"$viaBloom != $exact")
+    assert(viaBloom == Set(901L))
+    // both probe forms report the null-text row as definitely new
+    assert(!BloomDedup.mightContain(batch, dir).filter(col("doc_id") === 901L)
+      .head().getAs[Boolean]("bloom_hit"))
+    assert(!BloomDedup.mightContainCogrouped(batch, dir).filter(col("doc_id") === 901L)
+      .head().getAs[Boolean]("bloom_hit"))
+  }
 }

@@ -181,4 +181,51 @@ class TableStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // content contract unchanged by the rewrite
     assert(TT.read(spark, out).count() == 300L)
   }
+
+  test("float bounds: a boundary probe keeps files whose float stats equal the bound") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_stats_float")
+    // collected bounds go through Spark's FLOAT->string cast ("0.1");
+    // canonicalizing the probe bound via toDouble would compare against
+    // "0.10000000149011612" and prune a file that contains matching rows
+    val b0 = Seq((1L, 0.05f), (2L, 0.1f)).toDF("id", "score").coalesce(1)
+    TT.writeBatch(b0, out, "b000", statsCols = Seq("score"))
+    val plan = TT.planRange(out, "score", 0.1f, null)
+    assert(plan.keptPaths.length == 1, "boundary-equal file must be kept")
+    val ids = TT.readRange(spark, out, "score", 0.1f, 0.1f)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L))
+  }
+
+  test("NaN/Infinity double stats neither crash planning nor mis-prune") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_stats_nan")
+    val b0 = Seq((1L, 1.5), (2L, Double.NaN), (3L, Double.PositiveInfinity))
+      .toDF("id", "v").coalesce(1)
+    TT.writeBatch(b0, out, "b000", statsCols = Seq("v"))
+    // Spark orders NaN largest: max = "NaN" in the manifest — BigDecimal
+    // alone would throw here and brick every range plan on the column
+    val plan = TT.planRange(out, "v", 1.0, null)
+    assert(plan.keptPaths.length == 1)
+    val ids = TT.readRange(spark, out, "v", 1.0, null)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L)) // Spark: NaN and Inf both >= 1.0
+    // finite min still prunes a probe entirely below it
+    assert(TT.planRange(out, "v", null, 0.5).keptPaths.isEmpty)
+  }
+
+  test("readRange with both bounds null keeps null-valued and all-null-file rows") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_stats_nullnull")
+    val withVals = Seq((1L, java.lang.Long.valueOf(5L))).toDF("id", "v")
+    val allNull = Seq((2L, null.asInstanceOf[java.lang.Long])).toDF("id", "v")
+    TT.writeBatch(withVals, out, "b000", statsCols = Seq("v"))
+    TT.writeBatch(allNull, out, "b001", statsCols = Seq("v"))
+    // no range predicate at all -> no pruning: the all-null file's rows
+    // survive (a bounded probe may rightly skip that file, below)
+    val all = TT.readRange(spark, out, "v", null, null)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L))
+    assert(TT.planRange(out, "v", 0L, null).nFilesSkipped >= 1)
+  }
 }
