@@ -266,6 +266,39 @@ object SparkEntry {
           col("event_type"), col("value"))
         .orderBy("event_id")
     }),
+    "x_table_delete" -> ((s, dir) => {
+      // Row-level DELETE under copy-on-write with manifest-bounds pruning:
+      // events land as 4 TIME-SLICED batches (one week each, ts bounds
+      // recorded), then a 3-day range purge runs through deleteRange. The
+      // in-query require pins the 100 TB contract — only the ONE batch
+      // whose bounds overlap the range rewrites; the other three are
+      // never read — while the oracle replays the surviving-row semantics
+      // on the raw events table, proving pruning decides IO, the exact
+      // predicate decides rows.
+      import graft.table.TranscriptTable
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_del_sf${sfOf(dir)}/t"
+      graft.util.Fs.rmrf(tbl)
+      val ev = t(s, dir, "events")
+      (0 until 4).foreach { b =>
+        val lo = java.time.LocalDateTime.parse(f"2024-01-${1 + 8 * b}%02dT00:00:00")
+        val hi = java.time.LocalDateTime.parse(
+          if (b == 3) "2024-02-01T00:00:00" else f"2024-01-${1 + 8 * (b + 1)}%02dT00:00:00")
+        TranscriptTable.writeBatch(
+          ev.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+            .repartitionByRange(2, col("ts")).sortWithinPartitions("ts"),
+          tbl, f"b$b%03d", statsCols = Seq("ts"))
+      }
+      val lo = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+      val hi = java.time.LocalDateTime.parse("2024-01-13T00:00:00")
+      val st = TranscriptTable.deleteRange(s, tbl, "ts", lo, hi, "d004")
+      require(st.nBatchesTotal == 4 && st.nBatchesRewritten == 1,
+        s"delete must rewrite ONLY the week-2 batch: $st")
+      TranscriptTable.read(s, tbl)
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
     "x_line_dedup" -> ((s, dir) => {
       // CCNet/RefinedWeb line-level boilerplate pass. The synthetic
       // documents are single-line, so the row builds multi-line PAGES
@@ -1353,6 +1386,16 @@ object SparkEntry {
         |FROM events
         |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
         |              AND TIMESTAMP '2024-01-13 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "x_table_delete" ->
+      // survivors of the copy-on-write purge == the raw table minus the
+      // inclusive range (null ts would survive too — range never matches
+      // null, the deleteRange coalesce(cond,false) contract)
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events
+        |WHERE ts IS NULL
+        |   OR ts NOT BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |                 AND TIMESTAMP '2024-01-13 00:00:00'
         |ORDER BY event_id""".stripMargin,
     "x_line_dedup" ->
       // pages rebuilt identically (string_agg ORDER BY doc_id == the

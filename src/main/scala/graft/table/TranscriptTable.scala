@@ -491,6 +491,109 @@ object TranscriptTable {
       statsExtras(spark, table, newBatchId, statsCols))
   }
 
+  /** Summary of a pruned copy-on-write rewrite: how many live batches the
+    * table had, how many actually rewrote (the rest were skipped by file
+    * bounds at ZERO IO), and the row counts of the rewritten slice before
+    * and after. A replayed (already-committed) `newBatchId` returns all
+    * zeros with `nBatchesRewritten` = 0. */
+  final case class RewriteStats(nBatchesTotal: Int, nBatchesRewritten: Int,
+      rowsBefore: Long, rowsAfter: Long)
+
+  /** Row-level DELETE (Iceberg's `DELETE FROM ... WHERE col BETWEEN lo
+    * AND hi` under copy-on-write): batches whose recorded file bounds
+    * cannot contain a matching row are NOT TOUCHED — no read, no rewrite,
+    * their manifests stay live — and only the overlapping batches are
+    * rewritten without the matching rows and atomically superseded
+    * (`replaces`, the compaction flip). At 100 TB this is the difference
+    * between a key-range purge (GDPR-style) costing a full table rewrite
+    * and costing a few batches of IO. Null values in `column` never match
+    * a range and always survive; bounds are inclusive, null = unbounded
+    * on that side (both null = every row matches: the whole table
+    * rewrites empty). Time travel to pre-delete snapshots stays valid
+    * until [[vacuum]]; replaying a committed `newBatchId` no-ops. The new
+    * batch re-records file bounds for `column` (plus `statsCols`), so
+    * later range reads keep pruning. */
+  def deleteRange(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any, newBatchId: String,
+      statsCols: Seq[String] = Nil): RewriteStats =
+    cowRewrite(spark, table, column, lo, hi, newBatchId, statsCols,
+      (df, cond) => df.filter(org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.coalesce(cond,
+          org.apache.spark.sql.functions.lit(false)))))
+
+  /** Row-level UPDATE over a key range (`UPDATE ... SET c = expr WHERE
+    * col BETWEEN lo AND hi`): matching rows get each `set` column
+    * replaced by its expression, every other row passes through
+    * unchanged; only bounds-overlapping batches rewrite. This is the
+    * in-place redaction path — e.g. `set = Map("text" -> piiScrubExpr)`
+    * scrubs one conversation-id range without touching the rest of the
+    * table. */
+  def updateRange(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any, newBatchId: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil): RewriteStats = {
+    require(set.nonEmpty, "updateRange needs SET columns")
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    cowRewrite(spark, table, column, lo, hi, newBatchId, statsCols,
+      (df, cond) => {
+        val missing = set.keySet -- df.columns.toSet
+        require(missing.isEmpty, s"SET columns absent from table: $missing")
+        set.foldLeft(df) { case (d, (c, e)) =>
+          d.withColumn(c, when(coalesce(cond, lit(false)), e)
+            .otherwise(col(c)))
+        }
+      })
+  }
+
+  /** Shared pruned copy-on-write rewrite: plan candidate files from
+    * manifest bounds, read ONLY batches owning at least one candidate
+    * file, apply `body` (which receives the exact match condition —
+    * pruning decides IO, the condition decides semantics), write as one
+    * new batch superseding exactly the touched ones. Row counts come from
+    * parquet metadata (count-pushdown scans, no data read). */
+  private def cowRewrite(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any, newBatchId: String, statsCols: Seq[String],
+      body: (DataFrame, org.apache.spark.sql.Column) => DataFrame)
+      : RewriteStats = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (isCommitted(table, newBatchId)) return RewriteStats(0, 0, 0L, 0L)
+    val plan = planRange(table, column, lo, hi)
+    val touched = plan.batches.filter { b =>
+      val prefix = dataDir(table, b) + "/"
+      plan.keptPaths.exists(_.startsWith(prefix))
+    }
+    if (touched.isEmpty)
+      return RewriteStats(plan.batches.size, 0, 0L, 0L)
+    require(touched.forall(_ < newBatchId),
+      s"rewrite batch id $newBatchId must sort after the batches it replaces")
+    val df = unionSchema(table, touched) match {
+      case Some(s) =>
+        spark.read.schema(s).parquet(touched.map(b => dataDir(table, b)): _*)
+      case None =>
+        spark.read.parquet(touched.map(b => dataDir(table, b)): _*)
+    }
+    val rowsBefore = df.count()
+    val cond = (if (lo == null) lit(true) else col(column) >= lit(lo)) &&
+      (if (hi == null) lit(true) else col(column) <= lit(hi))
+    val out = body(df, cond)
+    out.write.mode(SaveMode.Overwrite).parquet(dataDir(table, newBatchId))
+    val rowsAfter = spark.read.schema(out.schema)
+      .parquet(dataDir(table, newBatchId)).count()
+    val withLineage = touched.filter(b =>
+      Files.exists(Paths.get(lineageDir(table, b))))
+    if (withLineage.nonEmpty)
+      spark.read.parquet(withLineage.map(b => lineageDir(table, b)): _*)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(lineageDir(table, newBatchId))
+    val effStats = (statsCols :+ column).distinct
+    commit(table, newBatchId, Map(
+      "replaces" -> touched.sorted.mkString(","),
+      "n_turns" -> rowsAfter.toString,
+      "schema" -> out.schema.json) ++
+      statsExtras(spark, table, newBatchId, effStats))
+    RewriteStats(plan.batches.size, touched.size, rowsBefore, rowsAfter)
+  }
+
   /** Reclaim the data/lineage files of compaction-retired batches. After
     * this, time travel to pre-compaction snapshots is gone (their manifests
     * remain for resume idempotence) — same contract as Iceberg's

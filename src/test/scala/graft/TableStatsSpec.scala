@@ -214,6 +214,55 @@ class TableStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TT.planRange(out, "v", null, 0.5).keptPaths.isEmpty)
   }
 
+  test("deleteRange rewrites only bounds-overlapping batches, exact rows, time travel intact") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_cow_del")
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"d$i")).toDF("id", "text").coalesce(1)
+    TT.writeBatch(batch(0L, 100L), out, "b000", statsCols = Seq("id"))
+    TT.writeBatch(batch(100L, 200L), out, "b001", statsCols = Seq("id"))
+    TT.writeBatch(batch(200L, 300L), out, "b002", statsCols = Seq("id"))
+
+    // [120,180] overlaps only b001: b000/b002 must not be touched
+    val st = TT.deleteRange(spark, out, "id", 120L, 180L, "d003")
+    assert(st == TT.RewriteStats(3, 1, 100L, 39L), st.toString)
+    assert(TT.liveBatches(out).toSet == Set("b000", "b002", "d003"))
+    val ids = TT.read(spark, out).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == ((0L until 120L) ++ (181L until 300L)).toSet)
+    // pre-delete snapshot still sees the purged rows (until vacuum)
+    assert(TT.readAsOf(spark, out, "b002").count() == 300L)
+    // the rewritten batch re-recorded bounds: range reads keep pruning
+    val plan = TT.planRange(out, "id", 250L, 260L)
+    assert(plan.keptPaths.length < plan.nFilesTotal)
+    // replay of the committed delete id is a no-op
+    assert(TT.deleteRange(spark, out, "id", 120L, 180L, "d003") ==
+      TT.RewriteStats(0, 0, 0L, 0L))
+    // a non-overlapping range rewrites nothing and commits nothing
+    val miss = TT.deleteRange(spark, out, "id", 5000L, 6000L, "d004")
+    assert(miss.nBatchesRewritten == 0 && !TT.isCommitted(out, "d004"))
+  }
+
+  test("updateRange redacts only the matching range; null keys always survive a delete") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_cow_upd")
+    val b0 = Seq((1L, java.lang.Long.valueOf(10L), "keep"),
+      (2L, java.lang.Long.valueOf(15L), "secret"),
+      (3L, null.asInstanceOf[java.lang.Long], "nullkey"))
+      .toDF("id", "k", "text").coalesce(1)
+    TT.writeBatch(b0, out, "b000", statsCols = Seq("k"))
+    val st = TT.updateRange(spark, out, "k", 12L, 20L, "u001",
+      Map("text" -> lit("[REDACTED]")))
+    assert(st.rowsBefore == st.rowsAfter && st.rowsAfter == 3L)
+    val rows = TT.read(spark, out).select("id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows == Map(1L -> "keep", 2L -> "[REDACTED]", 3L -> "nullkey"))
+    // a delete on the same range keeps the null-keyed row (range never
+    // matches null — the coalesce(cond, false) contract)
+    TT.deleteRange(spark, out, "k", 12L, 20L, "u002")
+    val left = TT.read(spark, out).select("id").collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L, 3L))
+  }
+
   test("readRange with both bounds null keeps null-valued and all-null-file rows") {
     val sp = spark; import sp.implicits._
     val out = freshTable("graft_stats_nullnull")
