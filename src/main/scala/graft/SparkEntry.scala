@@ -299,6 +299,45 @@ object SparkEntry {
           col("event_type"), col("value"))
         .orderBy("event_id")
     }),
+    "x_table_merge" -> ((s, dir) => {
+      // MERGE (keyed upsert) under copy-on-write: events land as 4
+      // id-clustered batches; the merge batch re-values one id run (the
+      // WHEN MATCHED half) AND inserts re-keyed copies far past the
+      // table's max id (the CDC shape). The in-query require pins the
+      // scale contract — the EXACT key-membership prune rewrites only
+      // the one batch whose bounds hold the updated run; the outlier
+      // inserts must not widen it — while the oracle rebuilds
+      // survivors + updates + inserts from the raw table.
+      import graft.table.TranscriptTable
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_merge_sf${sfOf(dir)}/t"
+      graft.util.Fs.rmrf(tbl)
+      val ev = t(s, dir, "events")
+      val n = ev.count() // event_id is dense 0..n-1 in the driver tables
+      val q = n / 4
+      (0 until 4).foreach { b =>
+        TranscriptTable.writeBatch(
+          ev.filter(col("event_id") >= lit(b * q) &&
+              col("event_id") < lit(if (b == 3) n else (b + 1) * q))
+            .repartitionByRange(2, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          tbl, f"b$b%03d", statsCols = Seq("event_id"))
+      }
+      val upd = ev.filter(col("event_id") >= lit(n / 10) &&
+          col("event_id") < lit(n / 10 + n / 50))
+        .withColumn("event_type", lit("upd"))
+        .withColumn("value", col("value") * 2)
+      val ins = ev.filter(col("event_id") < lit(n / 100))
+        .withColumn("event_id", col("event_id") + lit(9000000L))
+      val st = TranscriptTable.mergeKeys(
+        s, tbl, "event_id", upd.unionByName(ins), "m004")
+      require(st.nBatchesTotal == 4 && st.nBatchesRewritten == 1,
+        s"merge must rewrite ONLY the batch holding the updated id run: $st")
+      TranscriptTable.read(s, tbl)
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
     "x_line_dedup" -> ((s, dir) => {
       // CCNet/RefinedWeb line-level boilerplate pass. The synthetic
       // documents are single-line, so the row builds multi-line PAGES
@@ -1396,6 +1435,25 @@ object SparkEntry {
         |WHERE ts IS NULL
         |   OR ts NOT BETWEEN TIMESTAMP '2024-01-10 00:00:00'
         |                 AND TIMESTAMP '2024-01-13 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "x_table_merge" ->
+      // post-merge table == survivors (key not updated) + the re-valued
+      // update run + the re-keyed inserts; // is DuckDB integer division
+      // (same arithmetic as the Scala Long division building the batch)
+      """WITH n AS (SELECT count(*) AS c FROM events),
+        |upd AS (
+        |  SELECT event_id, ts, 'upd' AS event_type, value * 2 AS value
+        |  FROM events, n
+        |  WHERE event_id >= c // 10 AND event_id < c // 10 + c // 50),
+        |ins AS (
+        |  SELECT event_id + 9000000 AS event_id, ts, event_type, value
+        |  FROM events, n WHERE event_id < c // 100)
+        |SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM (
+        |  SELECT event_id, ts, event_type, value FROM events
+        |  WHERE event_id NOT IN (SELECT event_id FROM upd)
+        |  UNION ALL SELECT event_id, ts, event_type, value FROM upd
+        |  UNION ALL SELECT event_id, ts, event_type, value FROM ins)
         |ORDER BY event_id""".stripMargin,
     "x_line_dedup" ->
       // pages rebuilt identically (string_agg ORDER BY doc_id == the

@@ -45,7 +45,7 @@ object FileStats {
 
   /** Kind + canonicalizing column expression for a stats column, from the
     * batch schema. None = unsupported type (stats not collected). */
-  private def canon(dt: org.apache.spark.sql.types.DataType, c: String)
+  private[table] def canon(dt: org.apache.spark.sql.types.DataType, c: String)
       : Option[(String, org.apache.spark.sql.Column)] = {
     import org.apache.spark.sql.types._
     // the canonical expr stays in its NATIVE order-preserving type —
@@ -204,6 +204,12 @@ object FileStats {
     if (ra != 1 || rb != 1) Integer.compare(ra, rb)
     else BigDecimal(a).compare(BigDecimal(b))
   }
+
+  /** Total order over canonical bound strings of a kind: "num" = the
+    * Spark numeric order above, "str" = raw UTF-8 bytes. */
+  private[table] def cmpCanon(kind: String, a: String, b: String): Int =
+    if (kind == "num") numCmp(a, b)
+    else if (utf8Lt(a, b)) -1 else if (utf8Lt(b, a)) 1 else 0
 
   /** Can a file with bounds `s` possibly contain a value in [lo, hi]
     * (inclusive; null bound = unbounded on that side)? Missing stats →

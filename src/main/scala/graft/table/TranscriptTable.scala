@@ -545,6 +545,109 @@ object TranscriptTable {
       })
   }
 
+  /** MERGE (keyed upsert) under copy-on-write — Iceberg's `MERGE INTO ...
+    * WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT` on one key
+    * column: every table row whose `keyCol` matches an update row is
+    * replaced by the update rows; keys absent from the table insert.
+    * (Duplicate keys WITHIN `updates` all insert — dedup upstream.)
+    *
+    * IO shape, the part that matters at 100 TB: candidate batches come
+    * from the manifests' per-file key bounds, NOT from the update keys'
+    * global [min,max] — a CDC batch whose inserts run past the table's
+    * max key (the normal shape for time-ordered ids) must not force a
+    * full-table rewrite. Up to `maxExactKeys` distinct keys the
+    * membership test is EXACT: the canonical keys sort once driver-side
+    * (bounded, the IVF-sample convention) and binary-search every file's
+    * bounds; past the cap it degrades to [min,max] range pruning —
+    * coarser, never wrong. Matching rows then drop by one broadcastable
+    * anti-join inside only the touched batches; survivors + ALL update
+    * rows commit as ONE new batch atomically superseding the touched
+    * ones. Null update keys never match (SQL) and simply insert. */
+  def mergeKeys(spark: SparkSession, table: String, keyCol: String,
+      updates: DataFrame, newBatchId: String,
+      statsCols: Seq[String] = Nil,
+      maxExactKeys: Int = 1 << 20): RewriteStats = {
+    import org.apache.spark.sql.functions.{broadcast, col, max => fmax, min => fmin}
+    if (isCommitted(table, newBatchId)) return RewriteStats(0, 0, 0L, 0L)
+    val live = liveBatches(table)
+    require(live.nonEmpty, s"no committed batches in $table")
+    val u = updates.localCheckpoint()
+    val keys = u.select(col(keyCol)).na.drop(Seq(keyCol)).distinct()
+      .localCheckpoint()
+    val nKeys = keys.count()
+    val kind = FileStats.canon(u.schema(keyCol).dataType, keyCol).map(_._1)
+    val touched: Seq[String] =
+      if (nKeys == 0) Nil
+      else if (kind.isEmpty) live // unprunable key type: no stats exist
+      else if (nKeys <= maxExactKeys) {
+        val k = kind.get
+        val sorted = keys.collect().map(r => FileStats.canonBound(r.get(0)))
+          .sortWith(FileStats.cmpCanon(k, _, _) < 0)
+        def anyIn(lo: String, hi: String): Boolean = {
+          var a = 0; var b = sorted.length
+          while (a < b) {
+            val m = (a + b) >>> 1
+            if (FileStats.cmpCanon(k, sorted(m), lo) < 0) a = m + 1 else b = m
+          }
+          a < sorted.length && FileStats.cmpCanon(k, sorted(a), hi) <= 0
+        }
+        live.filter { b =>
+          val stats = fileStats(table, b)
+          batchFiles(table, b).exists { f =>
+            stats.get(f).flatMap(_.get(keyCol)) match {
+              case Some(s) if s.kind == "null" || s.kind == "absent" => false
+              case Some(s) => anyIn(s.min, s.max)
+              case None    => true // no bounds recorded: never prune blind
+            }
+          }
+        }
+      } else {
+        val r = keys.agg(fmin(col(keyCol)), fmax(col(keyCol))).head()
+        val plan = planRange(table, keyCol, r.get(0), r.get(1))
+        plan.batches.filter(b =>
+          plan.keptPaths.exists(_.startsWith(dataDir(table, b) + "/")))
+      }
+    val effStats = (statsCols :+ keyCol).distinct
+    if (touched.isEmpty) {
+      // pure insert: provably no key matches — a plain new batch
+      val rowsUpd = u.count()
+      writeData(u, table, newBatchId)
+      commit(table, newBatchId, Map(
+        "n_turns" -> rowsUpd.toString,
+        "schema" -> u.schema.json) ++
+        statsExtras(spark, table, newBatchId, effStats))
+      return RewriteStats(live.size, 0, 0L, rowsUpd)
+    }
+    require(touched.forall(_ < newBatchId),
+      s"merge batch id $newBatchId must sort after the batches it replaces")
+    val dfT = unionSchema(table, touched) match {
+      case Some(s) =>
+        spark.read.schema(s).parquet(touched.map(b => dataDir(table, b)): _*)
+      case None =>
+        spark.read.parquet(touched.map(b => dataDir(table, b)): _*)
+    }
+    val rowsBefore = dfT.count()
+    val survivors =
+      if (nKeys <= maxExactKeys) dfT.join(broadcast(keys), Seq(keyCol), "left_anti")
+      else dfT.join(keys, Seq(keyCol), "left_anti")
+    val out = survivors.unionByName(u, allowMissingColumns = true)
+    out.write.mode(SaveMode.Overwrite).parquet(dataDir(table, newBatchId))
+    val rowsAfter = spark.read.schema(out.schema)
+      .parquet(dataDir(table, newBatchId)).count()
+    val withLineage = touched.filter(b =>
+      Files.exists(Paths.get(lineageDir(table, b))))
+    if (withLineage.nonEmpty)
+      spark.read.parquet(withLineage.map(b => lineageDir(table, b)): _*)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(lineageDir(table, newBatchId))
+    commit(table, newBatchId, Map(
+      "replaces" -> touched.sorted.mkString(","),
+      "n_turns" -> rowsAfter.toString,
+      "schema" -> out.schema.json) ++
+      statsExtras(spark, table, newBatchId, effStats))
+    RewriteStats(live.size, touched.size, rowsBefore, rowsAfter)
+  }
+
   /** Shared pruned copy-on-write rewrite: plan candidate files from
     * manifest bounds, read ONLY batches owning at least one candidate
     * file, apply `body` (which receives the exact match condition —

@@ -263,6 +263,56 @@ class TableStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left == Set(1L, 3L))
   }
 
+  test("mergeKeys upserts exactly; inserts past the max never widen the prune") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_cow_merge")
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"d$i")).toDF("id", "text").coalesce(1)
+    TT.writeBatch(batch(0L, 100L), out, "b000", statsCols = Seq("id"))
+    TT.writeBatch(batch(100L, 200L), out, "b001", statsCols = Seq("id"))
+    TT.writeBatch(batch(200L, 300L), out, "b002", statsCols = Seq("id"))
+    // updates hit only b001's bounds; inserts sit past every bound — the
+    // CDC shape that defeats global [min,max] pruning
+    val upd = (150L until 160L).map(i => (i, s"upd$i")).toDF("id", "text")
+      .unionByName((1000L until 1005L).map(i => (i, "ins")).toDF("id", "text"))
+    val st = TT.mergeKeys(spark, out, "id", upd, "m003")
+    assert(st == TT.RewriteStats(3, 1, 100L, 105L), st.toString)
+    assert(TT.liveBatches(out).toSet == Set("b000", "b002", "m003"))
+    val rows = TT.read(spark, out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.size == 305)
+    assert((150L until 160L).forall(i => rows(i) == s"upd$i"))
+    assert((1000L until 1005L).forall(i => rows(i) == "ins"))
+    assert(rows(149L) == "d149" && rows(0L) == "d0" && rows(299L) == "d299")
+    // replay no-ops
+    assert(TT.mergeKeys(spark, out, "id", upd, "m003") ==
+      TT.RewriteStats(0, 0, 0L, 0L))
+    // a pure-insert merge commits a plain batch, rewrites nothing
+    val st2 = TT.mergeKeys(spark, out, "id",
+      Seq((5000L, "new")).toDF("id", "text"), "m004")
+    assert(st2.nBatchesRewritten == 0 && st2.rowsAfter == 1L)
+    assert(TT.read(spark, out).count() == 306L)
+  }
+
+  test("mergeKeys past the exact-key cap degrades to range pruning, same rows") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_cow_merge_cap")
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"d$i")).toDF("id", "text").coalesce(1)
+    TT.writeBatch(batch(0L, 100L), out, "b000", statsCols = Seq("id"))
+    TT.writeBatch(batch(100L, 200L), out, "b001", statsCols = Seq("id"))
+    TT.writeBatch(batch(200L, 300L), out, "b002", statsCols = Seq("id"))
+    val upd = (150L until 160L).map(i => (i, s"upd$i")).toDF("id", "text")
+      .unionByName(Seq((1000L, "ins")).toDF("id", "text"))
+    // cap 1 < 11 keys: [150,1000] range pruning touches b001+b002 (never
+    // b000), rows identical to the exact path
+    val st = TT.mergeKeys(spark, out, "id", upd, "m003", maxExactKeys = 1)
+    assert(st.nBatchesRewritten == 2 && st.rowsBefore == 200L && st.rowsAfter == 201L)
+    val rows = TT.read(spark, out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.size == 301 && rows(155L) == "upd155" && rows(1000L) == "ins")
+  }
+
   test("readRange with both bounds null keeps null-valued and all-null-file rows") {
     val sp = spark; import sp.implicits._
     val out = freshTable("graft_stats_nullnull")
