@@ -532,6 +532,65 @@ object ScaleProbe {
       mark("skip", tPruned + tFull)
     }
 
+    // Copy-on-write DELETE / MERGE: the scale claim is that a key-range
+    // purge or CDC upsert costs ONLY the overlapping batches, vs the
+    // naive read-filter-rewrite of the whole table. 8 time-sliced
+    // batches (the natural append layout; ts monotone in id, so both
+    // columns cluster), 3-day purge + a 200k-key merge with inserts
+    // past the max.
+    if (sections("cow")) {
+      val n = nVecs.toLong
+      val tmp = System.getProperty("java.io.tmpdir")
+      val table = s"$tmp/graft_scaleprobe_cowtbl"
+      rmrf(table)
+      val t0 = 1704067200L
+      val month = 30L * 86400
+      val ev = spark.range(n).select(col("id").as("event_id"),
+        (lit(t0) + col("id") * month / n).as("ts_s"),
+        pmod(col("id") * 2654435761L, lit(1000)).as("user_id"))
+      (0 until 8).foreach { b =>
+        graft.table.TranscriptTable.writeBatch(
+          ev.filter(col("ts_s") >= t0 + b * month / 8 &&
+              col("ts_s") < t0 + (b + 1) * month / 8)
+            .repartitionByRange(4, col("ts_s")).sortWithinPartitions("ts_s"),
+          table, f"b$b%03d", statsCols = Seq("ts_s", "event_id"))
+      }
+      val lo = t0 + 10L * 86400; val hi = lo + 3L * 86400
+      val (stDel, tDel) = time(graft.table.TranscriptTable
+        .deleteRange(spark, table, "ts_s", lo, hi, "d100"))
+      require(stDel.nBatchesRewritten <= 2,
+        s"3-day purge must stay inside <= 2 of 8 week-ish batches: $stDel")
+      // the O(table) strawman every engine without manifest bounds pays:
+      // read-filter-rewrite the full table
+      val straw = s"$tmp/graft_scaleprobe_cowstraw"
+      rmrf(straw)
+      val (_, tStraw) = time(
+        graft.table.TranscriptTable.read(spark, table)
+          .filter(!(col("ts_s") >= lo && col("ts_s") <= hi))
+          .write.mode("overwrite").parquet(straw))
+      // CDC merge: re-value a 100k-id run (batch 0) + 100k inserts far
+      // past the max id — exact membership prune must hold at ONE batch
+      val upd = ev.filter(col("event_id") >= n / 10 &&
+          col("event_id") < n / 10 + 100000L)
+        .withColumn("user_id", lit(-1L))
+        .unionByName(ev.filter(col("event_id") < 100000L)
+          .withColumn("event_id", col("event_id") + lit(3L * n)))
+      val (stM, tMerge) = time(graft.table.TranscriptTable
+        .mergeKeys(spark, table, "event_id", upd, "m200"))
+      require(stM.nBatchesRewritten == 1,
+        s"outlier inserts must not widen the merge rewrite: $stM")
+      out("cow_rows") = n
+      out("cow_delete_batches_rewritten") =
+        s"${stDel.nBatchesRewritten}/${stDel.nBatchesTotal}"
+      out("cow_delete_rows_purged") = stDel.rowsBefore - stDel.rowsAfter
+      out("cow_delete_sec") = tDel
+      out("cow_full_rewrite_sec") = tStraw
+      out("cow_merge_batches_rewritten") =
+        s"${stM.nBatchesRewritten}/${stM.nBatchesTotal}"
+      out("cow_merge_sec") = tMerge
+      mark("cow", tDel + tStraw + tMerge)
+    }
+
     if (sections("pipeline")) {
       val batchN = math.max(1000, nDocs / 50)
       for (n <- Seq(math.max(2 * batchN, nDocs / 10), nDocs)) {

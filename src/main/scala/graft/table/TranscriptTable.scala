@@ -247,6 +247,14 @@ object TranscriptTable {
     manifestValue(table, batchId, "file_stats")
       .map(FileStats.decode).getOrElse(Map.empty)
 
+  /** Stats columns recorded by the given batches' manifests — rewrites
+    * (delete/update/merge/compact) inherit them so superseding a batch
+    * never silently LOSES prunability a layout had: a table skippable on
+    * (ts, event_id) stays skippable on both after any rewrite. */
+  private def inheritedStatsCols(table: String, batches: Seq[String]): Seq[String] =
+    batches.flatMap(b => manifestValue(table, b, "stats_cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)).distinct
+
   /** Data files listed by the batch's manifest (names, not paths). */
   def batchFiles(table: String, batchId: String): Seq[String] = {
     val json = manifestJson(table, batchId)
@@ -488,7 +496,8 @@ object TranscriptTable {
       "replaces" -> batchIds.sorted.mkString(","),
       "n_turns" -> nTurns.toString,
       "schema" -> df.schema.json) ++
-      statsExtras(spark, table, newBatchId, statsCols))
+      statsExtras(spark, table, newBatchId,
+        (statsCols ++ inheritedStatsCols(table, batchIds)).distinct))
   }
 
   /** Summary of a pruned copy-on-write rewrite: how many live batches the
@@ -644,7 +653,8 @@ object TranscriptTable {
       "replaces" -> touched.sorted.mkString(","),
       "n_turns" -> rowsAfter.toString,
       "schema" -> out.schema.json) ++
-      statsExtras(spark, table, newBatchId, effStats))
+      statsExtras(spark, table, newBatchId,
+        (effStats ++ inheritedStatsCols(table, touched)).distinct))
     RewriteStats(live.size, touched.size, rowsBefore, rowsAfter)
   }
 
@@ -688,7 +698,8 @@ object TranscriptTable {
       spark.read.parquet(withLineage.map(b => lineageDir(table, b)): _*)
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(lineageDir(table, newBatchId))
-    val effStats = (statsCols :+ column).distinct
+    val effStats =
+      (statsCols ++ Seq(column) ++ inheritedStatsCols(table, touched)).distinct
     commit(table, newBatchId, Map(
       "replaces" -> touched.sorted.mkString(","),
       "n_turns" -> rowsAfter.toString,

@@ -263,6 +263,21 @@ class TableStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left == Set(1L, 3L))
   }
 
+  test("rewrites inherit the replaced batches' stats columns (prunability never lost)") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_cow_inherit")
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i + 1000L)).toDF("id", "v").coalesce(1)
+    TT.writeBatch(batch(0L, 100L), out, "b000", statsCols = Seq("id", "v"))
+    TT.writeBatch(batch(100L, 200L), out, "b001", statsCols = Seq("id", "v"))
+    // delete on id: the rewritten batch must KEEP v bounds it never asked
+    // for — otherwise a later v-range plan blind-keeps it forever
+    TT.deleteRange(spark, out, "id", 0L, 50L, "d002")
+    assert(TT.planRange(out, "v", 5000L, 6000L).keptPaths.isEmpty,
+      "a probe outside every v bound must skip ALL files, incl. the rewrite")
+    assert(TT.planRange(out, "v", 1060L, 1070L).keptPaths.nonEmpty)
+  }
+
   test("mergeKeys upserts exactly; inserts past the max never widen the prune") {
     val sp = spark; import sp.implicits._
     val out = freshTable("graft_cow_merge")
