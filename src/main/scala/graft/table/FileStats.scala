@@ -211,6 +211,27 @@ object FileStats {
     if (kind == "num") numCmp(a, b)
     else if (utf8Lt(a, b)) -1 else if (utf8Lt(b, a)) 1 else 0
 
+  /** Parse-ONCE sortable form of a canonical bound: hot driver-side
+    * sort/search paths (mergeKeys' exact key prune) must not re-parse a
+    * BigDecimal per comparison. rank carries the -Inf < finite < Inf <
+    * NaN total order; str kind compares raw UTF-8 bytes. */
+  private[table] final case class CanonKey(rank: Int,
+      num: java.math.BigDecimal, str: Array[Byte])
+
+  private[table] def canonKey(kind: String, s: String): CanonKey =
+    if (kind == "num") s match {
+      case "NaN"       => CanonKey(3, null, null)
+      case "Infinity"  => CanonKey(2, null, null)
+      case "-Infinity" => CanonKey(0, null, null)
+      case _           => CanonKey(1, new java.math.BigDecimal(s), null)
+    } else CanonKey(1, null, s.getBytes("UTF-8"))
+
+  private[table] def cmpKey(a: CanonKey, b: CanonKey): Int =
+    if (a.rank != b.rank) Integer.compare(a.rank, b.rank)
+    else if (a.num != null) a.num.compareTo(b.num)
+    else if (a.str != null) java.util.Arrays.compareUnsigned(a.str, b.str)
+    else 0
+
   /** Can a file with bounds `s` possibly contain a value in [lo, hi]
     * (inclusive; null bound = unbounded on that side)? Missing stats →
     * true (never prune blind); all-null / absent column → false (a range

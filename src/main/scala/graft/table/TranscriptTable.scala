@@ -533,24 +533,38 @@ object TranscriptTable {
   /** Row-level UPDATE over a key range (`UPDATE ... SET c = expr WHERE
     * col BETWEEN lo AND hi`): matching rows get each `set` column
     * replaced by its expression, every other row passes through
-    * unchanged; only bounds-overlapping batches rewrite. This is the
-    * in-place redaction path — e.g. `set = Map("text" -> piiScrubExpr)`
-    * scrubs one conversation-id range without touching the rest of the
-    * table. */
+    * unchanged; only bounds-overlapping batches rewrite. SQL UPDATE
+    * semantics: the range condition AND every SET expression evaluate
+    * against the OLD row (one projection applies them simultaneously),
+    * so SET may safely rewrite the range column itself or reference
+    * other SET columns. This is the in-place redaction path — e.g.
+    * `set = Map("text" -> piiScrubExpr)` scrubs one conversation-id
+    * range without touching the rest of the table. */
   def updateRange(spark: SparkSession, table: String, column: String,
       lo: Any, hi: Any, newBatchId: String,
       set: Map[String, org.apache.spark.sql.Column],
       statsCols: Seq[String] = Nil): RewriteStats = {
     require(set.nonEmpty, "updateRange needs SET columns")
+    // validate SET names up front against the table's recorded union —
+    // a typo'd column must fail NOW, not silently no-op on every tick
+    // whose range happens to miss all file bounds
+    unionSchema(table, liveBatches(table)).foreach { s =>
+      val missing = set.keySet -- s.fieldNames.toSet
+      require(missing.isEmpty, s"SET columns absent from table: $missing")
+    }
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     cowRewrite(spark, table, column, lo, hi, newBatchId, statsCols,
       (df, cond) => {
         val missing = set.keySet -- df.columns.toSet
         require(missing.isEmpty, s"SET columns absent from table: $missing")
-        set.foldLeft(df) { case (d, (c, e)) =>
-          d.withColumn(c, when(coalesce(cond, lit(false)), e)
-            .otherwise(col(c)))
-        }
+        // ONE select: every when() resolves cond and the SET expressions
+        // against the INPUT frame — a withColumn fold would evaluate
+        // later SETs (and the condition) on partially-updated rows
+        val hit = coalesce(cond, lit(false))
+        df.select(df.columns.map { c =>
+          set.get(c).map(e => when(hit, e).otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        }: _*)
       })
   }
 
@@ -580,6 +594,11 @@ object TranscriptTable {
     if (isCommitted(table, newBatchId)) return RewriteStats(0, 0, 0L, 0L)
     val live = liveBatches(table)
     require(live.nonEmpty, s"no committed batches in $table")
+    // uniform id-ordering invariant: whether this merge rewrites or lands
+    // as a pure insert depends on DATA, so the check must not — a
+    // low-sorting id would leak the merge's rows into older snapshots
+    require(live.forall(_ < newBatchId),
+      s"merge batch id $newBatchId must sort after every live batch")
     val u = updates.localCheckpoint()
     val keys = u.select(col(keyCol)).na.drop(Seq(keyCol)).distinct()
       .localCheckpoint()
@@ -590,15 +609,20 @@ object TranscriptTable {
       else if (kind.isEmpty) live // unprunable key type: no stats exist
       else if (nKeys <= maxExactKeys) {
         val k = kind.get
-        val sorted = keys.collect().map(r => FileStats.canonBound(r.get(0)))
-          .sortWith(FileStats.cmpCanon(k, _, _) < 0)
-        def anyIn(lo: String, hi: String): Boolean = {
+        // parse-once sort keys: cmpCanon would re-parse two BigDecimals
+        // per comparison — ~20M parses at the 1M-key cap
+        val sorted = keys.collect()
+          .map(r => FileStats.canonKey(k, FileStats.canonBound(r.get(0))))
+          .sortWith(FileStats.cmpKey(_, _) < 0)
+        def anyIn(loS: String, hiS: String): Boolean = {
+          val lo = FileStats.canonKey(k, loS)
+          val hi = FileStats.canonKey(k, hiS)
           var a = 0; var b = sorted.length
           while (a < b) {
             val m = (a + b) >>> 1
-            if (FileStats.cmpCanon(k, sorted(m), lo) < 0) a = m + 1 else b = m
+            if (FileStats.cmpKey(sorted(m), lo) < 0) a = m + 1 else b = m
           }
-          a < sorted.length && FileStats.cmpCanon(k, sorted(a), hi) <= 0
+          a < sorted.length && FileStats.cmpKey(sorted(a), hi) <= 0
         }
         live.filter { b =>
           val stats = fileStats(table, b)
@@ -627,8 +651,6 @@ object TranscriptTable {
         statsExtras(spark, table, newBatchId, effStats))
       return RewriteStats(live.size, 0, 0L, rowsUpd)
     }
-    require(touched.forall(_ < newBatchId),
-      s"merge batch id $newBatchId must sort after the batches it replaces")
     val dfT = unionSchema(table, touched) match {
       case Some(s) =>
         spark.read.schema(s).parquet(touched.map(b => dataDir(table, b)): _*)
@@ -640,21 +662,7 @@ object TranscriptTable {
       if (nKeys <= maxExactKeys) dfT.join(broadcast(keys), Seq(keyCol), "left_anti")
       else dfT.join(keys, Seq(keyCol), "left_anti")
     val out = survivors.unionByName(u, allowMissingColumns = true)
-    out.write.mode(SaveMode.Overwrite).parquet(dataDir(table, newBatchId))
-    val rowsAfter = spark.read.schema(out.schema)
-      .parquet(dataDir(table, newBatchId)).count()
-    val withLineage = touched.filter(b =>
-      Files.exists(Paths.get(lineageDir(table, b))))
-    if (withLineage.nonEmpty)
-      spark.read.parquet(withLineage.map(b => lineageDir(table, b)): _*)
-        .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(lineageDir(table, newBatchId))
-    commit(table, newBatchId, Map(
-      "replaces" -> touched.sorted.mkString(","),
-      "n_turns" -> rowsAfter.toString,
-      "schema" -> out.schema.json) ++
-      statsExtras(spark, table, newBatchId,
-        (effStats ++ inheritedStatsCols(table, touched)).distinct))
+    val rowsAfter = commitRewrite(spark, table, touched, newBatchId, out, effStats)
     RewriteStats(live.size, touched.size, rowsBefore, rowsAfter)
   }
 
@@ -689,23 +697,40 @@ object TranscriptTable {
     val cond = (if (lo == null) lit(true) else col(column) >= lit(lo)) &&
       (if (hi == null) lit(true) else col(column) <= lit(hi))
     val out = body(df, cond)
+    val rowsAfter = commitRewrite(spark, table, touched, newBatchId, out,
+      statsCols :+ column)
+    RewriteStats(plan.batches.size, touched.size, rowsBefore, rowsAfter)
+  }
+
+  /** Shared tail of every row-CHANGING rewrite (delete/update/merge):
+    * write the new batch, count it back from parquet metadata, and commit
+    * with `replaces` + inherited stats columns. Deliberately does NOT
+    * carry the replaced batches' lineage — lineage describes the rows a
+    * batch was written with, and after a purge/redaction those rows are
+    * gone or changed; carrying it forward would keep purged-row digests
+    * alive past [[vacuum]] (the GDPR hole) and desync lineage totals from
+    * manifest `n_turns`. Row-preserving compaction keeps its verbatim
+    * carry in [[compactWith]]. Re-checks the touched batches are STILL
+    * live right before the flip: a concurrent compaction of one of them
+    * would otherwise leave both the compacted copy and these survivors
+    * live (double reads). The check narrows the race to the write-commit
+    * gap — table maintenance assumes a single writer, as in compactWith. */
+  private def commitRewrite(spark: SparkSession, table: String,
+      touched: Seq[String], newBatchId: String, out: DataFrame,
+      statsCols: Seq[String]): Long = {
     out.write.mode(SaveMode.Overwrite).parquet(dataDir(table, newBatchId))
     val rowsAfter = spark.read.schema(out.schema)
       .parquet(dataDir(table, newBatchId)).count()
-    val withLineage = touched.filter(b =>
-      Files.exists(Paths.get(lineageDir(table, b))))
-    if (withLineage.nonEmpty)
-      spark.read.parquet(withLineage.map(b => lineageDir(table, b)): _*)
-        .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(lineageDir(table, newBatchId))
-    val effStats =
-      (statsCols ++ Seq(column) ++ inheritedStatsCols(table, touched)).distinct
+    val retired = replacedBatches(table)
+    require(touched.forall(!retired.contains(_)),
+      s"concurrently superseded during rewrite: ${touched.filter(retired.contains)}")
     commit(table, newBatchId, Map(
       "replaces" -> touched.sorted.mkString(","),
       "n_turns" -> rowsAfter.toString,
       "schema" -> out.schema.json) ++
-      statsExtras(spark, table, newBatchId, effStats))
-    RewriteStats(plan.batches.size, touched.size, rowsBefore, rowsAfter)
+      statsExtras(spark, table, newBatchId,
+        (statsCols ++ inheritedStatsCols(table, touched)).distinct))
+    rowsAfter
   }
 
   /** Reclaim the data/lineage files of compaction-retired batches. After

@@ -328,6 +328,55 @@ class TableStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.size == 301 && rows(155L) == "upd155" && rows(1000L) == "ins")
   }
 
+  test("updateRange: condition and SET expressions see the OLD row") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_cow_oldrow")
+    val b0 = Seq((1L, 5L, "a"), (2L, 15L, "b"), (3L, 25L, "c"))
+      .toDF("id", "k", "text").coalesce(1)
+    TT.writeBatch(b0, out, "b000", statsCols = Seq("k"))
+    // SET rewrites the range column ITSELF and text together: a
+    // sequential withColumn fold would zero k first, then re-evaluate
+    // the condition on the new k and skip the text redaction
+    TT.updateRange(spark, out, "k", 12L, 20L, "u001",
+      Map("k" -> lit(0L), "text" -> lit("[REDACTED]")))
+    val rows = TT.read(spark, out).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(rows == Map(1L -> (5L, "a"), 2L -> (0L, "[REDACTED]"),
+      3L -> (25L, "c")), rows.toString)
+    // cross-referencing SETs swap from old values
+    TT.updateRange(spark, out, "id", 3L, 3L, "u002",
+      Map("k" -> col("id"), "id" -> col("k")))
+    val swapped = TT.read(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(swapped.contains((25L, 3L)), swapped.toString)
+    // a typo'd SET column fails up front, even when no batch overlaps
+    intercept[IllegalArgumentException] {
+      TT.updateRange(spark, out, "k", 5000L, 6000L, "u003",
+        Map("textt" -> lit("x")))
+    }
+  }
+
+  test("row-changing rewrites drop replaced lineage; low-sorting merge ids throw") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_cow_lineage")
+    val b0 = (0L until 50L).map(i => (i, s"d$i")).toDF("id", "text").coalesce(1)
+    val lin = Seq(("b000", 50L)).toDF("bucket", "n")
+    TT.writeBatchWithLineage(b0, lin, out, "b000")
+    // writeBatchWithLineage records no stats -> the delete blind-keeps
+    // and rewrites the batch; its stale lineage must NOT carry over
+    TT.deleteRange(spark, out, "id", 0L, 9L, "d001")
+    assert(TT.read(spark, out).count() == 40L)
+    intercept[IllegalArgumentException] {
+      TT.readLineage(spark, out) // no live batch has lineage left
+    }
+    // a merge whose id sorts before a live batch fails regardless of
+    // whether it would rewrite or pure-insert
+    intercept[IllegalArgumentException] {
+      TT.mergeKeys(spark, out, "id",
+        Seq((9999L, "ins")).toDF("id", "text"), "a000")
+    }
+  }
+
   test("readRange with both bounds null keeps null-valued and all-null-file rows") {
     val sp = spark; import sp.implicits._
     val out = freshTable("graft_stats_nullnull")
