@@ -326,12 +326,54 @@ object SparkEntry {
           col("event_id") < lit(n / 10 + n / 50))
         .withColumn("event_type", lit("upd"))
         .withColumn("value", col("value") * 2)
+      // insert offset DERIVED from the table's size (3n is always past the
+      // max id), not a fixed constant that a larger SF's ids could collide
+      // with — the oracle recomputes the same 3*count(*) offset
       val ins = ev.filter(col("event_id") < lit(n / 100))
-        .withColumn("event_id", col("event_id") + lit(9000000L))
+        .withColumn("event_id", col("event_id") + lit(3 * n))
       val st = TranscriptTable.mergeKeys(
         s, tbl, "event_id", upd.unionByName(ins), "m004")
       require(st.nBatchesTotal == 4 && st.nBatchesRewritten == 1,
         s"merge must rewrite ONLY the batch holding the updated id run: $st")
+      TranscriptTable.read(s, tbl)
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+    "x_table_update" -> ((s, dir) => {
+      // Row-level UPDATE under copy-on-write (the in-place redaction
+      // path): the same 4 time-sliced batches as x_table_delete; a 3-day
+      // updateRange re-types the window's events AND re-values them with
+      // a SET that reads the event_type column it is simultaneously
+      // replacing — pinning OLD-row SQL UPDATE semantics at the driver
+      // gate, not just in sbt tests. The require pins the IO contract
+      // (only the one bounds-overlapping batch rewrites); the oracle
+      // replays the CASE-WHEN semantics on the raw events table.
+      import graft.table.TranscriptTable
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_upd_sf${sfOf(dir)}/t"
+      graft.util.Fs.rmrf(tbl)
+      val ev = t(s, dir, "events")
+      (0 until 4).foreach { b =>
+        val lo = java.time.LocalDateTime.parse(f"2024-01-${1 + 8 * b}%02dT00:00:00")
+        val hi = java.time.LocalDateTime.parse(
+          if (b == 3) "2024-02-01T00:00:00" else f"2024-01-${1 + 8 * (b + 1)}%02dT00:00:00")
+        TranscriptTable.writeBatch(
+          ev.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+            .repartitionByRange(2, col("ts")).sortWithinPartitions("ts"),
+          tbl, f"b$b%03d", statsCols = Seq("ts"))
+      }
+      val lo = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+      val hi = java.time.LocalDateTime.parse("2024-01-13T00:00:00")
+      val st = TranscriptTable.updateRange(s, tbl, "ts", lo, hi, "u004",
+        set = Map(
+          "event_type" -> lit("redacted"),
+          // value*2 is fp-exact; + length(OLD event_type) is an exact
+          // int-to-double add — and proves the condition/SET pair reads
+          // the pre-update row (post-update it would always add 8)
+          "value" -> (col("value") * 2 + length(col("event_type")))))
+      require(st.nBatchesTotal == 4 && st.nBatchesRewritten == 1,
+        s"update must rewrite ONLY the week-2 batch: $st")
       TranscriptTable.read(s, tbl)
         .select(col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"),
@@ -1436,17 +1478,34 @@ object SparkEntry {
         |   OR ts NOT BETWEEN TIMESTAMP '2024-01-10 00:00:00'
         |                 AND TIMESTAMP '2024-01-13 00:00:00'
         |ORDER BY event_id""".stripMargin,
+    "x_table_update" ->
+      // post-update table == CASE-WHEN over the raw events: in-range rows
+      // re-type to 'redacted' and re-value off the OLD row (value*2 +
+      // length of the PRE-update event_type — SQL UPDATE old-row
+      // semantics, which a sequential apply would break by reading the
+      // already-redacted type)
+      """SELECT event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |                   AND TIMESTAMP '2024-01-13 00:00:00'
+        |       THEN 'redacted' ELSE event_type END AS event_type,
+        |  CASE WHEN ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |                   AND TIMESTAMP '2024-01-13 00:00:00'
+        |       THEN value * 2 + length(event_type) ELSE value END AS value
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     "x_table_merge" ->
       // post-merge table == survivors (key not updated) + the re-valued
       // update run + the re-keyed inserts; // is DuckDB integer division
-      // (same arithmetic as the Scala Long division building the batch)
+      // (same arithmetic as the Scala Long division building the batch);
+      // the insert offset is 3*count(*) — derived past the max id in both
+      // engines, never a constant a bigger SF could collide with
       """WITH n AS (SELECT count(*) AS c FROM events),
         |upd AS (
         |  SELECT event_id, ts, 'upd' AS event_type, value * 2 AS value
         |  FROM events, n
         |  WHERE event_id >= c // 10 AND event_id < c // 10 + c // 50),
         |ins AS (
-        |  SELECT event_id + 9000000 AS event_id, ts, event_type, value
+        |  SELECT event_id + 3 * c AS event_id, ts, event_type, value
         |  FROM events, n WHERE event_id < c // 100)
         |SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (

@@ -568,12 +568,14 @@ object ScaleProbe {
         graft.table.TranscriptTable.read(spark, table)
           .filter(!(col("ts_s") >= lo && col("ts_s") <= hi))
           .write.mode("overwrite").parquet(straw))
-      // CDC merge: re-value a 100k-id run (batch 0) + 100k inserts far
-      // past the max id — exact membership prune must hold at ONE batch
+      // CDC merge: re-value an n/50-id run (inside batch 0 — n/10 + n/50
+      // = 0.12n < n/8 at every n, so the section no longer assumes n is
+      // big enough for a fixed 100k run to fit) + n/100 inserts far past
+      // the max id — exact membership prune must hold at ONE batch
       val upd = ev.filter(col("event_id") >= n / 10 &&
-          col("event_id") < n / 10 + 100000L)
+          col("event_id") < n / 10 + math.max(1L, n / 50))
         .withColumn("user_id", lit(-1L))
-        .unionByName(ev.filter(col("event_id") < 100000L)
+        .unionByName(ev.filter(col("event_id") < math.max(1L, n / 100))
           .withColumn("event_id", col("event_id") + lit(3L * n)))
       val (stM, tMerge) = time(graft.table.TranscriptTable
         .mergeKeys(spark, table, "event_id", upd, "m200"))

@@ -97,11 +97,13 @@ object BloomDedup {
   private def metaPath(dir: String) = s"$dir/_graft_meta/meta.properties"
 
   private def writeMeta(spark: SparkSession, dir: String, k: Int, shards: Int,
-      bytesPerShard: Int, nKeys: Long, token: Long): Unit =
+      bytesPerShard: Int, nKeys: Long, token: Long,
+      designBpk: Option[Int] = None): Unit =
     graft.util.FsAtomic.overwriteFile(spark.sparkContext.hadoopConfiguration,
       new org.apache.hadoop.fs.Path(metaPath(dir)),
       (s"kind=bloom\nk=$k\nshards=$shards\nbytes_per_shard=$bytesPerShard\n" +
-        s"n_keys=$nKeys\ntoken=$token\n")
+        s"n_keys=$nKeys\ntoken=$token\n" +
+        designBpk.map(d => s"design_bpk=$d\n").getOrElse(""))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   private[ops] def readMeta(spark: SparkSession, dir: String): Map[String, String] = {
@@ -179,7 +181,7 @@ object BloomDedup {
     filters.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$dir/filters")
     writeMeta(spark, dir, nHashes, shards, bytesPerShard, nKeys,
-      token.getOrElse(0L))
+      token.getOrElse(0L), designBpk = Some(bitsPerKey))
   }
 
   /** OR a new batch's keys into the committed filter and append them to
@@ -266,8 +268,24 @@ object BloomDedup {
       fc.rename(new org.apache.hadoop.fs.Path(staged),
         new org.apache.hadoop.fs.Path(s"$dir/filters"))
     }
+    val nKeysNow = meta("n_keys").toLong + nNew
+    // append never resizes the bit arrays (OR-identity to a rebuild
+    // requires fixed m), so a long-running pipeline's fp rate degrades as
+    // n_keys outgrows build-time sizing. Degradation stays a NUMBER
+    // (bloomLoad), but past half the designed bits/key it also becomes a
+    // log line telling the operator to schedule the rebuild — never a
+    // silent slide into a fat fp sliver that bloats every confirm join.
+    for (d <- meta.get("design_bpk").map(_.toInt) if nKeysNow > 0) {
+      val liveBpk = bytesLocal.toLong * 8 * shards / nKeysNow.toDouble
+      if (liveBpk < d / 2.0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"bloom filter $dir%s overfull: $liveBpk%.1f live bits/key vs " +
+            f"$d%d designed (n_keys=$nKeysNow%d) - fp rate is degrading, " +
+            "rebuild with buildBloom(rebuild = true) in the next maintenance window")
+    }
     writeMeta(spark, dir, kLocal, shards, bytesLocal,
-      meta("n_keys").toLong + nNew, newToken.getOrElse(0L))
+      nKeysNow, newToken.getOrElse(0L),
+      designBpk = meta.get("design_bpk").map(_.toInt))
   }
 
   /** Filter load factor diagnostics: (n_keys, bits_per_key_now, the

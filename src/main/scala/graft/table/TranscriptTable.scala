@@ -548,15 +548,28 @@ object TranscriptTable {
     // validate SET names up front against the table's recorded union —
     // a typo'd column must fail NOW, not silently no-op on every tick
     // whose range happens to miss all file bounds
-    unionSchema(table, liveBatches(table)).foreach { s =>
+    val tableUnion = unionSchema(table, liveBatches(table))
+    tableUnion.foreach { s =>
       val missing = set.keySet -- s.fieldNames.toSet
       require(missing.isEmpty, s"SET columns absent from table: $missing")
     }
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     cowRewrite(spark, table, column, lo, hi, newBatchId, statsCols,
       (df, cond) => {
-        val missing = set.keySet -- df.columns.toSet
-        require(missing.isEmpty, s"SET columns absent from table: $missing")
+        // schema evolution: a SET column recorded in the TABLE union but
+        // absent from the touched (older) batches reads as null there —
+        // SQL UPDATE semantics, so the rewrite ADDS it (typed from the
+        // recorded union) with old-value null, instead of failing a
+        // rewrite the up-front validation already admitted
+        val missing = (set.keySet -- df.columns.toSet).toSeq.sorted
+        val missingFields = missing.map { c =>
+          tableUnion.flatMap(_.fields.find(_.name == c)).getOrElse(
+            // no recorded union (pre-schema-era batches): no type to give
+            // the null, so the strict failure stands
+            throw new IllegalArgumentException(
+              s"SET column absent from the touched batches and no recorded " +
+                s"table schema to type it: $c"))
+        }
         // ONE select: every when() resolves cond and the SET expressions
         // against the INPUT frame — a withColumn fold would evaluate
         // later SETs (and the condition) on partially-updated rows
@@ -564,6 +577,8 @@ object TranscriptTable {
         df.select(df.columns.map { c =>
           set.get(c).map(e => when(hit, e).otherwise(col(c)).as(c))
             .getOrElse(col(c))
+        } ++ missingFields.map { f =>
+          when(hit, set(f.name)).otherwise(lit(null).cast(f.dataType)).as(f.name)
         }: _*)
       })
   }

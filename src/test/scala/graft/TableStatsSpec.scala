@@ -356,6 +356,28 @@ class TableStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("updateRange on a schema-evolved column adds it (typed null) to older batches") {
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_cow_evolve")
+    // b000 predates the score column; b001 carries it (add-only evolution)
+    TT.writeBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "text").coalesce(1),
+      out, "b000", statsCols = Seq("id"))
+    TT.writeBatch(Seq((10L, "c", 5.0)).toDF("id", "text", "score").coalesce(1),
+      out, "b001", statsCols = Seq("id"))
+    // the range touches ONLY the pre-evolution batch: SQL UPDATE semantics
+    // treat the missing score as null there — the rewrite must ADD the
+    // column (typed from the recorded union), set it on hits, and leave
+    // the old value null on misses, not throw mid-rewrite
+    val st = TT.updateRange(spark, out, "id", 2L, 2L, "u001",
+      Map("score" -> lit(9.5)))
+    assert(st.nBatchesRewritten == 1, st.toString)
+    val rows = TT.read(spark, out).select("id", "score").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9.5), 10L -> Some(5.0)),
+      rows.toString)
+  }
+
   test("row-changing rewrites drop replaced lineage; low-sorting merge ids throw") {
     val sp = spark; import sp.implicits._
     val out = freshTable("graft_cow_lineage")
