@@ -143,7 +143,22 @@ object Bench {
         !k.startsWith("host_") && k != "extract_full_sf" &&
         k != "extract_sf5x_secs" => v
     }.sum
+    // compact headline line FIRST (VERDICT r6 #6): the driver's artifact
+    // capture can truncate the head of the (large) per-query line, which in
+    // r6 cut exactly the extraction headline out of the JSON. This line is
+    // ~200 bytes and self-contained — any tail window that retains the
+    // per-query line also retains it, and a reader of the artifact gets
+    // the flagship numbers without parsing the full map.
+    val headline = Seq("extract_full_sf", "extract_turns_per_sec",
+        "extract_sf5x_secs", "extract_sf5x_turns_per_sec",
+        "host_steal_pct", "host_busy_pct")
+      .flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
+      .mkString(",")
+    val tps = results.getOrElse("extract_turns_per_sec", 0.0)
+    println(f"""{"metric":"summary_turns_per_sec","value":$tps%.3f,"unit":"turns/sec",$headline%s}""")
     val notes = "all extraction rows run the FULL driver SF; " +
+      "the summary line above repeats the headline numbers so a truncated " +
+      "capture of this line stays self-contained; " +
       "extract_full_sf = best of 3 in-session runs (run1 includes codegen warmup); " +
       "extract_sf5x_secs = best of 2 (both recorded as extract_sf5x_run*); " +
       "each sweep query is timed twice: min under its name, the other as <name>_slow " +

@@ -660,6 +660,38 @@ object SparkEntry {
       gatedBruteForm(emb, q, k = 50, minRecall = 0.7, label = "x_ann_ivf_probe",
         probe = AnnIndex.probeIvf(s, idx, q, 50))
     }),
+    "x_ann_ivfpq_build" -> ((s, dir) => {
+      // the composed IVF x PQ index build: coarse centroids + per-subspace
+      // codebooks trained on the same deterministic sample, committed in
+      // _graft_meta; cell-partitioned files carry (vec_id, pq_code,
+      // embedding) so the probe's ADC scan reads bytes and its refine
+      // reads floats from the SAME pruned partitions. Sorts before
+      // x_ann_ivfpq_probe in the alphabetical sweep.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_ivfpq_sf${sfOf(dir)}"
+      AnnIndex.buildIvfPq(emb, idx, nCells = 16, m = 16, kCodes = 64)
+      AnnIndex.describe(s, idx)
+    }),
+    "x_ann_ivfpq_probe" -> ((s, dir) => {
+      // the at-scale ANN read path (VERDICT r6 #1): cells pruned via the
+      // committed centroids, ADC byte-code scan of ONLY the probed cells
+      // (column pruning keeps the raw floats off it — pinned in
+      // AnnIndexSpec), exact-cosine refine of the bounded shortlist.
+      // Contract-gated like x_ann_ivf_probe: geometry is k-means over the
+      // deterministic sample (not SQL-recomputable), so the gate enforces
+      // k rows / descending order / recall floor, and the EMITTED rows are
+      // the brute rank form DuckDB fully recomputes.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = emb.orderBy("vec_id").select("embedding").head
+        .getSeq[Float](0).toArray
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_ivfpq_sf${sfOf(dir)}"
+      AnnIndex.buildIvfPq(emb, idx, nCells = 16, m = 16, kCodes = 64)
+      // floor 0.6: measured 0.86 (sf0.001) / 0.82 (sf0.01) for the
+      // adaptive probe (10-of-16 cells) at m=16 k=64 refine=4 —
+      // deterministic data, margin under both
+      gatedBruteForm(emb, q, k = 50, minRecall = 0.6, label = "x_ann_ivfpq_probe",
+        probe = AnnIndex.probeIvfPq(s, idx, q, 50))
+    }),
     "x_embed_neardup" -> ((s, dir) => {
       // planted-duplicate recall form (the x_neardup_recall pattern in
       // embedding space): union a bounded embeddings slice with an
@@ -879,12 +911,19 @@ object SparkEntry {
     }),
     "x_curate" -> ((s, dir) => {
       // END-TO-END curation oracle: the flagship training-data workflow
-      // (lang filter -> quality floor -> exact dedup -> near-dup keepers ->
-      // token accounting) verified as ONE composed DuckDB query, not just
-      // its parts. Emits integer-exact/string columns only; the quality
-      // floor is a same-IEEE-expression comparison in both engines.
-      val (curated, _) = graft.jobs.CurateJob.curate(t(s, dir, "documents"),
-        keepLangs = Set("en"), minQuality = 0.3, nearThreshold = 0.8)
+      // (lang filter -> quality floor -> benchmark decontamination ->
+      // exact dedup -> near-dup keepers -> token accounting) verified as
+      // ONE composed DuckDB query, not just its parts. Emits integer-
+      // exact/string columns only; the quality floor is a same-IEEE-
+      // expression comparison in both engines. The benchmark is the
+      // x_decontaminate split (docs >= 250 play the eval set, 5-grams so
+      // cross-boundary collisions genuinely exist in the word-soup texts);
+      // eval docs that survive the filters drop on their own grams, which
+      // the oracle replicates.
+      val d = t(s, dir, "documents")
+      val (curated, _) = graft.jobs.CurateJob.curate(d,
+        keepLangs = Set("en"), minQuality = 0.3, nearThreshold = 0.8,
+        benchmark = Some(d.filter(col("doc_id") >= 250)), decontamN = 5)
       curated.select(col("doc_id"), col("lang_pred"), col("ws_tokens"))
         .orderBy("doc_id")
     }),
@@ -1267,6 +1306,7 @@ object SparkEntry {
     // after asserting the probe's contract in-query (see the entries)
     "x_ann_ivf" -> bruteTopKSql,
     "x_ann_ivf_probe" -> bruteTopKSql,
+    "x_ann_ivfpq_probe" -> bruteTopKSql,
     "x_pq_topk" -> bruteTopKSql,
     "x_embed_neardup" ->
       // planted-duplicate union: recall is deterministic at threshold
@@ -1836,6 +1876,9 @@ object SparkEntry {
       // their previous center), so the committed centroid count is pinned
       """SELECT 'ivf' AS kind, 16 AS param, count(*) AS n_rows,
         |  16 AS n_centroids FROM embeddings""".stripMargin,
+    "x_ann_ivfpq_build" ->
+      """SELECT 'ivfpq' AS kind, 16 AS param, count(*) AS n_rows,
+        |  16 AS n_centroids FROM embeddings""".stripMargin,
     "x_dedup_minhash" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
@@ -1976,9 +2019,11 @@ object SparkEntry {
       // the composed curation pipeline: langid Latin-path CASE (= the
       // x_langid_pred oracle), the qualityFeatures composite score written
       // as the SAME IEEE expression tree (left-assoc adds, same literals),
-      // md5 exact-dedup keepers, then the recursive-CTE near-dup closure at
-      // J >= 0.8 over the survivors — each stage reuses an already-proven
-      // oracle fragment
+      // the x_decontaminate 5-gram anti-join (benchmark = docs >= 250,
+      // applied between the quality floor and the dedup passes, exactly
+      // where CurateJob runs it), md5 exact-dedup keepers, then the
+      // recursive-CTE near-dup closure at J >= 0.8 over the survivors —
+      // each stage reuses an already-proven oracle fragment
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, text,
         |    list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'), x -> x <> '') AS wtoks,
@@ -2018,9 +2063,22 @@ object SparkEntry {
         |q1 AS (
         |  SELECT doc_id, text, ws_tokens, lang_pred FROM scored
         |  WHERE lang_pred = 'en' AND q >= 0.3),
-        |ex AS (
+        |dg AS (
+        |  SELECT doc_id, CASE WHEN len(ltoks) < 5 THEN []::VARCHAR[]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(ltoks)-4),
+        |           i -> ltoks[i]||' '||ltoks[i+1]||' '||ltoks[i+2]||' '||ltoks[i+3]||' '||ltoks[i+4])) END AS grams
+        |  FROM toks),
+        |bgrm AS (SELECT DISTINCT gram FROM (SELECT unnest(grams) AS gram FROM dg WHERE doc_id >= 250)),
+        |contaminated AS (
+        |  SELECT DISTINCT cg.doc_id
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM dg) cg
+        |  JOIN bgrm USING (gram)),
+        |dc AS (
         |  SELECT doc_id, text, ws_tokens, lang_pred FROM q1
-        |  WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY md5(text))),
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |ex AS (
+        |  SELECT doc_id, text, ws_tokens, lang_pred FROM dc
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM dc GROUP BY md5(text))),
         |gt AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
         |  FROM ex),

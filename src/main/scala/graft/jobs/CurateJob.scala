@@ -9,28 +9,39 @@ import org.apache.spark.sql.functions._
   *
   *   1. language filter      (langId prediction in `keepLangs`)
   *   2. quality floor        (composite score >= `minQuality`)
-  *   3. exact dedup          (min doc_id per content hash)
-  *   4. near-dup removal     (MinHash-LSH clusters, keeper per cluster)
-  *   5. accounting           (ws/BPE-estimate token counts + fingerprint)
+  *   3. decontamination      (drop docs sharing an n-gram with `benchmark`)
+  *   4. exact dedup          (min doc_id per content hash)
+  *   5. near-dup removal     (MinHash-LSH clusters, keeper per cluster)
+  *   6. accounting           (ws/BPE-estimate token counts + fingerprint)
+  *
+  * Decontamination runs BEFORE the dedup passes: dropping eval-leaked docs
+  * first means a contaminated doc can never be the keeper that shadows a
+  * clean near-duplicate out of the corpus (the GPT-3 recipe filters the
+  * training set; the keeper choice must be made among survivors). Its cost
+  * shape is [[Dedup.decontaminate]]'s: benchmark grams broadcast, the
+  * corpus never shuffles.
   *
   * Shape at scale: the scalar scoring stage is ONE map pass barriered with
   * localCheckpoint (per-stage counts then read the materialized frame
-  * instead of re-running the UDFs per count); filters 1-2 drop the bulk of
+  * instead of re-running the UDFs per count); filters 1-3 drop the bulk of
   * a raw crawl BEFORE the shuffling dedup passes see it; the dedup passes
   * shuffle only on small keys (hash / band buckets / doc_id). Stats counts
-  * are five cheap actions over materialized frames — at 100 TB they are
+  * are six cheap actions over materialized frames — at 100 TB they are
   * the job's audit record, not overhead. */
 object CurateJob {
 
   final case class CurateStats(
       nInput: Long, nAfterLang: Long, nAfterQuality: Long,
-      nAfterExact: Long, nCurated: Long, totalWsTokens: Long)
+      nAfterDecontam: Long, nAfterExact: Long, nCurated: Long,
+      totalWsTokens: Long)
 
   def curate(docs: DataFrame,
       keepLangs: Set[String] = Set("en"),
       minQuality: Double = 0.3,
       nearThreshold: Double = 0.8,
-      textCol: String = "text"): (DataFrame, CurateStats) = {
+      textCol: String = "text",
+      benchmark: Option[DataFrame] = None,
+      decontamN: Int = 13): (DataFrame, CurateStats) = {
     val nInput = docs.count()
     val scored = docs
       .withColumn("lang_pred", TextAnalysis.langIdUdf(col(textCol)))
@@ -42,7 +53,12 @@ object CurateJob {
     val nLang = langOk.count()
     val qualOk = langOk.filter(col("quality_score") >= minQuality)
     val nQual = qualOk.count()
-    val exact = Dedup.exactDedup(qualOk, textCol)
+    val clean = benchmark match {
+      case Some(b) => Dedup.decontaminate(qualOk, b, decontamN, textCol)
+      case None    => qualOk
+    }
+    val nClean = if (benchmark.isDefined) clean.count() else nQual
+    val exact = Dedup.exactDedup(clean, textCol)
     val nExact = exact.count()
     val near = Dedup.nearDedup(exact, nearThreshold, textCol)
     val curated = near
@@ -57,7 +73,8 @@ object CurateJob {
     val totalTokens = curated
       .agg(coalesce(sum(col("ws_tokens").cast("long")), lit(0L)))
       .head.getLong(0)
-    (curated, CurateStats(nInput, nLang, nQual, nExact, nCurated, totalTokens))
+    (curated,
+      CurateStats(nInput, nLang, nQual, nClean, nExact, nCurated, totalTokens))
   }
 
   final case class IncCurateStats(batch: CurateStats,
@@ -84,9 +101,12 @@ object CurateJob {
       nearThreshold: Double = 0.8,
       textCol: String = "text",
       corpusSigs: Option[DataFrame] = None,
-      bloomDir: Option[String] = None): (DataFrame, IncCurateStats) = {
+      bloomDir: Option[String] = None,
+      benchmark: Option[DataFrame] = None,
+      decontamN: Int = 13): (DataFrame, IncCurateStats) = {
     val (batchCurated, batchStats) =
-      curate(newDocs, keepLangs, minQuality, nearThreshold, textCol)
+      curate(newDocs, keepLangs, minQuality, nearThreshold, textCol,
+        benchmark, decontamN)
     val afterExact = bloomDir match {
       case Some(d) => graft.ops.BloomDedup.dedupAgainst(batchCurated, d, textCol)
       case None    => Dedup.exactDedupAgainst(batchCurated, corpus, textCol)

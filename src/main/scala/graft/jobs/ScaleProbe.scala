@@ -406,6 +406,74 @@ object ScaleProbe {
       mark("pq", tTrain + tEnc + tAdc + tRefTotal + tBrute)
     }
 
+    // IVF x PQ composition (VERDICT r6 #1): at nVecs (run with 1M), the
+    // composed read path vs its two halves. ivf-only reads raw floats from
+    // the probed cells; pq-only ADC-scans the whole corpus's byte codes;
+    // ivfpq reads byte codes from the probed cells only and refines the
+    // bounded shortlist — O(probed cells) I/O at 16x compression. All
+    // three arms are measured against the same persisted parquet source,
+    // probe-only (builds timed separately), with recall vs brute.
+    if (sections("ivfpq")) {
+      val src = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_ivfpq_src"
+      synthVecs(spark, nVecs, 64, cpus.toInt).write.mode("overwrite").parquet(src)
+      val vecsP = spark.read.parquet(src)
+      val q = vecsP.orderBy("vec_id").select("embedding").head
+        .getSeq[Float](0).toArray
+      val (bruteIds, tBrute) = time(
+        Similarity.bruteForceTopK(vecsP, q, 50).collect().map(_.getLong(0)).toSet)
+      out("ivfpq_brute_sec") = tBrute
+      // ivf-only arm — nProbe swept: uniform-random vectors are the
+      // adversarial case for cell pruning (the true top-50 cosines nearly
+      // tie and scatter across cells), so recall-vs-cells-probed is the
+      // honest reading, same convention as the pq section's refine sweep
+      val dIvf = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_ivf_idx"
+      rmrf(dIvf)
+      val (_, tBuildIvf) = time(AnnIndex.buildIvf(vecsP, dIvf, nCells = 256))
+      out("ivfpq_arm_ivf_build_sec") = tBuildIvf
+      var tIvfTotal = 0.0
+      for (np <- Seq(8, 32, 64)) {
+        val (ivfIds, tIvf) = time(
+          AnnIndex.probeIvf(spark, dIvf, q, 50, nProbe = np)
+            .collect().map(_.getLong(0)).toSet)
+        out(s"ivfpq_arm_ivf_np${np}_probe_sec") = tIvf
+        out(s"ivfpq_arm_ivf_np${np}_recall50") = (ivfIds & bruteIds).size
+        tIvfTotal += tIvf
+      }
+      mark("ivfpq_arm_ivf", tBuildIvf + tIvfTotal)
+      // pq-only arm (full-corpus ADC + refine): codes persisted like an
+      // index so the probe measures the scan, not the encode
+      val dCodes = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_pq_codes"
+      val (model, tTrainPq) = time(graft.ops.Pq.train(vecsP, m = 16, k = 64))
+      val (_, tEnc) = time(graft.ops.Pq.encode(vecsP, model)
+        .write.mode("overwrite").parquet(dCodes))
+      val codesP = spark.read.parquet(dCodes)
+      val (pqIds, tPq) = time(
+        graft.ops.Pq.adcTopKRefined(codesP, vecsP, model, q, 50, refine = 4)
+          .collect().map(_.getLong(0)).toSet)
+      out("ivfpq_arm_pq_build_sec") = tTrainPq + tEnc
+      out("ivfpq_arm_pq_probe_sec") = tPq
+      out("ivfpq_arm_pq_recall50") = (pqIds & bruteIds).size
+      mark("ivfpq_arm_pq", tTrainPq + tEnc + tPq)
+      // composed arm — same nProbe sweep; the claim under test is that at
+      // equal cells probed the composed probe matches the ivf-only arm's
+      // recall (refine is exact over a 4x shortlist) at byte-scan cost
+      val dBoth = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe_ivfpq_idx"
+      rmrf(dBoth)
+      val (_, tBuildBoth) = time(
+        AnnIndex.buildIvfPq(vecsP, dBoth, nCells = 256, m = 16, kCodes = 64))
+      out("ivfpq_arm_ivfpq_build_sec") = tBuildBoth
+      var tBothTotal = 0.0
+      for (np <- Seq(8, 32, 64); refine <- Seq(4, 16)) {
+        val (bothIds, tBoth) = time(
+          AnnIndex.probeIvfPq(spark, dBoth, q, 50, nProbe = np, refine = refine)
+            .collect().map(_.getLong(0)).toSet)
+        out(s"ivfpq_arm_ivfpq_np${np}_r${refine}_probe_sec") = tBoth
+        out(s"ivfpq_arm_ivfpq_np${np}_r${refine}_recall50") = (bothIds & bruteIds).size
+        tBothTotal += tBoth
+      }
+      mark("ivfpq_arm_composed", tBuildBoth + tBothTotal)
+    }
+
     // Sequence packing: the two-pass prefix sum must hold its advantage
     // over the naive single global window as n grows (the window form
     // serializes the whole corpus into one task). Synth docs are ~120
@@ -501,6 +569,63 @@ object ScaleProbe {
       mark("bloom", tBuild + tGate + tDirect + tAppend)
     }
 
+    // Bloom probe routing (VERDICT r6 #3): broadcast vs cogrouped probe
+    // at filter sizes where the broadcast starts to hurt. Run with nVecs
+    // = 100M+ (10 bits/key -> 125 MB of bit arrays) — below that the
+    // broadcast form wins outright and the auto-route's threshold keeps
+    // it. Both arms must flag the identical hit set (correctness is
+    // pinned in BloomDedupSpec; here it is re-checked at size).
+    if (sections("bloomroute")) {
+      val tmp = System.getProperty("java.io.tmpdir")
+      for (n <- Seq(nVecs.toLong / 10, nVecs.toLong / 3, nVecs.toLong)) {
+        val corpusPath = s"$tmp/graft_scaleprobe_bloomroute_corpus"
+        rmrf(corpusPath)
+        spark.range(n).select(col("id").as("doc_id"),
+            concat(lit("route key "), col("id"), lit(" body")).as("text"))
+          .write.mode("overwrite").parquet(corpusPath)
+        val corpus = spark.read.parquet(corpusPath)
+        val bdir = s"$tmp/graft_scaleprobe_bloomroute"
+        rmrf(bdir)
+        val (_, tBuild) = time(
+          graft.ops.BloomDedup.buildBloom(corpus, bdir, shards = 256))
+        val filterMb = graft.ops.BloomDedup.bloomLoad(spark, bdir) match {
+          case (keys, bpk) => keys * bpk / 8 / 1048576.0
+        }
+        // 1M-row batch, 90% new / 10% seen — the steady-state tick shape
+        val b = math.max(100000L, n / 100)
+        val batch = spark.range(n, n + b * 9 / 10).select(col("id").as("doc_id"),
+            concat(lit("new key "), col("id"), lit(" body")).as("text"))
+          .unionByName(spark.range(b / 10).select(
+            (col("id") + 2 * n).as("doc_id"),
+            concat(lit("route key "), col("id"), lit(" body")).as("text")))
+          .localCheckpoint()
+        // min-of-2 per arm (the bench convention): one-shot timings at
+        // 100M+ scale conflate the arm with GC/page-cache blips — the
+        // first sweep here measured 12.7 s and 0.7 s for the SAME
+        // broadcast arm at adjacent sizes
+        def arm(route: String): (Long, Double, Double) = {
+          val runs = (1 to 2).map { _ =>
+            time(graft.ops.BloomDedup.mightContainAuto(batch, bdir,
+                routeHint = Some(route))
+              .filter(col("bloom_hit")).count())
+          }
+          (runs.head._1, runs.map(_._2).min, runs.map(_._2).max)
+        }
+        val (hitsB, tBroadcast, tBroadcastSlow) = arm("broadcast")
+        val (hitsC, tCogroup, tCogroupSlow) = arm("cogroup")
+        require(hitsB == hitsC,
+          s"route arms disagree at n=$n: broadcast=$hitsB cogroup=$hitsC")
+        out(s"bloomroute_${n}_filter_mb") = filterMb
+        out(s"bloomroute_${n}_build_sec") = tBuild
+        out(s"bloomroute_${n}_batch_rows") = b
+        out(s"bloomroute_${n}_broadcast_sec") = tBroadcast
+        out(s"bloomroute_${n}_broadcast_slow_sec") = tBroadcastSlow
+        out(s"bloomroute_${n}_cogroup_sec") = tCogroup
+        out(s"bloomroute_${n}_cogroup_slow_sec") = tCogroupSlow
+        mark(s"bloomroute_$n", tBuild + tBroadcast + tCogroup)
+      }
+    }
+
     // Manifest data skipping: one month of synthetic events compacted
     // into 32 ts-clustered files; a 3-day range query through readRange
     // vs the full-scan filter. The honest scale metric is files OPENED
@@ -591,6 +716,113 @@ object ScaleProbe {
         s"${stM.nBatchesRewritten}/${stM.nBatchesTotal}"
       out("cow_merge_sec") = tMerge
       mark("cow", tDel + tStraw + tMerge)
+    }
+
+    // Adversarial LAYOUTS for skipping + CoW (VERDICT r6 #7): the uniform
+    // monotone probes above are the friendly case. Here: (a) late-arriving
+    // events — each weekly batch carries a 10% tail of rows up to 2 days
+    // old, plus one full-month backfill batch, so ts bounds OVERLAP across
+    // batches; (b) a zipf-hot user_id and batch-interleaved event ids —
+    // every batch's id bounds span the whole key range, the worst case for
+    // membership pruning. The contract under test: pruning degrades to
+    // MORE BATCHES TOUCHED, never to wrong rows.
+    if (sections("cowskew")) {
+      val n = nVecs.toLong
+      val tmp = System.getProperty("java.io.tmpdir")
+      val table = s"$tmp/graft_scaleprobe_cowskew"
+      rmrf(table)
+      val t0 = 1704067200L
+      val month = 30L * 86400
+      val week = month / 8
+      // event_id interleaved across batches (id % 8 = batch), ts mostly in
+      // the batch's week but 10% late by up to 2 days; user_id zipf-ish
+      // (hash^2 concentrates mass near 0 — a hot-key stand-in)
+      val ev = spark.range(n).select(col("id").as("event_id"),
+        (lit(t0) + col("id") * month / n
+          - when(pmod(col("id"), lit(10)) === 0,
+              pmod(col("id") * 40503L, lit(2L * 86400))).otherwise(0L))
+          .as("ts_s"),
+        pmod(pmod(col("id") * 2654435761L, lit(1000))
+          * pmod(col("id") * 2654435761L, lit(1000)), lit(997)).as("user_id"))
+        .withColumn("ts_s", greatest(col("ts_s"), lit(t0)))
+        .localCheckpoint()
+      (0 until 8).foreach { b =>
+        // assignment by ORIGINAL (pre-lateness) slot keeps each batch a
+        // week's ingest; the late rows make its ts bounds overlap the
+        // previous batch
+        graft.table.TranscriptTable.writeBatch(
+          ev.filter(pmod(col("event_id") * month / n / week, lit(8)) === b)
+            .repartitionByRange(2, col("ts_s")).sortWithinPartitions("ts_s"),
+          table, f"b$b%03d", statsCols = Seq("ts_s", "event_id"))
+      }
+      // the backfill batch: a sliver spanning the WHOLE month (bounds as
+      // wide as the table — prunable by nothing range-shaped)
+      graft.table.TranscriptTable.writeBatch(
+        ev.filter(pmod(col("event_id"), lit(5000)) === 0)
+          .select(col("event_id") + lit(10L * n) as "event_id", col("ts_s"),
+            col("user_id"))
+          .coalesce(1).sortWithinPartitions("ts_s"),
+        table, "b008", statsCols = Seq("ts_s", "event_id"))
+      val total = graft.table.TranscriptTable.read(spark, table).count()
+      // (a) 3-day purge: overlapping weekly batches + the late tail of the
+      // NEXT week + the backfill all rewrite; the rest must be untouched
+      val lo = t0 + 10L * 86400; val hi = lo + 3L * 86400
+      val (stDel, tDel) = time(graft.table.TranscriptTable
+        .deleteRange(spark, table, "ts_s", lo, hi, "d100"))
+      require(stDel.nBatchesRewritten <= 4,
+        s"late-arrival overlap must widen the purge to <= 4 of 9 " +
+          s"(own 1-2 weeks + next week's late tail + backfill): $stDel")
+      val after = graft.table.TranscriptTable.read(spark, table)
+      val (nKept, tVerify) = time(after.count())
+      val nInRange = after
+        .filter(col("ts_s") >= lo && col("ts_s") <= hi).count()
+      require(nInRange == 0, s"purge left $nInRange in-range rows behind")
+      require(nKept == total - stDel.rowsBefore + stDel.rowsAfter,
+        s"row accounting broke: $nKept kept of $total")
+      out("cowskew_rows") = n
+      out("cowskew_delete_batches_rewritten") =
+        s"${stDel.nBatchesRewritten}/${stDel.nBatchesTotal}"
+      out("cowskew_delete_sec") = tDel
+      out("cowskew_verify_sec") = tVerify
+      // (b) CDC merge against the interleaved-id layout: a contiguous
+      // id run has members in EVERY weekly batch (ids are dealt mod 8),
+      // and the delete's consolidation batch inherits the same full-range
+      // bounds — membership pruning must degrade to ALL live batches
+      // touched (never skip a live key) and the upsert must stay exact
+      val runLen = math.max(8L, n / 50)
+      val upd = ev.filter(col("event_id") >= n / 10 &&
+          col("event_id") < n / 10 + runLen)
+        .withColumn("user_id", lit(-1L))
+      val (stM, tMerge) = time(graft.table.TranscriptTable
+        .mergeKeys(spark, table, "event_id", upd, "m200"))
+      require(stM.nBatchesRewritten == stM.nBatchesTotal,
+        s"interleaved ids span every live batch — pruning must touch " +
+          s"them all (never skip a live key): $stM")
+      // upsert semantics: every update-run key lands (replaced where live,
+      // re-inserted where the purge removed it)
+      val updated = graft.table.TranscriptTable.read(spark, table)
+        .filter(col("user_id") === -1L).count()
+      require(updated == runLen,
+        s"merge correctness under the skewed layout: $updated vs $runLen")
+      out("cowskew_merge_batches_rewritten") =
+        s"${stM.nBatchesRewritten}/${stM.nBatchesTotal}"
+      out("cowskew_merge_sec") = tMerge
+      // (c) range-read pruning over the overlapping layout: still correct,
+      // fewer files skipped than the clustered `skip` section (that DELTA
+      // is the honest cost of the layout; Z-order/compaction is the cure)
+      val plan = graft.table.TranscriptTable.planRange(table, "ts_s",
+        t0 + 20L * 86400, t0 + 23L * 86400)
+      val (nPruned, tPruned) = time(
+        graft.table.TranscriptTable.readRange(spark, table, "ts_s",
+          t0 + 20L * 86400, t0 + 23L * 86400).count())
+      val nFull = graft.table.TranscriptTable.read(spark, table)
+        .filter(col("ts_s") >= t0 + 20L * 86400 &&
+          col("ts_s") <= t0 + 23L * 86400).count()
+      require(nPruned == nFull, s"skew-layout pruned read: $nPruned vs $nFull")
+      out("cowskew_read_files_skipped") =
+        s"${plan.nFilesSkipped}/${plan.nFilesTotal}"
+      out("cowskew_read_sec") = tPruned
+      mark("cowskew", tDel + tVerify + tMerge + tPruned)
     }
 
     if (sections("pipeline")) {

@@ -55,7 +55,7 @@ object AnnIndex {
 
   private final case class Meta(kind: String, param: Int, token: Long,
       nRows: Long, centroids: Array[Array[Double]],
-      batches: Seq[String] = Seq.empty)
+      batches: Seq[String] = Seq.empty, pq: Option[Pq.PqModel] = None)
 
   private def upToDate(spark: SparkSession, dir: String, kind: String,
       param: Int, token: Option[Long]): Boolean =
@@ -405,6 +405,221 @@ object AnnIndex {
       .select("vec_id", "ivf_cell", "cosine")
   }
 
+  // ---------------------------------------------------------------- IVF x PQ
+  /** IVF coarse pruning composed with product-quantized storage — the
+    * at-scale ANN read path (FAISS's IVFADC layout, re-expressed as a
+    * partitioned parquet table): a probe reads O(probed cells) of the data
+    * AND, within them, only the byte-code column for the candidate scan, so
+    * the scan I/O is (nProbe/nCells) * (m bytes/vector) instead of the
+    * ivf-only (nProbe/nCells) * (dim floats) or the pq-only full-corpus
+    * code scan. The raw embedding column lives in the SAME cell files —
+    * parquet column pruning keeps it off the ADC scan for free — and is
+    * touched only by the exact-cosine refine over the bounded shortlist.
+    *
+    * Geometry: coarse centroids (k-means, [[Similarity.trainCentroids]])
+    * and per-subspace PQ codebooks ([[Pq.train]]) are both trained on the
+    * same bounded deterministic sample and committed in `_graft_meta`, so
+    * append and probe reuse the build's geometry exactly (the append
+    * invariant: an index's partitioning must not move under append).
+    * Codes quantize the RAW vectors, not cell residuals: the codebook is
+    * then cell-independent, one ADC table serves every probed cell, and
+    * [[Pq]]'s exactness/recall contracts carry over verbatim. */
+  def buildIvfPq(embeddings: DataFrame, dir: String, nCells: Int = 16,
+      m: Int = 8, kCodes: Int = 256, rebuild: Boolean = false,
+      filesPerBucket: Int = 1): Unit = {
+    val spark = embeddings.sparkSession
+    val token = inputToken(embeddings)
+    // freshness must also pin the PQ shape: same (kind, nCells, token) with
+    // a different (m, kCodes) is a DIFFERENT index
+    val fresh = !rebuild && token.exists { tk =>
+      try {
+        val mm = readMeta(spark, dir)
+        mm.kind == "ivfpq" && mm.param == nCells && mm.token == tk &&
+          mm.pq.exists(p => p.m == m && p.k == kCodes)
+      } catch { case _: Exception => false }
+    }
+    if (fresh) return
+    val emb = embeddings.localCheckpoint() // count + 2 trainers + write
+    val nRows = emb.count()
+    var centers: Array[Array[Double]] = Array.empty
+    var model: Option[Pq.PqModel] = None
+    if (nRows > 0) {
+      centers = Similarity.trainCentroids(emb, nCells)
+      model = Some(Pq.train(emb, m = m, k = kCodes))
+      val cellKern = new Similarity.CentroidKernel(centers)
+      val codeKerns = model.get.codebooks.map(cb => new Similarity.CentroidKernel(cb))
+      val dsub = model.get.dsub
+      // ONE deserialization of the vector per row: cell + code together
+      val encUdf = udf { (v: Seq[Float]) =>
+        val code = new Array[Byte](m)
+        var s = 0
+        while (s < m) {
+          val sub = new Array[Float](dsub)
+          var j = 0
+          while (j < dsub) { sub(j) = v(s * dsub + j); j += 1 }
+          code(s) = codeKerns(s).nearest(sub).toByte
+          s += 1
+        }
+        (cellKern.nearest(v), code)
+      }
+      emb
+        .withColumn("enc", encUdf(col("embedding")))
+        .select(col("vec_id"), col("embedding"),
+          col("enc._1").as("ivf_cell"), col("enc._2").as("pq_code"))
+        .repartition(col("ivf_cell"),
+          pmod(xxhash64(col("vec_id")), lit(filesPerBucket)))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("ivf_cell")
+        .parquet(dir)
+    }
+    writeMeta(spark, dir, kind = "ivfpq", param = nCells,
+      token = token.getOrElse(0L), nRows = nRows, centroids = centers,
+      pq = model)
+  }
+
+  /** Exactly-once / direct append at the COMMITTED geometry (cells and
+    * codebooks never move under append) — contracts identical to
+    * [[appendIvf]]. */
+  def appendIvfPq(newVecs: DataFrame, dir: String, filesPerBucket: Int = 1,
+      batchId: String = null): Unit = {
+    val spark = newVecs.sparkSession
+    val meta = readMeta(spark, dir)
+    require(meta.kind == "ivfpq", s"$dir is a ${meta.kind} index, not ivfpq")
+    require(meta.centroids.nonEmpty && meta.pq.nonEmpty,
+      s"$dir has no committed geometry")
+    if (batchId != null && meta.batches.contains(batchId)) return // replayed
+    val n = newVecs.count()
+    if (n == 0) return
+    val model = meta.pq.get
+    val cellKern = new Similarity.CentroidKernel(meta.centroids)
+    val codeKerns = model.codebooks.map(cb => new Similarity.CentroidKernel(cb))
+    val m = model.m; val dsub = model.dsub
+    val encUdf = udf { (v: Seq[Float]) =>
+      val code = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val sub = new Array[Float](dsub)
+        var j = 0
+        while (j < dsub) { sub(j) = v(s * dsub + j); j += 1 }
+        code(s) = codeKerns(s).nearest(sub).toByte
+        s += 1
+      }
+      (cellKern.nearest(v), code)
+    }
+    val celled = newVecs
+      .withColumn("enc", encUdf(col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        col("enc._1").as("ivf_cell"), col("enc._2").as("pq_code"))
+      .repartition(col("ivf_cell"),
+        pmod(xxhash64(col("vec_id")), lit(filesPerBucket)))
+    if (batchId == null) {
+      writeMeta(spark, dir, kind = "ivfpq", param = meta.param,
+        token = inProgressToken(meta.token), nRows = meta.nRows,
+        centroids = meta.centroids, batches = meta.batches, pq = meta.pq)
+      celled.write.mode(SaveMode.Append).partitionBy("ivf_cell").parquet(dir)
+    } else {
+      requireValidBatchId(batchId)
+      celled.write.mode(SaveMode.Overwrite).partitionBy("ivf_cell")
+        .parquet(s"$dir/append=$batchId")
+    }
+    writeMeta(spark, dir, kind = "ivfpq", param = meta.param,
+      token = appendToken(meta.token, newVecs, n, batchId),
+      nRows = meta.nRows + n, centroids = meta.centroids,
+      batches = if (batchId == null) meta.batches else meta.batches :+ batchId,
+      pq = meta.pq)
+  }
+
+  /** The composed probe: (1) rank cells against the committed centroids
+    * driver-side and take the adaptive nProbe; (2) ADC-scan ONLY the probed
+    * cell dirs, reading ONLY (vec_id, pq_code) — the shortlist is the
+    * refine*k best code distances; (3) exact-cosine refine of the shortlist
+    * against the raw embedding column of the same probed dirs, top-k.
+    *
+    * The shortlist ids cross the driver as a bounded refine*k array (like
+    * [[Pq.adcTopKRefined]]'s broadcast, but as an `isin` literal so the
+    * refine scan gets a pushable parquet filter instead of a join — the
+    * refine then reads no more than the probed cells' embedding column and
+    * row-group stats can skip within them). */
+  def probeIvfPq(spark: SparkSession, dir: String, query: Array[Float], k: Int,
+      nProbe: Int = -1, refine: Int = 4): DataFrame = {
+    val meta = readMeta(spark, dir)
+    require(meta.kind == "ivfpq", s"$dir is a ${meta.kind} index, not ivfpq")
+    if (meta.nRows == 0L) return emptyProbe(spark, "ivf_cell")
+    val readProbed = probedReader(spark, dir, meta, query, k, nProbe)
+      .getOrElse(return emptyProbe(spark, "ivf_cell"))
+    // phase 1: ADC over the byte codes of the probed cells (embedding
+    // column never read — pinned by ReadSchema in AnnIndexSpec); the
+    // collect is bounded at refine*k rows by construction
+    val shortlist =
+      ivfPqAdcFrame(readProbed, meta.pq.get, query, refine * k)
+        .select("vec_id").collect().map(_.getLong(0))
+    if (shortlist.isEmpty) return emptyProbe(spark, "ivf_cell")
+    // phase 2: exact refine of the shortlist only — the ids travel as an
+    // `isin` literal so the refine scan carries a pushable parquet filter
+    val q = query
+    val cosUdf = udf((v: Seq[Float]) => Similarity.cosine(v, q.toSeq))
+    readProbed(Seq("vec_id", "ivf_cell", "embedding"))
+      .filter(col("vec_id").isin(shortlist: _*))
+      .withColumn("cosine", cosUdf(col("embedding")))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id", "ivf_cell", "cosine")
+  }
+
+  /** The composed probe's pruned reader: centroid ranking driver-side, one
+    * namespace listing, a column-selected union over ONLY the probed cell
+    * dirs (base + committed append batches). None when nothing is probed. */
+  private def probedReader(spark: SparkSession, dir: String, meta: Meta,
+      query: Array[Float], k: Int,
+      nProbe: Int): Option[Seq[String] => DataFrame] = {
+    val nCells = meta.param
+    val np = if (nProbe > 0) nProbe
+             else math.min(nCells.toLong,
+               math.max(1L, math.ceil(6.0 * k * nCells / meta.nRows).toLong)).toInt
+    val centers = meta.centroids
+    val qd = query.map(_.toDouble)
+    val probeCells = centers.indices.sortBy { c =>
+      var d = 0.0; var j = 0
+      while (j < qd.length) { val t = qd(j) - centers(c)(j); d += t * t; j += 1 }
+      d
+    }.take(np)
+    val wanted = probeCells.map(_.toString).toSet
+    val sources: Seq[(String, Seq[String])] =
+      (dir, listPartitionDirs(spark, dir, "ivf_cell=", wanted)) +:
+        meta.batches.map { b =>
+          val base = s"$dir/append=$b"
+          (base, listPartitionDirs(spark, base, "ivf_cell=", wanted))
+        }
+    val nonEmpty = sources.filter(_._2.nonEmpty)
+    if (nonEmpty.isEmpty) None
+    else Some((cols: Seq[String]) =>
+      nonEmpty.map { case (base, probed) =>
+          spark.read.option("basePath", base).parquet(probed: _*)
+            .select(cols.map(col): _*)
+        }
+        .reduce(_.unionByName(_))
+        .filter(col("ivf_cell").isin(probeCells: _*))) // belt over path pruning
+  }
+
+  /** Phase-1 frame (un-collected), exposed for plan-level tests: the scan
+    * under it must prune to the probed cell partitions AND read only
+    * (vec_id, pq_code) — never the embedding column. */
+  private[graft] def ivfPqShortlistFrame(spark: SparkSession, dir: String,
+      query: Array[Float], k: Int, nProbe: Int = -1,
+      refine: Int = 4): DataFrame = {
+    val meta = readMeta(spark, dir)
+    require(meta.kind == "ivfpq", s"$dir is a ${meta.kind} index, not ivfpq")
+    if (meta.nRows == 0L) return emptyProbe(spark, "ivf_cell")
+    probedReader(spark, dir, meta, query, k, nProbe)
+      .map(r => ivfPqAdcFrame(r, meta.pq.get, query, refine * k))
+      .getOrElse(emptyProbe(spark, "ivf_cell"))
+  }
+
+  private def ivfPqAdcFrame(readProbed: Seq[String] => DataFrame,
+      model: Pq.PqModel, query: Array[Float], nShort: Int): DataFrame =
+    Pq.adcTopK(readProbed(Seq("vec_id", "ivf_cell", "pq_code")), model,
+      query, nShort)
+
   /** Committed control-plane state as a one-row DataFrame (for diagnostics
     * and the bench's explicit-build step). Driver-side file read only. */
   def describe(spark: SparkSession, dir: String): DataFrame = {
@@ -425,16 +640,26 @@ object AnnIndex {
   private def writeMeta(spark: SparkSession, dir: String, kind: String,
       param: Int, token: Long, nRows: Long,
       centroids: Array[Array[Double]] = Array.empty,
-      batches: Seq[String] = Seq.empty): Unit = {
+      batches: Seq[String] = Seq.empty,
+      pq: Option[Pq.PqModel] = None): Unit = {
     // Double.toString/parseDouble round-trips exactly, so centroid geometry
     // survives the text encoding bit-for-bit
     val cent = if (centroids.isEmpty) ""
       else "centroids=" + centroids.map(_.mkString(",")).mkString(";") + "\n"
     val bat = if (batches.isEmpty) ""
       else "batches=" + batches.mkString(",") + "\n"
+    // PQ codebooks: subspaces '|', codes ';', dims ',' — same exact
+    // Double round-trip as the centroids; ~100 KB at m=16,k=64,dim=64,
+    // i.e. the committed model, bounded by (m*k*dsub), never by the data
+    val pqs = pq.map { p =>
+      s"pq_m=${p.m}\npq_dsub=${p.dsub}\npq_cb=" +
+        p.codebooks.map(_.map(_.mkString(",")).mkString(";")).mkString("|") +
+        "\n"
+    }.getOrElse("")
     graft.util.FsAtomic.overwriteFile(spark.sparkContext.hadoopConfiguration,
       new org.apache.hadoop.fs.Path(s"$dir/_graft_meta/meta.properties"),
-      (s"kind=$kind\nparam=$param\ntoken=$token\nn_rows=$nRows\n" + cent + bat)
+      (s"kind=$kind\nparam=$param\ntoken=$token\nn_rows=$nRows\n" + cent +
+        bat + pqs)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -463,7 +688,12 @@ object AnnIndex {
       case Some(s) if s.nonEmpty => s.split(',').toSeq.filter(_.nonEmpty)
       case _ => Seq.empty[String]
     }
+    val pq = kv.get("pq_cb").filter(_.nonEmpty).map { s =>
+      Pq.PqModel(kv("pq_m").toInt, kv("pq_dsub").toInt,
+        s.split('|').map(_.split(';').map(_.split(',')
+          .map(java.lang.Double.parseDouble))))
+    }
     Meta(kv("kind"), kv("param").toInt, kv("token").toLong,
-      kv("n_rows").toLong, centroids, batches)
+      kv("n_rows").toLong, centroids, batches, pq)
   }
 }

@@ -322,6 +322,37 @@ object BloomDedup {
     batch.withColumn(hitCol, probeUdf(md5(col(textCol))))
   }
 
+  /** Auto-routed probe (the asOfAuto convention, but METADATA-ONLY: the
+    * filter's total size is two fields of the committed meta, so the
+    * decision costs zero jobs and needs no cache). Below
+    * `broadcastMaxBytes` the filter broadcasts — rides to every executor
+    * once, probe is pure map-side; past it, [[mightContainCogrouped]]
+    * co-shuffles batch keys with their shard's bits so NO single JVM ever
+    * holds more than one shard's array (the broadcast form pins
+    * shards*bytes_per_shard on the driver AND every executor, which at a
+    * 10-bits/key filter crosses 1 GB around 800M keys). Default threshold
+    * from the measured local crossover (BENCH.md round-7 bloom-route
+    * probe). `routeHint` skips the decision for callers that know their
+    * deployment; the decision is logged either way. */
+  def mightContainAuto(batch: DataFrame, dir: String,
+      textCol: String = "text", hitCol: String = "bloom_hit",
+      broadcastMaxBytes: Long = 256L << 20,
+      routeHint: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = readMeta(spark, dir)
+    val filterBytes = meta("bytes_per_shard").toLong * meta("shards").toLong
+    val route = routeHint.getOrElse(
+      if (filterBytes <= broadcastMaxBytes) "broadcast" else "cogroup")
+    require(route == "broadcast" || route == "cogroup",
+      s"unknown bloom route hint: $route")
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"bloom probe route=$route for $dir (filter ${filterBytes} B, " +
+        s"broadcast threshold $broadcastMaxBytes B" +
+        routeHint.map(_ => ", hinted").getOrElse("") + ")")
+    if (route == "broadcast") mightContain(batch, dir, textCol, hitCol)
+    else mightContainCogrouped(batch, dir, textCol, hitCol)
+  }
+
   /** Probe for filters past broadcast scale: batch keys co-shuffle with
     * their shard's bits — each task holds ONE shard's array, the batch
     * moves once, the filter moves once. */
@@ -367,8 +398,9 @@ object BloomDedup {
     * ~fp-rate wrongly dropped rows, bounded and queryable via
     * [[bloomLoad]]). */
   def dedupAgainstApprox(batch: DataFrame, dir: String,
-      textCol: String = "text"): DataFrame =
-    mightContain(batch, dir, textCol, "__hit")
+      textCol: String = "text",
+      routeHint: Option[String] = None): DataFrame =
+    mightContainAuto(batch, dir, textCol, "__hit", routeHint = routeHint)
       .filter(!col("__hit")).drop("__hit")
 
   /** EXACT incremental dedup through the Bloom gate: rows the filter
@@ -379,11 +411,13 @@ object BloomDedup {
     * the filter was built/appended over — bit-for-bit, which is what the
     * oracle row pins. */
   def dedupAgainst(batch: DataFrame, dir: String,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      routeHint: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     val meta = readMeta(spark, dir)
     val shards = meta("shards").toInt
-    val flagged = mightContain(batch, dir, textCol, "__hit").localCheckpoint()
+    val flagged = mightContainAuto(batch, dir, textCol, "__hit",
+      routeHint = routeHint).localCheckpoint()
     val cleared = flagged.filter(!col("__hit")).drop("__hit")
     val sliver = flagged.filter(col("__hit")).drop("__hit")
       .withColumn("__hp", hashPairUdf(md5(col(textCol))))

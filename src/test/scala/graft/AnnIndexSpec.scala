@@ -297,6 +297,110 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(dir).count() == half1.count())
   }
 
+  test("ivfpq: exhaustive probe with full refine equals brute force exactly") {
+    // nProbe = nCells covers every cell and refine*k >= n shortlists every
+    // row, so the composed read path collapses to exact cosine top-k —
+    // pinning completeness of cell pruning + ADC shortlist + refine with
+    // no dependence on the (non-recomputable) trained geometry.
+    val dir = s"$tmp/ivfpq_ex"
+    AnnIndex.buildIvfPq(emb, dir, nCells = 8, m = 16, kCodes = 64)
+    val q = queryVec
+    val ex = AnnIndex.probeIvfPq(spark, dir, q, 25, nProbe = 8, refine = 20)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(2) * 1e9))).toSeq
+    val brute = Similarity.bruteForceTopK(emb, q, 25).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(r.fieldIndex("cosine")) * 1e9))).toSeq
+    assert(ex == brute, "exhaustive+full-refine ivfpq must equal brute force")
+  }
+
+  test("ivfpq: adaptive probe fills k with a recall floor") {
+    val dir = s"$tmp/ivfpq_ad"
+    AnnIndex.buildIvfPq(emb, dir, nCells = 16, m = 16, kCodes = 64)
+    val k = 20
+    val hits = AnnIndex.probeIvfPq(spark, dir, queryVec, k).collect()
+    assert(hits.length == k, s"adaptive probeIvfPq returned ${hits.length} of $k")
+    val brute = Similarity.bruteForceTopK(emb, queryVec, k).collect()
+      .map(_.getLong(0)).toSet
+    val overlap = hits.map(_.getLong(0)).count(brute.contains).toDouble / k
+    assert(overlap >= 0.6, s"recall floor: overlap=$overlap")
+  }
+
+  test("ivfpq ADC scan prunes partitions AND never reads the embedding column") {
+    // the at-scale property of the composition: candidate-scan I/O is
+    // (probed cells) x (byte codes). Both prunings must show in the plan.
+    val dir = s"$tmp/ivfpq_plan"
+    AnnIndex.buildIvfPq(emb, dir, nCells = 16, m = 16, kCodes = 64)
+    val adc = AnnIndex.ivfPqShortlistFrame(spark, dir, queryVec, 10, nProbe = 4)
+    val scan = adc.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scan.isDefined, adc.queryExecution.executedPlan.toString.take(2000))
+    assert(scan.get.selectedPartitions.partitionCount <= 4,
+      s"ADC scan touched ${scan.get.selectedPartitions.partitionCount} cells")
+    val readSchema = scan.get.requiredSchema.fieldNames.toSet
+    assert(readSchema.contains("pq_code") && !readSchema.contains("embedding"),
+      s"ADC ReadSchema must be codes-only, was: $readSchema")
+    // and the refine phase's scan carries the shortlist as a PUSHED filter
+    val probe = AnnIndex.probeIvfPq(spark, dir, queryVec, 10, nProbe = 4)
+    val refineScan = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(refineScan.isDefined)
+    assert(refineScan.get.metadata.get("PushedFilters").exists(_.contains("In(vec_id")),
+      s"refine scan must push the shortlist: ${refineScan.get.metadata.get("PushedFilters")}")
+  }
+
+  test("ivfpq: append at committed geometry == rebuild; batchId replay exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val half1 = emb.filter(col("vec_id") < 250)
+    val half2 = emb.filter(col("vec_id") >= 250)
+    val dir = s"$tmp/ivfpq_app"
+    AnnIndex.buildIvfPq(half1, dir, nCells = 8, m = 16, kCodes = 64)
+    AnnIndex.appendIvfPq(half2, dir)
+    assert(spark.read.parquet(dir).count() == emb.count())
+    val q = queryVec
+    // exhaustive probe with full refine is geometry-independent: must equal
+    // brute force over the UNION even though codebooks were trained on half1
+    val ex = AnnIndex.probeIvfPq(spark, dir, q, 25, nProbe = 8, refine = 20)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(2) * 1e9))).toSeq
+    val brute = Similarity.bruteForceTopK(emb, q, 25).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(r.fieldIndex("cosine")) * 1e9))).toSeq
+    assert(ex == brute, "appended ivfpq exhaustive probe must equal brute force")
+    // exactly-once replay
+    val dEo = s"$tmp/ivfpq_eo"
+    AnnIndex.buildIvfPq(half1, dEo, nCells = 8, m = 16, kCodes = 64)
+    AnnIndex.appendIvfPq(half2, dEo, batchId = "s1")
+    AnnIndex.appendIvfPq(half2, dEo, batchId = "s1") // replay no-ops
+    assert(AnnIndex.describe(spark, dEo).head.getLong(2) == emb.count())
+    val ex2 = AnnIndex.probeIvfPq(spark, dEo, q, 25, nProbe = 8, refine = 20)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(2) * 1e9))).toSeq
+    assert(ex2 == brute)
+  }
+
+  test("ivfpq freshness: same input no-ops; changed PQ shape rebuilds") {
+    val src = s"$tmp/ivfpq_src"
+    emb.write.mode("overwrite").parquet(src)
+    val dir = s"$tmp/ivfpq_fresh"
+    AnnIndex.buildIvfPq(spark.read.parquet(src), dir, nCells = 8, m = 16, kCodes = 64)
+    val metaFile = new java.io.File(s"$dir/_graft_meta/meta.properties")
+    val t1 = metaFile.lastModified()
+    Thread.sleep(1100)
+    // same (input, nCells, m, kCodes): no-op
+    AnnIndex.buildIvfPq(spark.read.parquet(src), dir, nCells = 8, m = 16, kCodes = 64)
+    assert(metaFile.lastModified() == t1, "fresh ivfpq build must no-op")
+    // same input but different PQ shape IS a different index: must rebuild
+    AnnIndex.buildIvfPq(spark.read.parquet(src), dir, nCells = 8, m = 8, kCodes = 64)
+    assert(metaFile.lastModified() > t1, "changed (m) must bust freshness")
+  }
+
+  test("ivfpq: empty input commits an empty index; probe returns 0 rows") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val dir = s"$tmp/ivfpq_empty"
+    AnnIndex.buildIvfPq(empty, dir, nCells = 8, m = 16, kCodes = 64)
+    assert(AnnIndex.probeIvfPq(spark, dir, new Array[Float](8), 5).count() == 0L)
+  }
+
   test("index rebuild is deterministic (same bucket assignment)") {
     val d1 = s"$tmp/det1"; val d2 = s"$tmp/det2"
     AnnIndex.buildLsh(emb, d1, nBits = 8)

@@ -77,6 +77,39 @@ class BloomDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("auto-route picks broadcast under the threshold, cogroup past it, hint wins") {
+    val dir = fresh("graft_bloom_route")
+    BloomDedup.buildBloom(corpusDf(dir), dir, shards = 8)
+    val batch = docs(480L until 540L, "c")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "bloom_hit").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val expected = hits(BloomDedup.mightContain(batch, dir))
+    // tiny filter, default threshold: broadcast route — the probe plan has
+    // NO shuffle (pure map-side), which is what distinguishes the route
+    val auto = BloomDedup.mightContainAuto(batch, dir)
+    assert(!auto.queryExecution.executedPlan.toString.contains("Exchange"),
+      "below-threshold auto route must be the map-side broadcast probe")
+    assert(hits(auto) == expected)
+    // threshold forced to 0: cogroup route — the plan co-shuffles
+    val forced = BloomDedup.mightContainAuto(batch, dir, broadcastMaxBytes = 0L)
+    assert(forced.queryExecution.executedPlan.toString.contains("Exchange"),
+      "past-threshold auto route must be the cogrouped probe")
+    assert(hits(forced) == expected)
+    // an explicit hint overrides the size decision in both directions
+    val hintedCg = BloomDedup.mightContainAuto(batch, dir,
+      routeHint = Some("cogroup"))
+    assert(hintedCg.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(hits(hintedCg) == expected)
+    val hintedBc = BloomDedup.mightContainAuto(batch, dir,
+      broadcastMaxBytes = 0L, routeHint = Some("broadcast"))
+    assert(!hintedBc.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(hits(hintedBc) == expected)
+    intercept[IllegalArgumentException] {
+      BloomDedup.mightContainAuto(batch, dir, routeHint = Some("bogus"))
+    }
+  }
+
   test("append is bit-identical to a rebuild over the union") {
     val dirA = fresh("graft_bloom_appA")
     val dirB = fresh("graft_bloom_appB")

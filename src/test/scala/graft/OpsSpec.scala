@@ -420,7 +420,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 6L), s"got $kept")
     assert(stats.nInput == 6 && stats.nAfterLang == 5 && stats.nAfterQuality == 4
+      && stats.nAfterDecontam == 4 // no benchmark passed: stage is identity
       && stats.nAfterExact == 3 && stats.nCurated == 2, stats.toString)
+    // with a benchmark: a doc sharing a 13-gram with the eval set drops at
+    // the decontamination stage BEFORE dedup, so its near-dup (doc 3) is
+    // judged among survivors and becomes a keeper. The benchmark is
+    // exactly the LAST 13 tokens of `clean` (one 13-gram, ending in
+    // "today") — doc 3's "today"->"yesterday evening" rewrite breaks it,
+    // so only the verbatim docs 1/2 are contaminated
+    val bench = docsDf(Seq((100L,
+      "is a perfectly reasonable English sentence with many common words in it today")))
+    val (curated2, stats2) = graft.jobs.CurateJob.curate(
+      docs, keepLangs = Set("en"), minQuality = 0.45, nearThreshold = 0.6,
+      benchmark = Some(bench))
+    val kept2 = curated2.select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 1 and 2 carry the benchmark 13-grams verbatim -> dropped; doc 3
+    // (the "today"->"yesterday evening" rewrite) keeps no full 13-gram of
+    // the benchmark and now survives as its own keeper
+    assert(kept2 == Set(3L, 6L), s"got $kept2")
+    assert(stats2.nAfterDecontam == 2 && stats2.nCurated == 2, stats2.toString)
     val row = curated.filter(col("doc_id") === 1L).head
     assert(row.getAs[Int]("ws_tokens") > 10)
     assert(row.getAs[String]("lang_pred") == "en")

@@ -242,6 +242,43 @@ class TableStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(miss.nBatchesRewritten == 0 && !TT.isCommitted(out, "d004"))
   }
 
+  test("overlapping batch bounds degrade pruning to more batches touched, never wrong rows") {
+    // the late-arrival layout (VERDICT r6 #7): batch bounds overlap, so a
+    // range that would touch one batch in the clustered layout must now
+    // touch every OVERLAPPING batch — and only those; disjoint batches
+    // stay untouched and the row set is exactly the predicate's
+    val sp = spark; import sp.implicits._
+    val out = freshTable("graft_cow_overlap")
+    def batch(ids: Seq[Long]) = ids.map(i => (i, s"d$i")).toDF("id", "text").coalesce(1)
+    TT.writeBatch(batch(0L until 100L), out, "b000", statsCols = Seq("id"))
+    // b001 is "late-arriving": mostly 100-199 but carries stragglers from
+    // b000's range, widening its bounds to [50, 199]
+    TT.writeBatch(batch((100L until 200L) :+ 50L :+ 75L), out, "b001",
+      statsCols = Seq("id"))
+    TT.writeBatch(batch(200L until 300L), out, "b002", statsCols = Seq("id"))
+    // [60,90] overlaps b000 AND (via the stragglers) b001 — both rewrite;
+    // b002 is disjoint and must not be touched
+    val st = TT.deleteRange(spark, out, "id", 60L, 90L, "d003")
+    assert(st.nBatchesTotal == 3 && st.nBatchesRewritten == 2, st.toString)
+    assert(TT.liveBatches(out).toSet == Set("b002", "d003"))
+    val ids = TT.read(spark, out).select("id").collect().map(_.getLong(0)).toSeq
+    // the out-of-range straggler copy of 50 survives as a duplicate
+    // (delete is a predicate, not a dedup); EVERY in-range row is gone
+    // including the in-range straggler copy of 75
+    assert(ids.sorted == ((0L until 60L) ++ (91L until 300L) :+ 50L).sorted,
+      s"got ${ids.length} rows")
+    // same layout through mergeKeys: key 50 now has TWO copies (original +
+    // straggler, both in the d003 rewrite) — the upsert must collapse both
+    // to the single update row, and the disjoint b002 stays untouched
+    val st2 = TT.mergeKeys(spark, out, "id",
+      Seq((50L, "updated")).toDF("id", "text"), "m004")
+    assert(st2.nBatchesRewritten == 1 && TT.liveBatches(out).contains("b002"),
+      st2.toString)
+    val fifty = TT.read(spark, out).filter(col("id") === 50L)
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(fifty == Seq("updated"))
+  }
+
   test("updateRange redacts only the matching range; null keys always survive a delete") {
     val sp = spark; import sp.implicits._
     val out = freshTable("graft_cow_upd")
