@@ -722,10 +722,12 @@ object ScaleProbe {
     // monotone probes above are the friendly case. Here: (a) late-arriving
     // events — each weekly batch carries a 10% tail of rows up to 2 days
     // old, plus one full-month backfill batch, so ts bounds OVERLAP across
-    // batches; (b) a zipf-hot user_id and batch-interleaved event ids —
-    // every batch's id bounds span the whole key range, the worst case for
-    // membership pruning. The contract under test: pruning degrades to
-    // MORE BATCHES TOUCHED, never to wrong rows.
+    // batches; (b) a zipf-hot user_id and a STRIDED CDC key set (every
+    // 50th id — updates scattered over the table's whole history, the
+    // realistic upsert shape), which defeats membership pruning in every
+    // batch because every batch genuinely holds update keys. The contract
+    // under test: pruning degrades to MORE BATCHES TOUCHED, never to
+    // wrong rows.
     if (sections("cowskew")) {
       val n = nVecs.toLong
       val tmp = System.getProperty("java.io.tmpdir")
@@ -734,11 +736,12 @@ object ScaleProbe {
       val t0 = 1704067200L
       val month = 30L * 86400
       val week = month / 8
-      // event_id interleaved across batches (id % 8 = batch), ts mostly in
-      // the batch's week but 10% late by up to 2 days; user_id zipf-ish
-      // (hash^2 concentrates mass near 0 — a hot-key stand-in)
+      // ts mostly in the ingest week but 10% late by up to 2 days;
+      // user_id zipf-ish (hash^2 concentrates mass near 0 — a hot-key
+      // stand-in). NOTE Column./ on integers is DOUBLE division in Spark
+      // SQL — every integer-semantics expression here floors explicitly.
       val ev = spark.range(n).select(col("id").as("event_id"),
-        (lit(t0) + col("id") * month / n
+        (lit(t0) + floor(col("id") * month / n).cast("long")
           - when(pmod(col("id"), lit(10)) === 0,
               pmod(col("id") * 40503L, lit(2L * 86400))).otherwise(0L))
           .as("ts_s"),
@@ -751,7 +754,7 @@ object ScaleProbe {
         // week's ingest; the late rows make its ts bounds overlap the
         // previous batch
         graft.table.TranscriptTable.writeBatch(
-          ev.filter(pmod(col("event_id") * month / n / week, lit(8)) === b)
+          ev.filter(floor(col("event_id") * 8 / n).cast("long") === b)
             .repartitionByRange(2, col("ts_s")).sortWithinPartitions("ts_s"),
           table, f"b$b%03d", statsCols = Seq("ts_s", "event_id"))
       }
@@ -764,6 +767,23 @@ object ScaleProbe {
           .coalesce(1).sortWithinPartitions("ts_s"),
         table, "b008", statsCols = Seq("ts_s", "event_id"))
       val total = graft.table.TranscriptTable.read(spark, table).count()
+      // (c) range-read pruning over the OVERLAPPING layout itself (before
+      // any rewrite consolidates it): still correct, fewer files skipped
+      // than the clustered `skip` section — that DELTA is the honest cost
+      // of the layout; Z-order/compaction is the cure
+      val planPre = graft.table.TranscriptTable.planRange(table, "ts_s",
+        t0 + 20L * 86400, t0 + 23L * 86400)
+      val (nPrunedPre, tPrunedPre) = time(
+        graft.table.TranscriptTable.readRange(spark, table, "ts_s",
+          t0 + 20L * 86400, t0 + 23L * 86400).count())
+      val nFullPre = graft.table.TranscriptTable.read(spark, table)
+        .filter(col("ts_s") >= t0 + 20L * 86400 &&
+          col("ts_s") <= t0 + 23L * 86400).count()
+      require(nPrunedPre == nFullPre,
+        s"skew-layout pruned read: $nPrunedPre vs $nFullPre")
+      out("cowskew_preread_files_skipped") =
+        s"${planPre.nFilesSkipped}/${planPre.nFilesTotal}"
+      out("cowskew_preread_sec") = tPrunedPre
       // (a) 3-day purge: overlapping weekly batches + the late tail of the
       // NEXT week + the backfill all rewrite; the rest must be untouched
       val lo = t0 + 10L * 86400; val hi = lo + 3L * 86400
@@ -784,26 +804,27 @@ object ScaleProbe {
         s"${stDel.nBatchesRewritten}/${stDel.nBatchesTotal}"
       out("cowskew_delete_sec") = tDel
       out("cowskew_verify_sec") = tVerify
-      // (b) CDC merge against the interleaved-id layout: a contiguous
-      // id run has members in EVERY weekly batch (ids are dealt mod 8),
-      // and the delete's consolidation batch inherits the same full-range
-      // bounds — membership pruning must degrade to ALL live batches
-      // touched (never skip a live key) and the upsert must stay exact
-      val runLen = math.max(8L, n / 50)
-      val upd = ev.filter(col("event_id") >= n / 10 &&
-          col("event_id") < n / 10 + runLen)
+      // (b) CDC merge with a STRIDED key set (every 50th id): update keys
+      // live in EVERY weekly batch and in the delete's consolidation
+      // batch — membership pruning must degrade to ALL live batches
+      // touched (never skip a live key; only the disjoint-id backfill
+      // could be skipped, and it was already consolidated by the delete)
+      // and the upsert must stay exact
+      val upd = ev.filter(pmod(col("event_id"), lit(50)) === 0)
         .withColumn("user_id", lit(-1L))
+        .localCheckpoint()
+      val nUpd = upd.count()
       val (stM, tMerge) = time(graft.table.TranscriptTable
         .mergeKeys(spark, table, "event_id", upd, "m200"))
       require(stM.nBatchesRewritten == stM.nBatchesTotal,
-        s"interleaved ids span every live batch — pruning must touch " +
+        s"strided keys live in every batch — pruning must touch " +
           s"them all (never skip a live key): $stM")
-      // upsert semantics: every update-run key lands (replaced where live,
+      // upsert semantics: every update key lands (replaced where live,
       // re-inserted where the purge removed it)
       val updated = graft.table.TranscriptTable.read(spark, table)
         .filter(col("user_id") === -1L).count()
-      require(updated == runLen,
-        s"merge correctness under the skewed layout: $updated vs $runLen")
+      require(updated == nUpd,
+        s"merge correctness under the skewed layout: $updated vs $nUpd")
       out("cowskew_merge_batches_rewritten") =
         s"${stM.nBatchesRewritten}/${stM.nBatchesTotal}"
       out("cowskew_merge_sec") = tMerge

@@ -188,7 +188,66 @@ object UrlUtils {
       // Polish city registries
       "warszawa.pl", "krakow.pl", "wroclaw.pl", "poznan.pl", "lodz.pl",
       "gda.pl", "gdansk.pl", "katowice.pl", "lublin.pl", "szczecin.pl",
-      "bialystok.pl", "torun.pl")
+      "bialystok.pl", "torun.pl",
+      // round-7 growth (all real PSL rules, added as EXPLICIT entries —
+      // precision over the common-pattern generator, which over-generates
+      // labels some registries never opened):
+      // Central Asia / Caucasus
+      "com.kz", "edu.kz", "gov.kz", "mil.kz", "net.kz", "org.kz",
+      "co.uz", "com.uz", "net.uz", "org.uz",
+      "org.kg", "net.kg", "com.kg", "edu.kg", "gov.kg", "mil.kg",
+      "com.az", "net.az", "int.az", "gov.az", "org.az", "edu.az",
+      "info.az", "pp.az", "mil.az", "name.az", "pro.az", "biz.az",
+      "com.ge", "edu.ge", "gov.ge", "org.ge", "mil.ge", "net.ge", "pvt.ge",
+      "com.am", "commune.am", "net.am", "org.am",
+      "com.by", "gov.by", "mil.by", "of.by",
+      "gov.mn", "edu.mn", "org.mn",
+      // Baltics / Eastern Europe
+      "com.lv", "edu.lv", "gov.lv", "org.lv", "mil.lv", "id.lv",
+      "net.lv", "asn.lv", "conf.lv",
+      "gov.lt",
+      "com.ee", "edu.ee", "gov.ee", "riik.ee", "lib.ee", "med.ee",
+      "org.ee", "pri.ee", "aip.ee", "fie.ee",
+      "ac.ru", "edu.ru", "gov.ru", "int.ru", "mil.ru", "test.ru",
+      // Balkans
+      "co.rs", "org.rs", "edu.rs", "ac.rs", "gov.rs", "in.rs",
+      "com.mk", "org.mk", "net.mk", "edu.mk", "gov.mk", "inf.mk", "name.mk",
+      "com.ba", "edu.ba", "gov.ba", "mil.ba", "net.ba", "org.ba",
+      "arts.ro", "com.ro", "firm.ro", "info.ro", "nom.ro", "nt.ro",
+      "org.ro", "rec.ro", "store.ro", "tm.ro", "www.ro",
+      "iz.hr", "from.hr", "name.hr", "com.hr",
+      // Western / Northern Europe extras
+      "gov.ie", "aland.fi", "int.pt", "publ.pt", "nome.pt",
+      "net.is", "com.is", "edu.is", "gov.is", "org.is", "int.is",
+      "biz.cy", "ekloges.cy", "ltd.cy", "name.cy", "press.cy",
+      "pro.cy", "tm.cy", "parliament.cy",
+      // Middle East / North Africa
+      "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+      "gov.iq", "edu.iq", "mil.iq", "com.iq", "org.iq", "net.iq",
+      "com.tn", "gov.tn", "net.tn", "org.tn", "ind.tn", "info.tn",
+      "perso.tn", "tourism.tn",
+      "com.dz", "org.dz", "net.dz", "gov.dz", "edu.dz", "asso.dz",
+      "pol.dz", "art.dz",
+      "com.ly", "net.ly", "gov.ly", "plc.ly", "edu.ly", "sch.ly",
+      "med.ly", "org.ly", "id.ly",
+      // Sub-Saharan Africa
+      "art.sn", "com.sn", "edu.sn", "gouv.sn", "org.sn", "perso.sn",
+      "univ.sn",
+      "ac.mw", "co.mw", "com.mw", "gov.mw", "org.mw",
+      "sch.ng", "name.ng", "mobi.ng", "i.ng",
+      "web.za", "nom.za", "alt.za", "school.za",
+      // Macau + Korea regional registries
+      "com.mo", "net.mo", "org.mo", "edu.mo", "gov.mo",
+      "seoul.kr", "busan.kr", "daegu.kr", "incheon.kr", "gwangju.kr",
+      "daejeon.kr", "ulsan.kr", "gyeonggi.kr", "gangwon.kr",
+      "chungbuk.kr", "chungnam.kr", "jeonbuk.kr", "jeonnam.kr",
+      "gyeongbuk.kr", "gyeongnam.kr", "jeju.kr",
+      // Indonesia extras, Americas extras, Samoa, Trinidad
+      "desa.id", "ponpes.id",
+      "gub.uy", "coop.py",
+      "co.tt", "com.tt", "org.tt", "net.tt", "biz.tt", "info.tt",
+      "pro.tt", "name.tt", "edu.tt", "gov.tt",
+      "com.ws", "net.ws", "org.ws", "gov.ws", "edu.ws")
     // China province second-levels (PSL cn section: 2-letter codes)
     val cnProvinces = Seq("ah", "bj", "cq", "fj", "gd", "gs", "gx", "gz",
       "ha", "hb", "he", "hi", "hl", "hn", "jl", "js", "jx", "ln", "nm",
@@ -196,7 +255,10 @@ object UrlUtils {
       "zj").map(p => s"$p.cn")
     // US state registries (r6): every state code is a public suffix
     val usStates = UsStateCodes.map(st => s"$st.us")
-    (generated ++ specific ++ cnProvinces ++ usStates).toSet
+    // Bulgaria (r7): every single letter and digit is a second-level
+    // registry (a.bg .. z.bg, 0.bg .. 9.bg — the real PSL bg section)
+    val bgSingles = (('a' to 'z') ++ ('0' to '9')).map(c => s"$c.bg")
+    (generated ++ specific ++ cnProvinces ++ usStates ++ bgSingles).toSet
   }
 
   /** Multi-level public suffixes beyond the two-level table (PSL public
@@ -233,7 +295,9 @@ object UrlUtils {
     "myshopify.com", "pythonanywhere.com", "surge.sh", "now.sh",
     "onrender.com", "fly.dev", "deno.dev", "gitbook.io", "bitbucket.io",
     "streamlit.app", "hf.space", "repl.co", "webflow.io", "ghost.io",
-    "substack.com", "carrd.co", "notion.site") ++
+    "substack.com", "carrd.co", "notion.site",
+    // r7 growth: more private-section platform suffixes
+    "amplifyapp.com", "r2.dev", "framer.app", "framer.website") ++
     // r6: the us k12/community-college/library registries (third-level
     // under every state). NOT uniform across states: the real PSL removed
     // k12 for hi/nd/ri/sd/wv (Mozilla bugs 614565, 947705 — those states

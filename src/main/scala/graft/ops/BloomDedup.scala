@@ -328,12 +328,19 @@ object BloomDedup {
     * `broadcastMaxBytes` the filter broadcasts — rides to every executor
     * once, probe is pure map-side; past it, [[mightContainCogrouped]]
     * co-shuffles batch keys with their shard's bits so NO single JVM ever
-    * holds more than one shard's array (the broadcast form pins
-    * shards*bytes_per_shard on the driver AND every executor, which at a
-    * 10-bits/key filter crosses 1 GB around 800M keys). Default threshold
-    * from the measured local crossover (BENCH.md round-7 bloom-route
-    * probe). `routeHint` skips the decision for callers that know their
-    * deployment; the decision is logged either way. */
+    * holds more than one shard's array.
+    *
+    * The threshold is a MEMORY bound, not a wall-clock crossover: the
+    * round-7 bloom-route ladder (BENCH.md) measured warm-cache broadcast
+    * walls staying ahead of the cogroup through 119 MB locally (0.6 s vs
+    * 0.8 s at 100M keys), with only cold first-touch runs favoring the
+    * cogroup — what actually breaks the broadcast form at scale is
+    * shards*bytes_per_shard pinned on the driver AND every executor (at
+    * 10 bits/key that crosses 1 GB around 800M keys) plus the per-query
+    * re-collect on a cold driver. 256 MB/JVM is the residency budget the
+    * default spends before switching. `routeHint` skips the decision for
+    * callers that know their deployment; the decision is logged either
+    * way. */
   def mightContainAuto(batch: DataFrame, dir: String,
       textCol: String = "text", hitCol: String = "bloom_hit",
       broadcastMaxBytes: Long = 256L << 20,

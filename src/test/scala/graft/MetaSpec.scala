@@ -181,6 +181,34 @@ class MetaSpec extends AnyFunSuite {
     // plain TLD hosts unaffected by the growth
     assert(UrlUtils.extractDomain("https://example.cn/") == "example.cn")
     assert(UrlUtils.extractDomain("https://example.tr/") == "example.tr")
+    // r7 growth: Central-Asia/Caucasus/Baltic/Balkan/MENA registries,
+    // kr regional, bg single-char registries, new private suffixes —
+    // each of these previously mis-split to the 2-label fallback
+    assert(UrlUtils.extractDomain("https://egov.gov.kz/x") == "egov.gov.kz")
+    assert(UrlUtils.extractDomain("https://www.gazeta.co.uz/") == "gazeta.co.uz")
+    assert(UrlUtils.extractDomain("https://site.pvt.ge/") == "site.pvt.ge")
+    assert(UrlUtils.extractDomain("https://x.name.az/") == "x.name.az")
+    assert(UrlUtils.extractDomain("https://portal.gov.lv/") == "portal.gov.lv")
+    assert(UrlUtils.extractDomain("https://portaal.riik.ee/x") == "portaal.riik.ee")
+    assert(UrlUtils.extractDomain("https://fakultet.ac.rs/") == "fakultet.ac.rs")
+    assert(UrlUtils.extractDomain("https://firma.com.mk/") == "firma.com.mk")
+    assert(UrlUtils.extractDomain("https://shop.store.ro/") == "shop.store.ro")
+    assert(UrlUtils.extractDomain("https://uni.ac.ir/") == "uni.ac.ir")
+    assert(UrlUtils.extractDomain("https://min.gov.iq/") == "min.gov.iq")
+    assert(UrlUtils.extractDomain("https://site.perso.tn/") == "site.perso.tn")
+    assert(UrlUtils.extractDomain("https://x.gouv.sn/") == "x.gouv.sn")
+    assert(UrlUtils.extractDomain("https://news.seoul.kr/") == "news.seoul.kr")
+    assert(UrlUtils.extractDomain("https://x.jeju.kr/") == "x.jeju.kr")
+    assert(UrlUtils.extractDomain("https://firm.a.bg/") == "firm.a.bg")
+    assert(UrlUtils.extractDomain("https://shop.9.bg/") == "shop.9.bg")
+    assert(UrlUtils.extractDomain("https://ti.gub.uy/") == "ti.gub.uy")
+    assert(UrlUtils.extractDomain("https://biz.co.tt/") == "biz.co.tt")
+    assert(UrlUtils.extractDomain("https://x.amplifyapp.com/") == "x.amplifyapp.com")
+    assert(UrlUtils.extractDomain("https://pub.r2.dev/") == "pub.r2.dev")
+    assert(UrlUtils.extractDomain("https://site.framer.website/") == "site.framer.website")
+    // and single-label hosts under the grown ccTLDs still split plain
+    assert(UrlUtils.extractDomain("https://example.kz/") == "example.kz")
+    assert(UrlUtils.extractDomain("https://example.bg/") == "example.bg")
   }
 
   test("mojibake byline repaired end-to-end through the pipeline") {
