@@ -211,6 +211,30 @@ object SparkEntry {
     "x_repetition_stats" -> ((s, dir) =>
       // Gopher-family repetition/diversity numerators, integer-exact
       TextAnalysis.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")),
+    "x_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights (Xie et al. 2023): raw = docs < 400,
+      // target = docs >= 400; hashed unigram+bigram models at B=4096,
+      // add-1 smoothing. The oracle recomputes the ENTIRE path — md5
+      // bucket hashing, both count tables, the smoothed log-ratio per
+      // occurrence — at r6 rounding (ln() may differ by an ulp across
+      // engines; the x_lm_score convention).
+      val d = t(s, dir, "documents")
+      val model = graft.ops.Dsir.fit(d.filter(col("doc_id") >= 400),
+        d.filter(col("doc_id") < 400), nBuckets = 4096)
+      graft.ops.Dsir.logWeights(d.filter(col("doc_id") < 400), model)
+        .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight_r6"))
+        .orderBy("doc_id")
+    }),
+    "x_dsir_sample" -> ((s, dir) => {
+      // the composed selector: Gumbel top-100 resampling with seeded
+      // noise (top 53 bits of a salted md5 — exactly representable in
+      // both engines), ranked on the r6-rounded key with doc_id ties
+      val d = t(s, dir, "documents")
+      graft.ops.Dsir.select(d.filter(col("doc_id") < 400),
+          d.filter(col("doc_id") >= 400), k = 100, nBuckets = 4096,
+          salt = "dsir")
+        .orderBy(col("sample_key_r6").desc, col("doc_id"))
+    }),
     "x_substr_spans" -> ((s, dir) =>
       // exact-substring dedup (Lee et al. 2021) span finder at match
       // length 10: maximal token runs whose every 10-gram occurs >= 2
@@ -1404,6 +1428,70 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id < 250) cg
         |JOIN bg USING (gram) GROUP BY cg.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "x_dsir_weights" ->
+      // full recompute of the DSIR path: md5 gram buckets (the
+      // x_split_assign UBIGINT-% convention), add-1-smoothed log ratios
+      // with the SAME parenthesization as the Scala ((ln-ln)-(ln-ln)),
+      // per-occurrence sum; empty-gram docs weight 0 via the left join
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+        |         i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks),
+        |db AS (SELECT doc_id, md5_number_lower(g) % 4096::UBIGINT AS b FROM grams),
+        |tc AS (SELECT b, count(*)::DOUBLE AS c FROM db WHERE doc_id >= 400 GROUP BY b),
+        |rc AS (SELECT b, count(*)::DOUBLE AS c FROM db WHERE doc_id < 400 GROUP BY b),
+        |nt AS (SELECT count(*)::DOUBLE AS n FROM db WHERE doc_id >= 400),
+        |nr AS (SELECT count(*)::DOUBLE AS n FROM db WHERE doc_id < 400),
+        |w AS (
+        |  SELECT d.doc_id, sum(
+        |    (ln(coalesce(tc.c, 0) + 1.0) - ln((SELECT n FROM nt) + 4096.0))
+        |    - (ln(coalesce(rc.c, 0) + 1.0) - ln((SELECT n FROM nr) + 4096.0))) AS lw
+        |  FROM db d LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+        |  WHERE d.doc_id < 400 GROUP BY d.doc_id)
+        |SELECT doc_id, round(coalesce(w.lw, 0.0), 6) AS log_weight_r6
+        |FROM documents LEFT JOIN w USING (doc_id)
+        |WHERE doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
+    "x_dsir_sample" ->
+      // weights CTE + the seeded Gumbel key: top 53 bits of a salted md5
+      // scaled by 2^-53 (bit-exact in IEEE double both engines), ranked
+      // on the r6-rounded key with doc_id ties
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+        |         i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks),
+        |db AS (SELECT doc_id, md5_number_lower(g) % 4096::UBIGINT AS b FROM grams),
+        |tc AS (SELECT b, count(*)::DOUBLE AS c FROM db WHERE doc_id >= 400 GROUP BY b),
+        |rc AS (SELECT b, count(*)::DOUBLE AS c FROM db WHERE doc_id < 400 GROUP BY b),
+        |nt AS (SELECT count(*)::DOUBLE AS n FROM db WHERE doc_id >= 400),
+        |nr AS (SELECT count(*)::DOUBLE AS n FROM db WHERE doc_id < 400),
+        |w AS (
+        |  SELECT d.doc_id, sum(
+        |    (ln(coalesce(tc.c, 0) + 1.0) - ln((SELECT n FROM nt) + 4096.0))
+        |    - (ln(coalesce(rc.c, 0) + 1.0) - ln((SELECT n FROM nr) + 4096.0))) AS lw
+        |  FROM db d LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+        |  WHERE d.doc_id < 400 GROUP BY d.doc_id),
+        |keys AS (
+        |  SELECT doc_id, coalesce(w.lw, 0.0) AS lw,
+        |    coalesce(w.lw, 0.0) + (-ln(-ln(
+        |      ((md5_number_lower('dsir:' || doc_id) >> 11)::DOUBLE + 0.5)
+        |      / 9007199254740992.0))) AS k
+        |  FROM documents LEFT JOIN w USING (doc_id)
+        |  WHERE doc_id < 400)
+        |SELECT doc_id, round(lw, 6) AS log_weight_r6, round(k, 6) AS sample_key_r6
+        |FROM keys
+        |ORDER BY round(k, 6) DESC, doc_id
+        |LIMIT 100""".stripMargin,
     "x_repetition_stats" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t

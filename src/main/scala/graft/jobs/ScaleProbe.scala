@@ -569,6 +569,41 @@ object ScaleProbe {
       mark("bloom", tBuild + tGate + tDirect + tAppend)
     }
 
+    // DSIR importance resampling at size: fit two hashed-gram models
+    // (exchange bounded by B after map-side combine), score the corpus in
+    // one map pass (no shuffle — plan-pinned in DsirSpec), Gumbel top-k.
+    // Planted contract: 1-in-100 docs carry the target's marker phrase;
+    // the top-k draw must be dominated by planted docs.
+    if (sections("dsir")) {
+      val n = nDocs
+      val docs = synthDocs(spark, n, cpus.toInt)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(100)) === 0,
+            concat(col("text"), lit(" curated quality reference corpus phrase")))
+          .otherwise(col("text")))
+        .localCheckpoint()
+      val target = synthDocs(spark, 200, cpus.toInt)
+        .select((col("doc_id") + 50000000L).as("doc_id"),
+          concat(col("text"), lit(" curated quality reference corpus phrase")).as("text"))
+        .localCheckpoint()
+      val (model, tFit) = time(graft.ops.Dsir.fit(target, docs, nBuckets = 10000))
+      val (_, tScore) = time(
+        graft.ops.Dsir.logWeights(docs, model)
+          .agg(sum(col("log_weight"))).head.getDouble(0))
+      val k = math.max(10, n / 200)
+      val (sample, tSample) = time(
+        graft.ops.Dsir.resample(docs, model, k, "probe")
+          .select("doc_id").collect().map(_.getLong(0)))
+      val planted = sample.count(_ % 100 == 0)
+      require(planted >= (k * 0.8).toInt,
+        s"importance bias lost at $n docs: $planted/$k planted drawn")
+      out(s"dsir_${n}_fit_sec") = tFit
+      out(s"dsir_${n}_score_sec") = tScore
+      out(s"dsir_${n}_sample_sec") = tSample
+      out(s"dsir_${n}_planted_in_top") = s"$planted/$k"
+      mark(s"dsir_$n", tFit + tScore + tSample)
+    }
+
     // Bloom probe routing (VERDICT r6 #3): broadcast vs cogrouped probe
     // at filter sizes where the broadcast starts to hurt. Run with nVecs
     // = 100M+ (10 bits/key -> 125 MB of bit arrays) — below that the
