@@ -36,6 +36,37 @@ object SparkEntry {
   private def nbTrainSplit(docs: DataFrame): DataFrame =
     nbLabeled(docs).filter(col("doc_id") % 5 =!= 0)
 
+  /** Planted URL corpus for the PSL / blocklist rows: 16 adversarial
+    * suffix families keyed off doc_id — plain gTLD, ccTLD second-level,
+    * the us k12 third-level, private-section hosts, wildcard rules
+    * (*.bd, *.kawasaki.jp, *.compute.amazonaws.com), exception rules
+    * (city.kawasaki.jp, www.ck with the www-strip quirk), an uppercase
+    * host, userinfo/port/path decoration, and a rejected ftp scheme.
+    * The registrable domain of every family is a closed-form string of
+    * doc_id, so the DuckDB oracle recomputes it by construction while
+    * the engine runs the real generic PSL matcher. */
+  private def urlCorpus(docs: DataFrame): DataFrame = {
+    val h = concat(lit("site"), col("doc_id"))
+    val f = col("doc_id") % 16
+    docs.select(col("doc_id"),
+      when(f === 0, concat(lit("https://"), h, lit(".com/a")))
+        .when(f === 1, concat(lit("http://www."), h, lit(".com/b?q=1")))
+        .when(f === 2, concat(lit("https://"), h, lit(".co.uk:8443/p")))
+        .when(f === 3, concat(lit("http://"), upper(h), lit(".COM.KZ/x")))
+        .when(f === 4, concat(lit("https://"), h, lit(".k12.ca.us")))
+        .when(f === 5, concat(lit("https://user@"), h, lit(".github.io/repo")))
+        .when(f === 6, concat(lit("http://"), h, lit(".blogspot.com.br")))
+        .when(f === 7, concat(lit("https://"), h, lit(".news.bd")))
+        .when(f === 8, concat(lit("https://"), h, lit(".kawasaki.jp")))
+        .when(f === 9, concat(lit("http://x."), h, lit(".kawasaki.jp")))
+        .when(f === 10, lit("https://city.kawasaki.jp/ward"))
+        .when(f === 11, lit("http://www.ck"))
+        .when(f === 12, concat(lit("https://"), h, lit(".a.bg")))
+        .when(f === 13, concat(lit("http://"), h, lit(".tokyo.jp")))
+        .when(f === 14, concat(lit("https://a.b."), h, lit(".compute.amazonaws.com")))
+        .otherwise(concat(lit("ftp://"), h, lit(".com"))).as("url"))
+  }
+
   /** Contract gate for adaptive ANN probes whose candidate geometry is not
     * SQL-recomputable (k-means centroids over an xxhash64-ordered sample —
     * see x_ann_ivf): asserts the probe returned exactly k rows, in
@@ -211,6 +242,26 @@ object SparkEntry {
     "x_repetition_stats" -> ((s, dir) =>
       // Gopher-family repetition/diversity numerators, integer-exact
       TextAnalysis.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")),
+    "x_gopher_audit" -> ((s, dir) => {
+      // Gopher quality rules (Rae et al. 2021): every rule's INTEGER
+      // numerators + cross-multiplied verdicts — no floating point
+      // anywhere, so the oracle is exact by construction. minWords=30
+      // splits the driver docs (word counts 10..240) meaningfully.
+      graft.ops.GopherFilters.audit(
+          t(s, dir, "documents").select("doc_id", "text"), minWords = 30)
+        .drop("text")
+        .orderBy("doc_id")
+    }),
+    "x_gopher_filter" -> ((s, dir) => {
+      // minStops=1: the synthetic word-soup vocabulary carries at most
+      // one of the paper's 8 stop words per doc (measured), so the
+      // paper's >= 2 is vacuously empty here; 1 exercises a real split
+      graft.ops.GopherFilters.filter(
+          t(s, dir, "documents").select("doc_id", "lang", "text"),
+          minWords = 30, minStops = 1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     "x_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights (Xie et al. 2023): raw = docs < 400,
       // target = docs >= 400; hashed unigram+bigram models at B=4096,
@@ -1428,6 +1479,103 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id < 250) cg
         |JOIN bg USING (gram) GROUP BY cg.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "x_gopher_audit" ->
+      // all-integer recompute: ws tokens for words, \W+ lower tokens for
+      // stops/trigrams, char-count sums, symbol runs via non-overlapping
+      // split counting, line starts/ends — verdicts cross-multiplied
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'), x -> x <> '') AS w,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS lt,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, max(c)::INT AS top_tri FROM (
+        |    SELECT doc_id, count(*)::INT AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, len(lt)-2),
+        |             i -> lt[i]||' '||lt[i+1]||' '||lt[i+2])) AS g
+        |      FROM toks) GROUP BY doc_id, g) GROUP BY doc_id),
+        |n AS (
+        |  SELECT t.doc_id,
+        |    cast(len(w) as int) AS n_words,
+        |    cast(coalesce(list_sum(list_transform(w, x -> length(x))), 0) as bigint) AS n_word_chars,
+        |    cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) as int) AS n_alpha_words,
+        |    cast(len(list_intersect(list_distinct(lt),
+        |      ['the','be','to','of','and','that','have','with'])) as int) AS n_stops_present,
+        |    cast(length(text) - length(replace(text, '#', ''))
+        |      + length(text) - length(replace(text, chr(8230), ''))
+        |      + len(string_split(text, '...')) - 1 as int) AS n_symbols,
+        |    cast(len(ls) as int) AS n_lines,
+        |    cast(len(list_filter(ls, l -> trim(l, ' ' || chr(9) || chr(13)) <> ''
+        |      AND list_contains(['•','‣','▪','-','*'],
+        |            substring(trim(l, ' ' || chr(9) || chr(13)), 1, 1)))) as int) AS n_bullet_lines,
+        |    cast(len(list_filter(ls, l ->
+        |      trim(l, ' ' || chr(9) || chr(13)) LIKE '%...'
+        |      OR trim(l, ' ' || chr(9) || chr(13)) LIKE '%' || chr(8230))) as int) AS n_ellipsis_lines,
+        |    coalesce(tri.top_tri, 0) AS top_trigram_count
+        |  FROM toks t LEFT JOIN tri ON t.doc_id = tri.doc_id)
+        |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stops_present,
+        |  n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines, top_trigram_count,
+        |  (n_words >= 30 AND n_words <= 100000) AS keep_word_count,
+        |  (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10) AS keep_mean_word_len,
+        |  (n_symbols * 10 <= n_words) AS keep_symbol_ratio,
+        |  (n_bullet_lines * 10 <= n_lines) AS keep_bullets,
+        |  (n_ellipsis_lines * 10 <= n_lines * 3) AS keep_ellipsis,
+        |  (n_alpha_words * 10 >= n_words * 8) AS keep_alpha_words,
+        |  (n_stops_present >= 2) AS keep_stop_words,
+        |  (top_trigram_count * 100 <= n_words * 18) AS keep_repetition,
+        |  ((n_words >= 30 AND n_words <= 100000)
+        |   AND (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10)
+        |   AND (n_symbols * 10 <= n_words)
+        |   AND (n_bullet_lines * 10 <= n_lines)
+        |   AND (n_ellipsis_lines * 10 <= n_lines * 3)
+        |   AND (n_alpha_words * 10 >= n_words * 8)
+        |   AND (n_stops_present >= 2)
+        |   AND (top_trigram_count * 100 <= n_words * 18)) AS gopher_keep
+        |FROM n
+        |ORDER BY doc_id""".stripMargin,
+    "x_gopher_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'), x -> x <> '') AS w,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS lt,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, max(c)::INT AS top_tri FROM (
+        |    SELECT doc_id, count(*)::INT AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, len(lt)-2),
+        |             i -> lt[i]||' '||lt[i+1]||' '||lt[i+2])) AS g
+        |      FROM toks) GROUP BY doc_id, g) GROUP BY doc_id),
+        |n AS (
+        |  SELECT t.doc_id,
+        |    cast(len(w) as int) AS n_words,
+        |    cast(coalesce(list_sum(list_transform(w, x -> length(x))), 0) as bigint) AS n_word_chars,
+        |    cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) as int) AS n_alpha_words,
+        |    cast(len(list_intersect(list_distinct(lt),
+        |      ['the','be','to','of','and','that','have','with'])) as int) AS n_stops_present,
+        |    cast(length(text) - length(replace(text, '#', ''))
+        |      + length(text) - length(replace(text, chr(8230), ''))
+        |      + len(string_split(text, '...')) - 1 as int) AS n_symbols,
+        |    cast(len(ls) as int) AS n_lines,
+        |    cast(len(list_filter(ls, l -> trim(l, ' ' || chr(9) || chr(13)) <> ''
+        |      AND list_contains(['•','‣','▪','-','*'],
+        |            substring(trim(l, ' ' || chr(9) || chr(13)), 1, 1)))) as int) AS n_bullet_lines,
+        |    cast(len(list_filter(ls, l ->
+        |      trim(l, ' ' || chr(9) || chr(13)) LIKE '%...'
+        |      OR trim(l, ' ' || chr(9) || chr(13)) LIKE '%' || chr(8230))) as int) AS n_ellipsis_lines,
+        |    coalesce(tri.top_tri, 0) AS top_trigram_count
+        |  FROM toks t LEFT JOIN tri ON t.doc_id = tri.doc_id)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN n ON d.doc_id = n.doc_id
+        |WHERE (n_words >= 30 AND n_words <= 100000)
+        |  AND (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10)
+        |  AND (n_symbols * 10 <= n_words)
+        |  AND (n_bullet_lines * 10 <= n_lines)
+        |  AND (n_ellipsis_lines * 10 <= n_lines * 3)
+        |  AND (n_alpha_words * 10 >= n_words * 8)
+        |  AND (n_stops_present >= 1)
+        |  AND (top_trigram_count * 100 <= n_words * 18)
+        |ORDER BY d.doc_id""".stripMargin,
     "x_dsir_weights" ->
       // full recompute of the DSIR path: md5 gram buckets (the
       // x_split_assign UBIGINT-% convention), add-1-smoothed log ratios

@@ -403,6 +403,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("k"), "ts").count() == 0)
   }
 
+  test("gopher rules: each rule fires on its adversarial input, clean doc passes") {
+    val goodBody = ("the analysis and measurement of careful methods " +
+      "that have been reviewed with care over many long years ") * 3
+    val docs = docsDf(Seq(
+      (1L, goodBody),                                          // passes all
+      (2L, "the of " + (1 to 28).map(i => s"word$i").mkString(" ")), // 30 words, ok
+      (3L, "the and " + ("x " * 8)),                           // too few words
+      (4L, "the of " + ("supercalifragilistic " * 30)),        // mean len > 10
+      (5L, "the of " + ("w# " * 30)),                          // symbols > 10%
+      (6L, "• the first\n• the second\nplain of line"),        // bullets > 10%
+      (7L, "the one...\nthe two...\nof three"),                // ellipsis > 30%
+      (8L, "the of " + ("123 456 789 " * 10)),                 // alpha < 80%
+      (9L, ("zig zag zog " * 12) + "the of end pad pad"),      // trigram > 18%
+      (10L, ("alpha beta gamma delta " * 10))))                // no stop words
+    val a = graft.ops.GopherFilters.audit(docs, minWords = 30, minStops = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("gopher_keep"),
+          r.getAs[Boolean]("keep_word_count"),
+          r.getAs[Boolean]("keep_mean_word_len"),
+          r.getAs[Boolean]("keep_symbol_ratio"),
+          r.getAs[Boolean]("keep_bullets"),
+          r.getAs[Boolean]("keep_ellipsis"),
+          r.getAs[Boolean]("keep_alpha_words"),
+          r.getAs[Boolean]("keep_stop_words"),
+          r.getAs[Boolean]("keep_repetition"))).toMap
+    assert(a(1L)._1, s"clean doc must pass: ${a(1L)}")
+    assert(a(2L)._1, s"exactly-minWords doc must pass: ${a(2L)}")
+    assert(!a(3L)._2 && !a(3L)._1, "word count floor")
+    assert(!a(4L)._3, "mean word length ceiling")
+    assert(!a(5L)._4, "symbol ratio")
+    assert(!a(6L)._5, "bullet lines")
+    assert(!a(7L)._6, "ellipsis lines")
+    assert(!a(8L)._7, "alpha words")
+    assert(!a(10L)._8, "stop words")
+    assert(!a(9L)._9, s"repetition: ${a(9L)}")
+    val kept = graft.ops.GopherFilters.filter(docs, minWords = 30, minStops = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"got $kept")
+    // map-only: no exchange in the audit plan
+    val plan = graft.ops.GopherFilters.audit(docs).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1200))
+  }
+
   test("curation pipeline: filters, dedups and accounts in one composed job") {
     val clean = "The quick brown fox jumps over the lazy dog and this is a " +
       "perfectly reasonable English sentence with many common words in it today."
