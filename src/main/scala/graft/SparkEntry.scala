@@ -262,6 +262,30 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    "x_url_domains" -> ((s, dir) => {
+      // the real PSL matcher over 16 planted suffix families (wildcards,
+      // exceptions, private section, www-strip, rejected scheme); the
+      // oracle recomputes each family's registrable domain by construction
+      graft.ops.UrlFilter.withDomain(urlCorpus(t(s, dir, "documents")))
+        .select(col("doc_id"), col("url"),
+          coalesce(col("domain"), lit("(none)")).as("domain"))
+        .orderBy("doc_id")
+    }),
+    "x_url_blocklist" -> ((s, dir) => {
+      // UT1-style blocklist filtering: domains of doc_id % 7 == 0 docs
+      // are blocked; broadcast LEFT ANTI on the resolved registrable
+      // domain (null domains kept — a blocklist only speaks about
+      // domains it names). Families with a FIXED domain (exception
+      // rules) vanish entirely once any member is blocklisted.
+      val corpus = urlCorpus(t(s, dir, "documents"))
+      val blocked = graft.ops.UrlFilter
+        .withDomain(corpus.filter(col("doc_id") % 7 === 0))
+        .select(col("domain"))
+      graft.ops.UrlFilter.filterBlocklist(corpus, blocked)
+        .select(col("doc_id"),
+          coalesce(col("domain"), lit("(none)")).as("domain"))
+        .orderBy("doc_id")
+    }),
     "x_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights (Xie et al. 2023): raw = docs < 400,
       // target = docs >= 400; hashed unigram+bigram models at B=4096,
@@ -1576,6 +1600,75 @@ object SparkEntry {
         |  AND (n_stops_present >= 1)
         |  AND (top_trigram_count * 100 <= n_words * 18)
         |ORDER BY d.doc_id""".stripMargin,
+    "x_url_domains" ->
+      // ground truth by construction: each planted family's registrable
+      // domain is a closed-form string of doc_id (the engine runs the
+      // generic longest-match PSL algorithm; family 11 pins the www-strip
+      // quirk on the www.ck exception rule, family 15 the rejected scheme)
+      """SELECT doc_id,
+        |  CASE doc_id % 16
+        |    WHEN 0 THEN 'https://site' || doc_id || '.com/a'
+        |    WHEN 1 THEN 'http://www.site' || doc_id || '.com/b?q=1'
+        |    WHEN 2 THEN 'https://site' || doc_id || '.co.uk:8443/p'
+        |    WHEN 3 THEN 'http://' || upper('site' || doc_id) || '.COM.KZ/x'
+        |    WHEN 4 THEN 'https://site' || doc_id || '.k12.ca.us'
+        |    WHEN 5 THEN 'https://user@site' || doc_id || '.github.io/repo'
+        |    WHEN 6 THEN 'http://site' || doc_id || '.blogspot.com.br'
+        |    WHEN 7 THEN 'https://site' || doc_id || '.news.bd'
+        |    WHEN 8 THEN 'https://site' || doc_id || '.kawasaki.jp'
+        |    WHEN 9 THEN 'http://x.site' || doc_id || '.kawasaki.jp'
+        |    WHEN 10 THEN 'https://city.kawasaki.jp/ward'
+        |    WHEN 11 THEN 'http://www.ck'
+        |    WHEN 12 THEN 'https://site' || doc_id || '.a.bg'
+        |    WHEN 13 THEN 'http://site' || doc_id || '.tokyo.jp'
+        |    WHEN 14 THEN 'https://a.b.site' || doc_id || '.compute.amazonaws.com'
+        |    ELSE 'ftp://site' || doc_id || '.com' END AS url,
+        |  coalesce(CASE doc_id % 16
+        |    WHEN 0 THEN 'site' || doc_id || '.com'
+        |    WHEN 1 THEN 'site' || doc_id || '.com'
+        |    WHEN 2 THEN 'site' || doc_id || '.co.uk'
+        |    WHEN 3 THEN 'site' || doc_id || '.com.kz'
+        |    WHEN 4 THEN 'site' || doc_id || '.k12.ca.us'
+        |    WHEN 5 THEN 'site' || doc_id || '.github.io'
+        |    WHEN 6 THEN 'site' || doc_id || '.blogspot.com.br'
+        |    WHEN 7 THEN 'site' || doc_id || '.news.bd'
+        |    WHEN 8 THEN 'site' || doc_id || '.kawasaki.jp'
+        |    WHEN 9 THEN 'x.site' || doc_id || '.kawasaki.jp'
+        |    WHEN 10 THEN 'city.kawasaki.jp'
+        |    WHEN 11 THEN 'ck'
+        |    WHEN 12 THEN 'site' || doc_id || '.a.bg'
+        |    WHEN 13 THEN 'site' || doc_id || '.tokyo.jp'
+        |    WHEN 14 THEN 'b.site' || doc_id || '.compute.amazonaws.com'
+        |    ELSE NULL END, '(none)') AS domain
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "x_url_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 16
+        |      WHEN 0 THEN 'site' || doc_id || '.com'
+        |      WHEN 1 THEN 'site' || doc_id || '.com'
+        |      WHEN 2 THEN 'site' || doc_id || '.co.uk'
+        |      WHEN 3 THEN 'site' || doc_id || '.com.kz'
+        |      WHEN 4 THEN 'site' || doc_id || '.k12.ca.us'
+        |      WHEN 5 THEN 'site' || doc_id || '.github.io'
+        |      WHEN 6 THEN 'site' || doc_id || '.blogspot.com.br'
+        |      WHEN 7 THEN 'site' || doc_id || '.news.bd'
+        |      WHEN 8 THEN 'site' || doc_id || '.kawasaki.jp'
+        |      WHEN 9 THEN 'x.site' || doc_id || '.kawasaki.jp'
+        |      WHEN 10 THEN 'city.kawasaki.jp'
+        |      WHEN 11 THEN 'ck'
+        |      WHEN 12 THEN 'site' || doc_id || '.a.bg'
+        |      WHEN 13 THEN 'site' || doc_id || '.tokyo.jp'
+        |      WHEN 14 THEN 'b.site' || doc_id || '.compute.amazonaws.com'
+        |      ELSE NULL END AS domain
+        |  FROM documents),
+        |b AS (SELECT DISTINCT domain FROM u
+        |      WHERE doc_id % 7 = 0 AND domain IS NOT NULL)
+        |SELECT u.doc_id, coalesce(u.domain, '(none)') AS domain
+        |FROM u LEFT JOIN b ON u.domain = b.domain
+        |WHERE b.domain IS NULL
+        |ORDER BY u.doc_id""".stripMargin,
     "x_dsir_weights" ->
       // full recompute of the DSIR path: md5 gram buckets (the
       // x_split_assign UBIGINT-% convention), add-1-smoothed log ratios

@@ -447,6 +447,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan.take(1200))
   }
 
+  test("url blocklist: PSL-resolved domains, subdomain match, null kept, broadcast anti") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType)))
+    val docs = spark.createDataFrame(java.util.Arrays.asList(Seq(
+      (1L, "https://badsite.co.uk/page"),          // blocked (exact)
+      (2L, "http://a.b.badsite.co.uk/deep"),       // blocked (subdomain -> same fld)
+      (3L, "https://www.goodsite.com/x"),          // kept (www-stripped fld)
+      (4L, "https://other.co.uk"),                 // kept (sibling registration)
+      (5L, "not a url at all"),                    // kept (null domain policy)
+      (6L, "https://evil.github.io/p"),            // blocked (private-section fld)
+      (7L, "https://innocent.github.io/p"))        // kept (private section splits users!)
+      .map(r => org.apache.spark.sql.Row(r._1, r._2)): _*), schema)
+    val blocklist = spark.createDataFrame(java.util.Arrays.asList(
+      Seq("badsite.co.uk", "evil.github.io")
+        .map(d => org.apache.spark.sql.Row(d)): _*),
+      StructType(Seq(StructField("domain", StringType))))
+    val audit = graft.ops.UrlFilter.auditBlocklist(docs, blocklist)
+    val byId = audit.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[String]("domain")), r.getAs[Boolean]("blocked"))).toMap
+    assert(byId(1L) == (Some("badsite.co.uk"), true))
+    assert(byId(2L) == (Some("badsite.co.uk"), true), s"subdomain: ${byId(2L)}")
+    assert(byId(3L) == (Some("goodsite.com"), false))
+    assert(byId(4L) == (Some("other.co.uk"), false))
+    assert(byId(5L) == (None, false), s"null domain never blocked: ${byId(5L)}")
+    assert(byId(6L) == (Some("evil.github.io"), true))
+    assert(byId(7L) == (Some("innocent.github.io"), false),
+      "github.io is a private-section suffix: users are separate registrations")
+    val kept = graft.ops.UrlFilter.filterBlocklist(docs, blocklist)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L, 7L), s"got $kept")
+    // the corpus side must not shuffle: blocklist joins are broadcast
+    val plan = graft.ops.UrlFilter.filterBlocklist(docs, blocklist)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      plan.take(1200))
+  }
+
   test("curation pipeline: filters, dedups and accounts in one composed job") {
     val clean = "The quick brown fox jumps over the lazy dog and this is a " +
       "perfectly reasonable English sentence with many common words in it today."
