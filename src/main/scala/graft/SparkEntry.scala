@@ -286,6 +286,35 @@ object SparkEntry {
           coalesce(col("domain"), lit("(none)")).as("domain"))
         .orderBy("doc_id")
     }),
+    "x_bucketed_join" -> ((s, dir) => {
+      // Write-once / join-many bucketing: events and per-user totals land
+      // as co-bucketed tables (8 buckets on user_id), then the big-big
+      // join runs with ZERO exchanges — the in-query require pins the
+      // 100 TB contract (sort-merge join, no shuffle on either side; the
+      // one hash exchange happened at write time and is amortized over
+      // every downstream join). The oracle replays the plain semantic
+      // join on the raw events table: bucketing changes the plan, never
+      // the rows.
+      import graft.table.Bucketed
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_sf${sfOf(dir)}"
+      graft.util.Fs.rmrf(base)
+      val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+      val totals = t(s, dir, "events").groupBy("user_id").agg(
+        expr("cast(sum(cast(value as decimal(18,6))) as double)").as("user_total"),
+        count(lit(1)).as("user_events"))
+      Bucketed.write(ev, "graft_bkt_events", s"$base/ev", Seq("user_id"), 8)
+      Bucketed.write(totals, "graft_bkt_totals", s"$base/tot", Seq("user_id"), 8)
+      val joined = Bucketed.cojoin(s, "graft_bkt_events", "graft_bkt_totals",
+        Seq("user_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        "bucketed co-located join must sort-merge:\n" + plan.take(2000))
+      require(!plan.contains("Exchange"),
+        "bucketed co-located join must not shuffle:\n" + plan.take(2000))
+      joined.select(col("event_id"), col("user_id"),
+          col("user_total"), col("user_events"))
+        .orderBy("event_id")
+    }),
     "x_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights (Xie et al. 2023): raw = docs < 400,
       // target = docs >= 400; hashed unigram+bigram models at B=4096,
@@ -1669,6 +1698,17 @@ object SparkEntry {
         |FROM u LEFT JOIN b ON u.domain = b.domain
         |WHERE b.domain IS NULL
         |ORDER BY u.doc_id""".stripMargin,
+    "x_bucketed_join" ->
+      // the semantic join, layout-free: bucketing changes the plan
+      // (zero exchanges, pinned in-query), never the rows
+      """WITH tot AS (
+        |  SELECT user_id,
+        |    cast(sum(cast(value as decimal(18,6))) as double) AS user_total,
+        |    count(*) AS user_events
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, tot.user_total, tot.user_events
+        |FROM events e JOIN tot USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
     "x_dsir_weights" ->
       // full recompute of the DSIR path: md5 gram buckets (the
       // x_split_assign UBIGINT-% convention), add-1-smoothed log ratios
