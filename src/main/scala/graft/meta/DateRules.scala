@@ -171,7 +171,47 @@ object DateRules {
     // Jalali either without the calendars extra (documented subset).
     "ژانویه" -> 1, "فوریه" -> 2, "آوریل" -> 4, "مه" -> 5, "ژوئن" -> 6,
     "ژوئیه" -> 7, "جولای" -> 7, "اوت" -> 8, "سپتامبر" -> 9,
-    "اکتبر" -> 10, "نوامبر" -> 11, "دسامبر" -> 12)
+    "اکتبر" -> 10, "نوامبر" -> 11, "دسامبر" -> 12,
+    // Ukrainian genitive (r7; Cyrillic — visually similar to but distinct
+    // from the Russian set, and "листопада" (11) only LOOKS like Polish
+    // "listopada": different scripts, no shared key)
+    "січня" -> 1, "лютого" -> 2, "березня" -> 3, "квітня" -> 4,
+    "травня" -> 5, "червня" -> 6, "липня" -> 7, "серпня" -> 8,
+    "вересня" -> 9, "жовтня" -> 10, "листопада" -> 11, "грудня" -> 12,
+    // Bulgarian (r7)
+    "януари" -> 1, "февруари" -> 2, "март" -> 3, "април" -> 4, "май" -> 5,
+    "юни" -> 6, "юли" -> 7, "август" -> 8, "септември" -> 9,
+    "октомври" -> 10, "ноември" -> 11, "декември" -> 12,
+    // Romanian (r7; mai/august shared with de — agree)
+    "ianuarie" -> 1, "februarie" -> 2, "martie" -> 3, "aprilie" -> 4,
+    "iunie" -> 6, "iulie" -> 7, "septembrie" -> 9, "octombrie" -> 10,
+    "noiembrie" -> 11, "decembrie" -> 12,
+    // Swahili (r7; januari/februari shared with nl/sv, mei with nl,
+    // juni/juli with de — all agree)
+    "machi" -> 3, "aprili" -> 4, "julai" -> 7, "agosti" -> 8,
+    "septemba" -> 9, "oktoba" -> 10, "novemba" -> 11, "desemba" -> 12,
+    // Finnish partitive (r7; "3. kesäkuuta 2008" — the form dates use;
+    // ASCII fallbacks for the ä forms)
+    "tammikuuta" -> 1, "helmikuuta" -> 2, "maaliskuuta" -> 3,
+    "huhtikuuta" -> 4, "toukokuuta" -> 5, "kesäkuuta" -> 6,
+    "kesakuuta" -> 6, "heinäkuuta" -> 7, "heinakuuta" -> 7,
+    "elokuuta" -> 8, "syyskuuta" -> 9, "lokakuuta" -> 10,
+    "marraskuuta" -> 11, "joulukuuta" -> 12,
+    // Bengali (r7; both the -রি and -রী spellings; Bengali ০-৯ digits are
+    // normalized before matching, so "৩ জানুয়ারি ২০০৮" parses)
+    "জানুয়ারি" -> 1, "জানুয়ারী" -> 1, "ফেব্রুয়ারি" -> 2, "ফেব্রুয়ারী" -> 2,
+    "মার্চ" -> 3, "এপ্রিল" -> 4, "মে" -> 5, "জুন" -> 6, "জুলাই" -> 7,
+    "আগস্ট" -> 8, "অগাস্ট" -> 8, "সেপ্টেম্বর" -> 9, "অক্টোবর" -> 10,
+    "নভেম্বর" -> 11, "ডিসেম্বর" -> 12,
+    // Tamil (r7; Tamil ௦-௯ digits normalized likewise)
+    "ஜனவரி" -> 1, "பிப்ரவரி" -> 2, "மார்ச்" -> 3, "ஏப்ரல்" -> 4,
+    "மே" -> 5, "ஜூன்" -> 6, "ஜூலை" -> 7, "ஆகஸ்ட்" -> 8,
+    "செப்டம்பர்" -> 9, "அக்டோபர்" -> 10, "நவம்பர்" -> 11,
+    "டிசம்பர்" -> 12)
+  // Croatian is DELIBERATELY absent: hr "listopada" = October while pl
+  // "listopada" = November — a true same-script homograph the shared
+  // union map cannot hold (dateparser disambiguates by caller-supplied
+  // locale, which extract-from-crawl doesn't have). Documented subset.
   // longest-first so "janvier" wins over "janv"/"jan" at the same position
   private val IntlMonthAlt =
     IntlMonths.keys.toSeq.sortBy(-_.length).mkString("|")
@@ -274,7 +314,8 @@ object DateRules {
   /** Non-ASCII decimal digits normalized to ASCII before any pattern runs
     * (dateparser does the same normalization): Arabic-Indic U+0660-0669,
     * Extended Arabic-Indic / Persian U+06F0-06F9, Thai U+0E50-0E59,
-    * Devanagari U+0966-096F. Returns the SAME instance when no such digit
+    * Devanagari U+0966-096F, Bengali U+09E6-09EF (r7), Tamil
+    * U+0BE6-0BEF (r7). Returns the SAME instance when no such digit
     * is present — zero allocation on the (overwhelming) ASCII-digit path. */
   private def normalizeDigits(s: String): String = {
     def off(c: Char): Int =
@@ -282,6 +323,8 @@ object DateRules {
       else if (c >= '۰' && c <= '۹') c - '۰'
       else if (c >= '๐' && c <= '๙') c - '๐'
       else if (c >= '०' && c <= '९') c - '०'
+      else if (c >= '০' && c <= '৯') c - '০'
+      else if (c >= '௦' && c <= '௯') c - '௦'
       else -1
     var i = 0
     while (i < s.length && off(s.charAt(i)) < 0) i += 1

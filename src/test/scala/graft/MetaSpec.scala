@@ -412,6 +412,41 @@ class MetaSpec extends AnyFunSuite {
     assert(parseAny("June 3, 2008") == Some("2008-06-03"))
   }
 
+  test("date grammar r7: uk/bg/ro/sw/fi/bn/ta day-first forms and digits") {
+    import graft.meta.DateRules.parseAny
+    // Ukrainian genitive
+    assert(parseAny("3 січня 2008") == Some("2008-01-03"))
+    assert(parseAny("21 серпня 2020") == Some("2020-08-21"))
+    assert(parseAny("8 листопада 2019") == Some("2019-11-08"))
+    // Bulgarian
+    assert(parseAny("3 март 2008") == Some("2008-03-03"))
+    assert(parseAny("15 септември 2020") == Some("2020-09-15"))
+    // Romanian (mai/august ride the shared de entries)
+    assert(parseAny("3 martie 2008") == Some("2008-03-03"))
+    assert(parseAny("15 noiembrie 2020") == Some("2020-11-15"))
+    // Swahili
+    assert(parseAny("3 Machi 2008") == Some("2008-03-03"))
+    assert(parseAny("15 Desemba 2020") == Some("2020-12-15"))
+    // Finnish partitive (with and without the ä)
+    assert(parseAny("3. kesäkuuta 2008") == Some("2008-06-03"))
+    assert(parseAny("3. kesakuuta 2008") == Some("2008-06-03"))
+    assert(parseAny("15. lokakuuta 2020") == Some("2020-10-15"))
+    // Bengali months + Bengali digits
+    assert(parseAny("৩ জানুয়ারি ২০০৮") == Some("2008-01-03"))
+    assert(parseAny("15 ডিসেম্বর 2020") == Some("2020-12-15"))
+    // Tamil months + Tamil digits
+    assert(parseAny("3 மார்ச் 2008") == Some("2008-03-03"))
+    assert(parseAny("௩ ஜூன் ௨௦௦௮") == Some("2008-06-03"))
+    // the documented Croatian exclusion: Latin "listopada" stays Polish
+    // November (hr October is a same-script homograph the union map
+    // cannot hold — dateparser needs a caller locale to split them)
+    assert(parseAny("3 listopada 2008") == Some("2008-11-03"))
+    // whole-word guard still applies to the new tokens
+    assert(parseAny("3 machinery 2008") == None)
+    // English behavior untouched
+    assert(parseAny("June 3, 2008") == Some("2008-06-03"))
+  }
+
   test("date grammar r6: copyright-year and url-year extensive fallbacks") {
     import graft.meta.DateRules.{copyrightYear, urlYearOnly}
     assert(copyrightYear("© 2018 Example Media Group. All rights reserved.") == Some("2018-01-01"))
