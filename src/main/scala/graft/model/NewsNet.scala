@@ -259,11 +259,199 @@ object NewsNet {
 object FixEncoding {
   def apply(text: String): String = {
     if (text == null) return text
-    var t = fixMojibake(text)
-    if (t.exists(_ >= 0x300)) // NFC is identity on Latin-1; skip the pass
-      t = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+    var t = fixMojibake(text) // the outer ftfy.fix_encoding call
+    t = fixText(t)            // ftfy.fix_text with the 4.x defaults
     if (!t.contains("\\u")) return t
     try unicodeEscape(t) catch { case _: Exception => t }
+  }
+
+  /** ftfy.fix_text (the 4.x defaults the reference pins, setup.py
+    * `ftfy>=4.1,<5`): per-LINE segments, each fixed to a fixpoint through
+    * the v4 cascade — terminal escapes, encoding repair, HTML-entity
+    * unescape (auto: disabled when the segment contains BOTH '<' and '>',
+    * i.e. looks like live markup), latin ligatures, character width,
+    * uncurled quotes, line breaks, lone surrogates, control chars, NFC.
+    * The fixpoint loop is what repairs entity-coded mojibake
+    * ("Jos&Atilde;&copy;" -> "JosÃ©" -> "José"): each round's unescape
+    * feeds the next round's encoding fix. Named entities use the
+    * HTML4-subset table the DOM layer already carries (numeric entities
+    * in full) — ftfy 4 likewise resolves via htmlentitydefs. */
+  private[graft] def fixText(s: String): String = {
+    // fast path: nothing any cascade pass could touch
+    if (isPlain(s)) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var pos = 0
+    while (pos < s.length) {
+      val nl = s.indexOf('\n', pos)
+      val end = if (nl < 0) s.length else nl + 1
+      out.append(fixSegment(s.substring(pos, end)))
+      pos = end
+    }
+    out.toString
+  }
+
+  /** True when no pass can change the string: printable ASCII without
+    * '&' (entities), ESC (terminal escapes), or '\r' (line breaks). */
+  private def isPlain(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0x80 || c == '&' || c == 0x1B || c == '\r' ||
+        (c < 0x20 && c != '\t' && c != '\n')) return false
+      i += 1
+    }
+    true
+  }
+
+  private def fixSegment(seg0: String): String = {
+    // 'auto' entity behavior: a segment with both brackets is live markup
+    val entities = !(seg0.indexOf('<') >= 0 && seg0.indexOf('>') >= 0)
+    var t = seg0
+    var rounds = 0
+    while (rounds < 5) { // v4 loops to a fixpoint; 5 bounds pathological input
+      val orig = t
+      t = removeTerminalEscapes(t)
+      t = fixMojibake(t)
+      if (entities) t = graft.dom.Entities.decode(t)
+      t = fixLatinLigatures(t)
+      t = fixCharacterWidth(t)
+      t = uncurlQuotes(t)
+      t = fixLineBreaks(t)
+      t = fixSurrogates(t)
+      t = removeControlChars(t)
+      if (t.exists(_ >= 0x300))
+        t = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+      if (t == orig) return t
+      rounds += 1
+    }
+    t
+  }
+
+  // \x1b[...m ANSI sequences (ftfy 4 fixes.remove_terminal_escapes)
+  private val AnsiRe =
+    java.util.regex.Pattern.compile("\\u001b\\[(?:\\d|;)*[a-zA-Z]")
+  private def removeTerminalEscapes(s: String): String =
+    if (s.indexOf('\u001b') < 0) s else AnsiRe.matcher(s).replaceAll("")
+
+  // ftfy 4 LIGATURES table (fix_latin_ligatures)
+  private def fixLatinLigatures(s: String): String = {
+    var has = false
+    var i = 0
+    while (i < s.length && !has) {
+      val c = s.charAt(i)
+      if (c == 0x132 || c == 0x133 || (c >= 0xFB00 && c <= 0xFB06)) has = true
+      i += 1
+    }
+    if (!has) return s
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case 'Ĳ' => sb.append("IJ")
+      case 'ĳ' => sb.append("ij")
+      case 'ﬀ' => sb.append("ff")
+      case 'ﬁ' => sb.append("fi")
+      case 'ﬂ' => sb.append("fl")
+      case 'ﬃ' => sb.append("ffi")
+      case 'ﬄ' => sb.append("ffl")
+      case 'ﬅ' => sb.append("st")
+      case 'ﬆ' => sb.append("st")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  // ftfy 4 fix_character_width: the fullwidth/halfwidth block through
+  // NFKC (built once from the JVM's own normalizer — no hand table),
+  // plus ideographic space -> ASCII space
+  private lazy val WidthMap: Map[Char, String] =
+    ((0xFF01 to 0xFFEF).flatMap { cp =>
+      val c = cp.toChar.toString
+      val alt = java.text.Normalizer.normalize(c, java.text.Normalizer.Form.NFKC)
+      if (alt != c) Some(cp.toChar -> alt) else None
+    } :+ (0x3000.toChar -> " ")).toMap
+  private def fixCharacterWidth(s: String): String = {
+    var has = false
+    var i = 0
+    while (i < s.length && !has) {
+      val c = s.charAt(i)
+      if (c == 0x3000 || (c >= 0xFF01 && c <= 0xFFEF)) has = true
+      i += 1
+    }
+    if (!has) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach(c => WidthMap.get(c) match {
+      case Some(alt) => sb.append(alt)
+      case None => sb.append(c)
+    })
+    sb.toString
+  }
+
+  // ftfy 4 uncurl_quotes: U+2018-201B -> ', U+201C-201F -> "
+  private def uncurlQuotes(s: String): String = {
+    var has = false
+    var i = 0
+    while (i < s.length && !has) {
+      val c = s.charAt(i)
+      if (c >= 0x2018 && c <= 0x201F) has = true
+      i += 1
+    }
+    if (!has) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach { c =>
+      if (c >= 0x2018 && c <= 0x201B) sb.append('\'')
+      else if (c >= 0x201C && c <= 0x201F) sb.append('"')
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  // ftfy 4 fix_line_breaks: CRLF/CR/NEL/LS/PS -> '\n'
+  private def fixLineBreaks(s: String): String =
+    if (s.indexOf('\r') < 0 && s.indexOf('\u0085') < 0 &&
+      s.indexOf('\u2028') < 0 && s.indexOf('\u2029') < 0) s
+    else s.replace("\r\n", "\n").replace('\r', '\n')
+      .replace('\u0085', '\n').replace('\u2028', '\n').replace('\u2029', '\n')
+
+  // ftfy 4 fix_surrogates: JVM strings already hold valid pairs combined;
+  // only LONE surrogates (decode-error debris) need the U+FFFD treatment
+  private def fixSurrogates(s: String): String = {
+    var lone = false
+    var i = 0
+    while (i < s.length && !lone) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c))
+        lone = i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1))
+      else if (Character.isLowSurrogate(c))
+        lone = i == 0 || !Character.isHighSurrogate(s.charAt(i - 1))
+      i += 1
+    }
+    if (!lone) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+        Character.isLowSurrogate(s.charAt(i + 1))) {
+        sb.append(c).append(s.charAt(i + 1)); i += 2
+      } else if (Character.isSurrogate(c)) { sb.append('�'); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // ftfy 4 CONTROL_CHARS (fixes.py): 00-08, 0B, 0E-1F, 7F, 206A-206F,
+  // FEFF, FFF9-FFFC — keeps \t \n \f \r and the C1 range
+  private def isControl(c: Char): Boolean =
+    (c <= 0x08) || c == 0x0B || (c >= 0x0E && c <= 0x1F) || c == 0x7F ||
+      (c >= 0x206A && c <= 0x206F) || c == 0xFEFF ||
+      (c >= 0xFFF9 && c <= 0xFFFC)
+  private def removeControlChars(s: String): String = {
+    var has = false
+    var i = 0
+    while (i < s.length && !has) { if (isControl(s.charAt(i))) has = true; i += 1 }
+    if (!has) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach(c => if (!isControl(c)) sb.append(c))
+    sb.toString
   }
 
   /** cp1252 byte for chars 0x80-0x9F that cp1252 remaps (€ ‚ ƒ „ … † ‡ ˆ ‰

@@ -235,8 +235,8 @@ class MetaSpec extends AnyFunSuite {
     // latin-1 path: UTF-8 "é" (C3 A9) read as latin-1 -> "Ã©"
     assert(FixEncoding("JosÃ© GarcÃ­a") == "José García")
     // cp1252 path: UTF-8 "’" (E2 80 99) read as cp1252 -> "â€™"
-    assert(FixEncoding("donâ€™t") == "don’t")
-    assert(FixEncoding("â€œquotedâ€") == "“quoted”")
+    assert(FixEncoding("donâ€™t") == "don't") // + ftfy-4 uncurl_quotes
+    assert(FixEncoding("â€œquotedâ€") == "\"quoted\"")
     // truncated multi-byte tail (lost control char): the run is invalid
     // UTF-8, so the conservative repair leaves the input alone
     assert(FixEncoding("don\u00e2\u20ac") == "don\u00e2\u20ac")
@@ -252,7 +252,7 @@ class MetaSpec extends AnyFunSuite {
     // mixed genuine accents + mojibake: repair per-sequence, like ftfy —
     // the clean "Café" must survive while "JosÃ©" is fixed
     assert(FixEncoding("Café menu by JosÃ© GarcÃ­a") == "Café menu by José García")
-    assert(FixEncoding("naïve vs donâ€™t") == "naïve vs don’t")
+    assert(FixEncoding("naïve vs donâ€™t") == "naïve vs don't")
     // \uXXXX escape branch still applies after repair
     assert(FixEncoding("a\\u00e9b") == "aéb")
   }
@@ -263,7 +263,7 @@ class MetaSpec extends AnyFunSuite {
     assert(FixEncoding("Jos√©") == "José")        // Jos√©
     assert(FixEncoding("Jos├⌐") == "José")        // Jos├⌐
     // UTF-8 "’" (E2 80 99) read as MacRoman -> "‚Äô"
-    assert(FixEncoding("don‚Äôt") == "don’t")
+    assert(FixEncoding("don‚Äôt") == "don't") // + ftfy-4 uncurl_quotes
     // genuine math/box text is NOT valid UTF-8 through the inverse tables
     // and must survive untouched
     assert(FixEncoding("√2 = 1.41") == "√2 = 1.41")       // √2
@@ -271,6 +271,35 @@ class MetaSpec extends AnyFunSuite {
     assert(FixEncoding("a ├ b ⌐ c") == "a ├ b ⌐ c")
     // Greek prose stays Greek (cp437 has only scattered Greek letters)
     assert(FixEncoding("δογ και λοιπά") == "δογ και λοιπά")
+  }
+
+  test("fix_encoding r7: ftfy-4 fix_text cascade (entities, width, ligatures, controls)") {
+    import graft.model.FixEncoding
+    // entity-inside-mojibake: each round's unescape feeds the next
+    // round's encoding fix (the fixpoint loop ftfy 4 runs)
+    assert(FixEncoding("Jos&Atilde;&copy;") == "José")
+    // plain entities unescape when the segment isn't live markup
+    assert(FixEncoding("Tom &amp; Jerry &eacute;") == "Tom & Jerry é")
+    assert(FixEncoding("5 &gt; 3") == "5 > 3")
+    // 'auto' guard: both brackets present -> looks like markup, untouched
+    assert(FixEncoding("&amp; <b>bold</b>") == "&amp; <b>bold</b>")
+    // curly quotes uncurl (ftfy-4 default)
+    assert(FixEncoding("don’t say “hi”") == "don't say \"hi\"")
+    // latin ligatures expand
+    assert(FixEncoding("ﬁnancial ﬂow ofﬁce") == "financial flow office")
+    // character width: fullwidth -> ASCII via NFKC, ideographic space -> space
+    assert(FixEncoding("ＦＵＬＬ　ｗｉｄｔｈ５!") == "FULL width5!")
+    // line breaks normalize (CRLF, CR, LS, NEL)
+    assert(FixEncoding("a\r\nb\rc de") == "a\nb\nc\nd\ne")
+    // terminal escapes stripped
+    assert(FixEncoding("\u001b[1mbold\u001b[0m text") == "bold text")
+    // control chars removed per the ftfy-4 table (keeps \t \n \f \r)
+    assert(FixEncoding("a bc\td\ne") == "abc\td\ne")
+    // U+FEFF is in that control table (BOM / ZWNBSP)
+    assert(FixEncoding("\ufeffdoc start") == "doc start")
+    // lone surrogate debris -> U+FFFD; valid astral pairs survive
+    assert(FixEncoding("a" + '\uD800' + "b") == "a�b")
+    assert(FixEncoding("ok 😀 emoji") == "ok 😀 emoji")
   }
 
   test("url normalizer") {
