@@ -1076,6 +1076,17 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "graft")
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
+    "x_split_leakfree" -> ((s, dir) =>
+      // leakage-free splits: the split hash runs on the near-dup
+      // component REPRESENTATIVE (min doc_id; singletons = self), so a
+      // near-dup family can never straddle train/eval. Oracle: the
+      // recursive-CTE closure (the x_dedup_clusters ground truth) feeds
+      // the same md5-bucket CASE keyed on the representative.
+      graft.ops.Sampling.assignSplitsLeakFree(t(s, dir, "documents"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "graft",
+          threshold = 0.7)
+        .select(col("doc_id"), col("rep_id"), col("split"))
+        .orderBy("doc_id")),
     "x_token_budget" -> ((s, dir) =>
       // pretraining-mix selection: per-language token budgets filled by a
       // deterministic hash-ordered prefix; DuckDB recomputes the exact
@@ -2705,6 +2716,39 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        md5_number_lower('graft:' || cast(doc_id as varchar)) % 1000000 AS b
         |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "x_split_leakfree" ->
+      // the x_dedup_clusters closure gives the representative; the
+      // x_split_assign bucket CASE then runs on the representative
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN t
+        |    ELSE list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE cast(len(list_intersect(a.grams, b.grams)) as double)
+        |        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7),
+        |e AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |r AS (
+        |  SELECT doc_a AS doc_id, doc_a AS reach FROM e
+        |  UNION
+        |  SELECT r.doc_id, e.doc_b AS reach FROM r JOIN e ON r.reach = e.doc_a),
+        |cl AS (SELECT doc_id, min(reach) AS cluster_id FROM r GROUP BY doc_id),
+        |rep AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS rep_id
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        |SELECT doc_id, rep_id,
+        |  CASE WHEN b < 800000 THEN 'train'
+        |       WHEN b < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, rep_id,
+        |        md5_number_lower('graft:' || cast(rep_id as varchar)) % 1000000 AS b
+        |      FROM rep)
         |ORDER BY doc_id""".stripMargin,
     "x_cosine_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -62,6 +62,33 @@ object Sampling {
     df.withColumn(outCol, expr)
   }
 
+  /** Leakage-free split assignment: near-duplicate documents MUST land in
+    * the same split, or the eval slice silently overlaps training data
+    * through near-twins the plain by-key hash can't see (the GPT-3 and
+    * Gopher appendices both document this exact contamination mode).
+    * Mechanism: connected near-dup components ([[Dedup.duplicateClusters]]
+    * — MinHash-banded candidates, exact Jaccard verify, hash-min label
+    * propagation) give every clustered doc a representative (the
+    * component's min doc_id; singletons represent themselves), and the
+    * split hash runs on the REPRESENTATIVE — so a whole near-dup family
+    * rides one hash draw and can never straddle train/eval.
+    *
+    * Scale shape: the cluster pass is the already-probed LSH pipeline;
+    * the label join is keyed on `keyCol` (clusters frame holds only docs
+    * appearing in >= 1 pair, usually a small fraction); assignment
+    * itself stays map-only. Emits `rep_id` alongside `outCol` so audits
+    * can verify split purity per component. */
+  def assignSplitsLeakFree(docs: DataFrame, weights: Seq[(String, Double)],
+      salt: String, threshold: Double = 0.8, textCol: String = "text",
+      keyCol: String = "doc_id", outCol: String = "split"): DataFrame = {
+    val clusters = Dedup.duplicateClusters(docs, threshold, textCol)
+      .withColumnRenamed("doc_id", keyCol)
+    val withRep = docs.join(clusters, Seq(keyCol), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col(keyCol)))
+      .drop("cluster_id")
+    assignSplits(withRep, weights, salt, keyCol = "rep_id", outCol = outCol)
+  }
+
   /** Token-budget data mixing: within each stratum (language, source,
     * quality band ...) keep a deterministic hash-ordered PREFIX of
     * documents until the stratum's token budget fills — the "N billion

@@ -447,6 +447,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan.take(1200))
   }
 
+  test("leak-free splits: near-dup families never straddle train/eval") {
+    // a 3-doc near-dup family + unrelated singletons. Under the PLAIN
+    // by-doc-id hash the family members draw independent splits; under
+    // the leak-free form they all ride the representative's draw.
+    val base = sentence(7, 150)
+    val nd1 = base.split(" ").toSeq.patch(30, Seq("alpha"), 1).mkString(" ")
+    val nd2 = base.split(" ").toSeq.patch(90, Seq("beta"), 1).mkString(" ")
+    val docs = docsDf(Seq((10L, base), (11L, nd1), (12L, nd2)) ++
+      (20L to 40L).map(i => (i, sentence(i * 13 + 1, 120))))
+    val w = Seq(("train", 0.5), ("val", 0.25), ("test", 0.25))
+    val leakFree = graft.ops.Sampling
+      .assignSplitsLeakFree(docs, w, salt = "s1", threshold = 0.7)
+      .select("doc_id", "rep_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val family = leakFree.filter(r => Seq(10L, 11L, 12L).contains(r._1))
+    assert(family.length == 3)
+    assert(family.map(_._2).toSet == Set(10L), s"family rep must be min id: ${family.toSeq}")
+    assert(family.map(_._3).toSet.size == 1, s"family split-pure: ${family.toSeq}")
+    // singletons represent themselves and match the plain assignment
+    val plain = graft.ops.Sampling.assignSplits(docs, w, salt = "s1")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    leakFree.filter(_._1 >= 20L).foreach { case (id, rep, sp) =>
+      assert(rep == id && sp == plain(id), s"singleton $id drifted: $rep/$sp")
+    }
+    // the counterexample that motivates the operator: with this salt the
+    // plain hash actually splits the family (if it didn't, the test
+    // would be vacuous — pin it)
+    val plainFamily = Seq(10L, 11L, 12L).map(plain)
+    assert(plainFamily.toSet.size > 1,
+      s"plain assignment must split the family for this salt: $plainFamily")
+  }
+
   test("url blocklist: PSL-resolved domains, subdomain match, null kept, broadcast anti") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
