@@ -554,15 +554,48 @@ object FixEncoding {
     if (changed) out.toString else s
   }
 
+  /** Chars whose MacRoman / cp437 byte is a UTF-8 lead (0xC2-0xF4) — the
+    * only chars that can START a repairable run. One combined scan over
+    * these sets replaces three full repairOnce passes on text whose
+    * non-ASCII is benign (CJK, curly quotes, genuine accents that aren't
+    * leads): the fix_text loop calls fixMojibake per line per round, so
+    * this guard is the hot-path gate (profiled at ~10% of extraction
+    * before it). */
+  private lazy val MacLead: java.util.BitSet = {
+    val b = new java.util.BitSet(65536)
+    MacRomanInv.foreach { case (c, v) => if (v >= 0xC2 && v <= 0xF4) b.set(c) }
+    b
+  }
+  private lazy val Cp437Lead: java.util.BitSet = {
+    val b = new java.util.BitSet(65536)
+    Cp437Inv.foreach { case (c, v) => if (v >= 0xC2 && v <= 0xF4) b.set(c) }
+    b
+  }
+
   private def fixMojibake(s0: String): String = {
     var cur = s0
     var rounds = 0
     while (rounds < 3) { // double-encoded input needs 2; 3 bounds the loop
+      // one pass: which codecs have ANY lead-capable char here? (cp1252
+      // lead ⇔ char in [0xC2,0xF4]: latin-1 identity bytes are the only
+      // inverse bytes >= 0xC2 — the cp1252 specials all map to 0x80-0x9F)
+      var cp = false; var mac = false; var c437 = false
+      var i = 0
+      while (i < cur.length && !(cp && mac && c437)) {
+        val c = cur.charAt(i)
+        if (c >= 0x80) {
+          if (c >= 0xC2 && c <= 0xF4) cp = true
+          if (!mac && MacLead.get(c)) mac = true
+          if (!c437 && Cp437Lead.get(c)) c437 = true
+        }
+        i += 1
+      }
+      if (!cp && !mac && !c437) return cur
       // cp1252/latin-1 first (the overwhelmingly common confusion); the
       // rarer codecs only when it found nothing this round
-      var next = repairOnce(cur, invByte)
-      if (next == cur) next = repairOnce(cur, invByteMac)
-      if (next == cur) next = repairOnce(cur, invByte437)
+      var next = if (cp) repairOnce(cur, invByte) else cur
+      if (next == cur && mac) next = repairOnce(cur, invByteMac)
+      if (next == cur && c437) next = repairOnce(cur, invByte437)
       if (next == cur) return cur
       cur = next
       rounds += 1
