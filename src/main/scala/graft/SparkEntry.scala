@@ -1076,6 +1076,22 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "graft")
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
+    "x_json_props" -> ((s, dir) => {
+      // semi-structured extraction: the events.props JSON column parsed
+      // with a TYPED schema (from_json — codegen'd, no UDF), the
+      // extracted value filtered and aggregated relationally. The oracle
+      // replays the same path extraction with DuckDB's json functions.
+      val k = from_json(col("props"), org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+        .getField("k")
+      t(s, dir, "events")
+        .select(col("event_id"), k.as("k"))
+        .filter(col("k") % 10 < 5)
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"))
+        .orderBy("k_mod")
+    }),
     "x_split_leakfree" -> ((s, dir) =>
       // leakage-free splits: the split hash runs on the near-dup
       // component REPRESENTATIVE (min doc_id; singletons = self), so a
@@ -2717,6 +2733,12 @@ object SparkEntry {
         |        md5_number_lower('graft:' || cast(doc_id as varchar)) % 1000000 AS b
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "x_json_props" ->
+      """SELECT k % 10 AS k_mod, count(*) AS n, cast(sum(k) as bigint) AS sum_k
+        |FROM (SELECT cast(json_extract_string(props, '$.k') as int) AS k
+        |      FROM events)
+        |WHERE k % 10 < 5
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin,
     "x_split_leakfree" ->
       // the x_dedup_clusters closure gives the representative; the
       // x_split_assign bucket CASE then runs on the representative

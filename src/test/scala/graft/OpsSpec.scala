@@ -447,6 +447,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan.take(1200))
   }
 
+  test("json extraction: typed from_json == path extraction, malformed -> null") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("props", StringType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(Seq(
+      (1L, """{"k": 7}"""), (2L, """{"k":0}"""), (3L, "not json"),
+      (4L, null), (5L, """{"other": 9}"""))
+      .map(r => org.apache.spark.sql.Row(r._1, r._2)): _*), schema)
+    val out = df.select(col("id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("typed"),
+        get_json_object(col("props"), "$.k").cast("int").as("pathed"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == (Some(7), Some(7)))
+    assert(out(2L) == (Some(0), Some(0)))
+    assert(out(3L) == (None, None), s"malformed must be null: ${out(3L)}")
+    assert(out(4L) == (None, None))
+    assert(out(5L) == (None, None), "absent key is null under both forms")
+  }
+
   test("leak-free splits: near-dup families never straddle train/eval") {
     // a 3-doc near-dup family + unrelated singletons. Under the PLAIN
     // by-doc-id hash the family members draw independent splits; under
