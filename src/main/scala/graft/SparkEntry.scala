@@ -334,8 +334,8 @@ object SparkEntry {
       // noise (top 53 bits of a salted md5 — exactly representable in
       // both engines), ranked on the r6-rounded key with doc_id ties
       val d = t(s, dir, "documents")
-      graft.ops.Dsir.select(d.filter(col("doc_id") < 400),
-          d.filter(col("doc_id") >= 400), k = 100, nBuckets = 4096,
+      graft.ops.Dsir.select(d.filter(col("doc_id") >= 400),
+          d.filter(col("doc_id") < 400), k = 100, nBuckets = 4096,
           salt = "dsir")
         .orderBy(col("sample_key_r6").desc, col("doc_id"))
     }),
@@ -1586,12 +1586,12 @@ object SparkEntry {
         |      + length(text) - length(replace(text, chr(8230), ''))
         |      + len(string_split(text, '...')) - 1 as int) AS n_symbols,
         |    cast(len(ls) as int) AS n_lines,
-        |    cast(len(list_filter(ls, l -> trim(l, ' ' || chr(9) || chr(13)) <> ''
+        |    cast(len(list_filter(ls, l -> trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) <> ''
         |      AND list_contains(['•','‣','▪','-','*'],
-        |            substring(trim(l, ' ' || chr(9) || chr(13)), 1, 1)))) as int) AS n_bullet_lines,
+        |            substring(trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)), 1, 1)))) as int) AS n_bullet_lines,
         |    cast(len(list_filter(ls, l ->
-        |      trim(l, ' ' || chr(9) || chr(13)) LIKE '%...'
-        |      OR trim(l, ' ' || chr(9) || chr(13)) LIKE '%' || chr(8230))) as int) AS n_ellipsis_lines,
+        |      trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) LIKE '%...'
+        |      OR trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) LIKE '%' || chr(8230))) as int) AS n_ellipsis_lines,
         |    coalesce(tri.top_tri, 0) AS top_trigram_count
         |  FROM toks t LEFT JOIN tri ON t.doc_id = tri.doc_id)
         |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stops_present,
@@ -1638,12 +1638,12 @@ object SparkEntry {
         |      + length(text) - length(replace(text, chr(8230), ''))
         |      + len(string_split(text, '...')) - 1 as int) AS n_symbols,
         |    cast(len(ls) as int) AS n_lines,
-        |    cast(len(list_filter(ls, l -> trim(l, ' ' || chr(9) || chr(13)) <> ''
+        |    cast(len(list_filter(ls, l -> trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) <> ''
         |      AND list_contains(['•','‣','▪','-','*'],
-        |            substring(trim(l, ' ' || chr(9) || chr(13)), 1, 1)))) as int) AS n_bullet_lines,
+        |            substring(trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)), 1, 1)))) as int) AS n_bullet_lines,
         |    cast(len(list_filter(ls, l ->
-        |      trim(l, ' ' || chr(9) || chr(13)) LIKE '%...'
-        |      OR trim(l, ' ' || chr(9) || chr(13)) LIKE '%' || chr(8230))) as int) AS n_ellipsis_lines,
+        |      trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) LIKE '%...'
+        |      OR trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) LIKE '%' || chr(8230))) as int) AS n_ellipsis_lines,
         |    coalesce(tri.top_tri, 0) AS top_trigram_count
         |  FROM toks t LEFT JOIN tri ON t.doc_id = tri.doc_id)
         |SELECT d.doc_id, d.lang FROM documents d JOIN n ON d.doc_id = n.doc_id

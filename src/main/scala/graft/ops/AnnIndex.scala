@@ -434,8 +434,15 @@ object AnnIndex {
     val fresh = !rebuild && token.exists { tk =>
       try {
         val mm = readMeta(spark, dir)
+        // compare against what THIS build would train, not the raw
+        // request: localKMeans caps codes at the sample size, so a
+        // corpus smaller than kCodes commits fewer codes — comparing
+        // p.k == kCodes would declare such an index permanently stale
+        // and re-run the full build on every call (a token match
+        // implies no appends, so mm.nRows is the build-time count)
+        val expectK = math.min(kCodes.toLong, math.max(1L, mm.nRows)).toInt
         mm.kind == "ivfpq" && mm.param == nCells && mm.token == tk &&
-          mm.pq.exists(p => p.m == m && p.k == kCodes)
+          mm.pq.exists(p => p.m == m && p.k == expectK)
       } catch { case _: Exception => false }
     }
     if (fresh) return
@@ -451,6 +458,8 @@ object AnnIndex {
       val dsub = model.get.dsub
       // ONE deserialization of the vector per row: cell + code together
       val encUdf = udf { (v: Seq[Float]) =>
+        require(v.length == m * dsub, // the Pq.encode guard — never encode a prefix
+          s"embedding dim ${v.length} != trained dim ${m * dsub}")
         val code = new Array[Byte](m)
         var s = 0
         while (s < m) {
@@ -495,6 +504,8 @@ object AnnIndex {
     val codeKerns = model.codebooks.map(cb => new Similarity.CentroidKernel(cb))
     val m = model.m; val dsub = model.dsub
     val encUdf = udf { (v: Seq[Float]) =>
+      require(v.length == m * dsub, // appended vectors must match the committed geometry
+        s"embedding dim ${v.length} != committed dim ${m * dsub}")
       val code = new Array[Byte](m)
       var s = 0
       while (s < m) {
@@ -609,11 +620,17 @@ object AnnIndex {
       refine: Int = 4): DataFrame = {
     val meta = readMeta(spark, dir)
     require(meta.kind == "ivfpq", s"$dir is a ${meta.kind} index, not ivfpq")
-    if (meta.nRows == 0L) return emptyProbe(spark, "ivf_cell")
+    // empty paths must carry the SHORTLIST schema (vec_id, adc_dist) —
+    // the probe schema would break uniform callers on an empty index
+    if (meta.nRows == 0L) return emptyShortlist(spark)
     probedReader(spark, dir, meta, query, k, nProbe)
       .map(r => ivfPqAdcFrame(r, meta.pq.get, query, refine * k))
-      .getOrElse(emptyProbe(spark, "ivf_cell"))
+      .getOrElse(emptyShortlist(spark))
   }
+
+  private def emptyShortlist(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("vec_id", LongType), StructField("adc_dist", DoubleType))))
 
   private def ivfPqAdcFrame(readProbed: Seq[String] => DataFrame,
       model: Pq.PqModel, query: Array[Float], nShort: Int): DataFrame =

@@ -130,8 +130,12 @@ object Dsir {
       .select(col(idCol), col("log_weight_r6"), col("__key").as("sample_key_r6"))
   }
 
-  /** The composed selector: fit on (target, raw), score raw, resample. */
-  def select(raw: DataFrame, target: DataFrame, k: Int,
+  /** The composed selector: fit on (target, raw), score raw, resample.
+    * Parameter order matches [[fit]] — (target, raw) — so the two public
+    * entry points can't be transposed silently (a swapped call compiles,
+    * runs, and inverts the importance ratio: it would select the docs
+    * LEAST like the target). */
+  def select(target: DataFrame, raw: DataFrame, k: Int,
       nBuckets: Int = 10000, alpha: Double = 1.0, salt: String = "dsir",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     resample(raw, fit(target, raw, nBuckets, alpha, textCol), k, salt,

@@ -45,7 +45,12 @@ object GopherFilters {
     var alphaWords = 0
     words.foreach { w =>
       wordChars += w.length
-      if (w.exists(_.isLetter)) alphaWords += 1
+      // ASCII letter class end-to-end — the repo convention (see
+      // TextAnalysis.qualityCounts) and exactly what the oracle's
+      // [A-Za-z] recomputes; Character.isLetter would diverge on any
+      // non-ASCII corpus
+      if (w.exists(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')))
+        alphaWords += 1
     }
     // stop words over the lowercase \W+ token stream (the repo-wide split)
     val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
@@ -65,8 +70,20 @@ object GopherFilters {
     val lines = text.split("\n", -1)
     var bulletLines = 0
     var ellipsisLines = 0
+    // trim exactly the repo whitespace class minus '\n' (which cannot
+    // occur inside a split line): space/tab/CR/VT/FF — NOT String.trim,
+    // whose <=U+0020 rule strips control chars the oracle's explicit
+    // trim set does not
+    def lineTrim(l: String): String = {
+      var a = 0
+      var b = l.length
+      def ws(c: Char) = c == ' ' || c == '\t' || c == '\r' || c == 0x0B || c == '\f'
+      while (a < b && ws(l.charAt(a))) a += 1
+      while (b > a && ws(l.charAt(b - 1))) b -= 1
+      l.substring(a, b)
+    }
     lines.foreach { l =>
-      val t = l.trim
+      val t = lineTrim(l)
       if (t.nonEmpty && BulletChars.indexOf(t.charAt(0)) >= 0) bulletLines += 1
       if (t.endsWith("...") || t.endsWith("…")) ellipsisLines += 1
     }

@@ -64,6 +64,10 @@ object UrlFilter {
     }
     withDomain(df, urlCol)
       .join(list, Seq("domain"), "left_anti")
-      .select((df.columns :+ "domain").map(col): _*)
+      // withDomain REPLACES any caller-supplied "domain" column (the
+      // resolved registrable domain is the operator's contract), so the
+      // output must not emit it twice — a duplicate name breaks every
+      // downstream select/join/write
+      .select((df.columns.filterNot(_ == "domain") :+ "domain").map(col): _*)
   }
 }

@@ -416,7 +416,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (7L, "the one...\nthe two...\nof three"),                // ellipsis > 30%
       (8L, "the of " + ("123 456 789 " * 10)),                 // alpha < 80%
       (9L, ("zig zag zog " * 12) + "the of end pad pad"),      // trigram > 18%
-      (10L, ("alpha beta gamma delta " * 10))))                // no stop words
+      (10L, ("alpha beta gamma delta " * 10)),                 // no stop words
+      // review pins: ASCII letter class (é/CJK words are NOT alphabetic —
+      // the oracle's [A-Za-z]); control chars outside the explicit trim
+      // set survive, so a U+0001-led line is NOT bullet-starting
+      (11L, "the of " + ("é¼ " * 30)),
+      (12L, "\u0001• the one\n\u0001• the two\nthe plain of line x")))
     val a = graft.ops.GopherFilters.audit(docs, minWords = 30, minStops = 1)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Boolean]("gopher_keep"),
@@ -438,6 +443,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!a(8L)._7, "alpha words")
     assert(!a(10L)._8, "stop words")
     assert(!a(9L)._9, s"repetition: ${a(9L)}")
+    assert(!a(11L)._7, s"non-ASCII letters are not alphabetic (oracle parity): ${a(11L)}")
+    assert(a(12L)._5, s"U+0001-led lines are not bullets (trim-set parity): ${a(12L)}")
     val kept = graft.ops.GopherFilters.filter(docs, minWords = 30, minStops = 1)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L), s"got $kept")
