@@ -279,6 +279,9 @@ object FixEncoding {
   private[graft] def fixText(s: String): String = {
     // fast path: nothing any cascade pass could touch
     if (isPlain(s)) return s
+    // single-segment fast path (titles, bylines, one-line blocks):
+    // no substring slicing, no rebuild
+    if (s.indexOf('\n') < 0) return fixSegment(s)
     val out = new java.lang.StringBuilder(s.length)
     var pos = 0
     while (pos < s.length) {
@@ -319,7 +322,11 @@ object FixEncoding {
       t = fixLineBreaks(t)
       t = fixSurrogates(t)
       t = removeControlChars(t)
-      if (t.exists(_ >= 0x300))
+      // isNormalized's quick-check answers without allocating — CJK text
+      // is NFC already, and normalize() copies the whole string per
+      // round per segment otherwise (profiled on the extraction path)
+      if (t.exists(_ >= 0x300) &&
+        !java.text.Normalizer.isNormalized(t, java.text.Normalizer.Form.NFC))
         t = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
       if (t == orig) return t
       rounds += 1
