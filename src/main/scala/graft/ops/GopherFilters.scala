@@ -104,7 +104,12 @@ object GopherFilters {
       lines.length, bulletLines, ellipsisLines, topTri)
   }
 
-  private val countsUdf = udf((text: String) => counts(text))
+  // asNondeterministic is an OPTIMIZER FENCE, not a semantics claim (the
+  // function is pure): without it, pushing gopher_keep through the audit
+  // projection inlines the counts UDF into the scan's data filters — 21
+  // evaluations per row measured (4.6 s vs 0.6 s on the driver table).
+  // Fenced, the struct is materialized once and the filter reads fields.
+  private val countsUdf = udf((text: String) => counts(text)).asNondeterministic()
 
   /** Per-doc audit: every numerator + per-rule verdicts + `gopher_keep`.
     * All verdicts are integer cross-multiplications — engine-exact. */
