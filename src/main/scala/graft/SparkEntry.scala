@@ -1103,6 +1103,29 @@ object SparkEntry {
           threshold = 0.7)
         .select(col("doc_id"), col("rep_id"), col("split"))
         .orderBy("doc_id")),
+    "x_bm25_postings" -> ((s, dir) =>
+      // the inverted-index build: postings (term, doc_id, tf, dl) over a
+      // doc_id-bounded sub-corpus — integer-exact, fully recomputed in
+      // DuckDB from the same \W+ tokenization
+      graft.ops.Bm25.index(
+          t(s, dir, "documents").filter(col("doc_id") < 50))
+        .orderBy("term", "doc_id")),
+    "x_bm25_topk" -> ((s, dir) => {
+      // BM25 top-10 retrieval (k1=1.5, b=0.75 — exact-binary literals so
+      // constant folding is engine-neutral): queries are the first 5
+      // tokens of every doc_id % 50 == 7 document (planted-input
+      // technique), scored against the full corpus. The oracle recomputes
+      // the ENTIRE pipeline — tokenization, postings, df, the Lucene idf,
+      // the length-normalized tf, the term-ordered left-fold sum — and
+      // ranks on the round-6 score with doc_id ties (engine-stable).
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 50 === 7)
+        .select(col("doc_id").as("query_id"),
+          expr("array_join(slice(filter(split(lower(text), '\\\\W+'), " +
+            "x -> x != ''), 1, 5), ' ')").as("query_text"))
+      graft.ops.Bm25.topK(docs, queries, k = 10, k1 = 1.5, b = 0.75)
+        .orderBy("query_id", "rank")
+    }),
     "x_token_budget" -> ((s, dir) =>
       // pretraining-mix selection: per-language token budgets filled by a
       // deterministic hash-ordered prefix; DuckDB recomputes the exact
@@ -2641,6 +2664,61 @@ object SparkEntry {
         |  END, 6) AS quality_score_r6,
         |  cast(len(wtoks) as int) AS ws_tokens
         |FROM hits ORDER BY doc_id""".stripMargin,
+    "x_bm25_postings" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 50),
+        |pos AS (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks)
+        |SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+        |FROM pos GROUP BY term, doc_id, dl
+        |ORDER BY term, doc_id""".stripMargin,
+    "x_bm25_topk" ->
+      // full recompute: \W+ tokenization -> postings -> df -> Lucene idf
+      // ln(((N - df) + 0.5)/(df + 0.5) + 1) -> length-normalized tf with
+      // k1=1.5, b=0.75 (all literals exact binary; ::DOUBLE casts keep
+      // DuckDB out of DECIMAL arithmetic so constant folding is IEEE) ->
+      // term-ordered left fold -> rank on the round-6 score with doc_id
+      // ties. ln()'s last ulp is absorbed by round-6 (x_lm_score
+      // convention).
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+        |       FROM pos GROUP BY term, doc_id, dl),
+        |stats AS (SELECT count(DISTINCT doc_id)::BIGINT AS n,
+        |                 sum(tf)::BIGINT AS sumdl FROM tf),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |q AS (SELECT doc_id AS query_id, t[1:5] AS qt FROM toks
+        |      WHERE doc_id % 50 = 7),
+        |qterms AS (SELECT DISTINCT query_id, term FROM
+        |  (SELECT query_id, unnest(qt) AS term FROM q)),
+        |contrib AS (
+        |  SELECT qt.query_id, f.doc_id, f.term,
+        |    ln((((s.n::DOUBLE - d.df) + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+        |        + 1.0::DOUBLE)
+        |    * ((f.tf * 2.5::DOUBLE) /
+        |       (f.tf + 1.5::DOUBLE *
+        |         (0.25::DOUBLE + (0.75::DOUBLE * f.dl)
+        |            / (s.sumdl::DOUBLE / s.n)))) AS c
+        |  FROM tf f
+        |  JOIN qterms qt USING (term)
+        |  JOIN df d ON d.term = f.term
+        |  CROSS JOIN stats s),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+        |      (a, x) -> a + x) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, round(score, 6) AS score_r6,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, doc_id)::BIGINT AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, doc_id, score_r6 FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x_token_budget" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval over a document corpus — the standard sparse
+  * ranking function (Robertson & Zaragoza 2009, "The Probabilistic
+  * Relevance Framework: BM25 and Beyond") and the lexical half of every
+  * large-scale dedup/retrieval stack (e.g. benchmark-contamination hunts
+  * run BM25 between eval sets and pretraining corpora when 13-gram exact
+  * matching is too brittle).
+  *
+  * Spark-native shape:
+  *  - the INDEX is a DataFrame of postings `(term, doc_id, tf, dl)` — one
+  *    map-side-combined groupBy over the exploded corpus, the document
+  *    length attached BEFORE the explode so it rides the same shuffle as a
+  *    grouping key (zero extra exchanges). At 100 TB the postings table is
+  *    written bucketed by `term` (see `table/Bucketed`), so a query touches
+  *    only the buckets its terms hash to — inverted-index I/O semantics
+  *    without a custom store.
+  *  - SCORING is two broadcast joins: the (tiny) query-term set picks up
+  *    per-term document frequencies from the vocab-bounded `df` frame, and
+  *    the result broadcasts into the postings scan. Only postings of query
+  *    terms survive the join — the corpus is never shuffled.
+  *  - the per-(query, doc) score is a position-independent sum of per-term
+  *    contributions; we fold the term-sorted contribution list left-to-right
+  *    (the NgramLm convention) so the double is deterministic across
+  *    partitionings and engines — the list is bounded by the query's own
+  *    term count.
+  *
+  * Contract (pinned by the x_bm25_* oracle rows):
+  *  - tokens: lowercase `\W+` split, like the rest of the text family;
+  *  - query terms are DEDUPLICATED (set semantics — each distinct term
+  *    contributes once, the common implementation choice when query term
+  *    frequency is ~1);
+  *  - idf = ln(((N - df) + 0.5) / (df + 0.5) + 1)  (the Lucene form:
+  *    shifted by +1 so idf stays positive for df > N/2);
+  *  - contribution = idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + (b*dl)/avgdl));
+  *  - ranking is on the round-6 score with doc_id ties (engine-stable).
+  */
+object Bm25 {
+
+  private def toks(textCol: String) =
+    expr(s"filter(split(lower($textCol), '\\\\W+'), x -> x != '')")
+
+  /** Postings `(term, doc_id, tf, dl)`. `dl` is attached before the explode
+    * and grouped as a (functionally dependent) key, so the single shuffle of
+    * the groupBy carries it for free. */
+  def index(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), toks(textCol).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-term document frequency — vocab-bounded, map-side combined. */
+  def docFreq(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Top-k BM25 retrieval against a prebuilt postings frame.
+    *
+    * `queries` is `(query_id, query_text)` and is small by contract (it is
+    * broadcast twice). Returns `(query_id, rank, doc_id, score_r6)` with
+    * rank 1..k per query. Candidates per query are bounded by the posting
+    * lists of its terms; the final per-query top-k is a window over that
+    * candidate set. */
+  def topKIndexed(postings: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // Corpus scalars: bounded collect (2 numbers).
+    val row = postings.agg(
+      countDistinct(col("doc_id")).as("n"),
+      sum(col("tf")).as("sumdl")).head()
+    val nDocs = row.getLong(0)
+    val avgdl = row.getLong(1).toDouble / nDocs
+
+    val qterms = queries
+      .select(col("query_id"),
+        explode(array_distinct(toks("query_text"))).as("term"))
+    // Tiny frame: query terms + their corpus df (terms absent from the
+    // corpus drop out here — they would contribute to no posting anyway).
+    val qdf = broadcast(qterms).join(docFreq(postings), "term")
+
+    val idf = log(
+      ((lit(nDocs.toDouble) - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0))
+    val tfn = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl)))
+
+    val contrib = postings
+      .join(broadcast(qdf), "term")
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (idf * tfn).as("c"))
+
+    val scored = contrib
+      .groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("c")))).as("cs"))
+      .withColumn("score", expr("aggregate(cs, 0.0d, (a, x) -> a + x.c)"))
+      .withColumn("score_r6", round(col("score"), 6))
+
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_r6").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_r6")
+  }
+
+  /** Convenience: index + retrieve in one call. */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    topKIndexed(index(docs, idCol, textCol), queries, k, k1, b)
+}
