@@ -67,6 +67,20 @@ object SparkEntry {
         .otherwise(concat(lit("ftp://"), h, lit(".com"))).as("url"))
   }
 
+  /** Shared token-occurrence frame for the sketch rows: (doc_id, term),
+    * the family's lowercase \W+ tokenization. */
+  private def docTerms(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr("filter(split(lower(text), '\\\\W+'), x -> x != '')"))
+        .as("term"))
+
+  /** (key, doc_id) with key = term:doc_id — the distinct unit the HLL
+    * rows count (≈20k distinct pairs: large enough for the raw-branch
+    * estimator at p=12). */
+  private def sketchKeys(docs: DataFrame): DataFrame =
+    docTerms(docs).select(
+      concat(col("term"), lit(":"), col("doc_id")).as("key"), col("doc_id"))
+
   /** Contract gate for adaptive ANN probes whose candidate geometry is not
     * SQL-recomputable (k-means centroids over an xxhash64-ordered sample —
     * see x_ann_ivf): asserts the probe returned exactly k rows, in
@@ -1125,6 +1139,65 @@ object SparkEntry {
             "x -> x != ''), 1, 5), ' ')").as("query_text"))
       graft.ops.Bm25.topK(docs, queries, k = 10, k1 = 1.5, b = 0.75)
         .orderBy("query_id", "rank")
+    }),
+    "x_hll_registers" -> ((s, dir) => {
+      // HyperLogLog registers for the distinct (term, doc) keys, computed
+      // as the MERGE of two batch sketches (doc_id halves). The oracle
+      // computes the single global sketch directly, so the register-exact
+      // equality pins merge-correctness cross-engine.
+      val keys = sketchKeys(t(s, dir, "documents"))
+      graft.ops.Sketches.hllMerge(Seq(
+        graft.ops.Sketches.hllSketch(keys.filter(col("doc_id") < 250), "key"),
+        graft.ops.Sketches.hllSketch(keys.filter(col("doc_id") >= 250), "key")))
+        .orderBy("reg")
+    }),
+    "x_hll_estimate" -> ((s, dir) => {
+      // the estimator over the merged sketch, next to the exact distinct
+      // count. The harmonic sum is a register-ordered left fold of exact
+      // binary powers (engine-deterministic); the 5% contract gate runs
+      // in-query.
+      val keys = sketchKeys(t(s, dir, "documents"))
+      val merged = graft.ops.Sketches.hllMerge(Seq(
+        graft.ops.Sketches.hllSketch(keys.filter(col("doc_id") < 250), "key"),
+        graft.ops.Sketches.hllSketch(keys.filter(col("doc_id") >= 250), "key")))
+      val out = graft.ops.Sketches.hllEstimate(merged)
+        .crossJoin(keys.agg(countDistinct(col("key")).as("exact_n")))
+        .select(col("n_regs"), col("zeros"),
+          round(col("estimate"), 6).as("estimate_r6"), col("exact_n"))
+        .localCheckpoint()
+      val r = out.head()
+      require(math.abs(r.getDouble(2) / r.getLong(3) - 1.0) < 0.05,
+        s"x_hll_estimate: ${r.getDouble(2)} vs exact ${r.getLong(3)}")
+      out
+    }),
+    "x_cms_counters" -> ((s, dir) => {
+      // Count-Min counters over token occurrences, again the merge of two
+      // batch sketches vs the oracle's direct global sketch —
+      // integer-exact.
+      val occ = docTerms(t(s, dir, "documents"))
+      graft.ops.Sketches.cmsMerge(Seq(
+        graft.ops.Sketches.cmsSketch(occ.filter(col("doc_id") < 250), "term"),
+        graft.ops.Sketches.cmsSketch(occ.filter(col("doc_id") >= 250), "term")))
+        .select(col("row").as("r"), col("col").as("c"), col("cnt"))
+        .orderBy("r", "c")
+    }),
+    "x_cms_heavy" -> ((s, dir) => {
+      // point estimates for every distinct term vs the true counts; the
+      // classic one-sided CMS guarantee (never underestimate) is asserted
+      // in-query, and DuckDB replays the min-over-rows probe exactly.
+      val occ = docTerms(t(s, dir, "documents"))
+      val sketch = graft.ops.Sketches.cmsMerge(Seq(
+        graft.ops.Sketches.cmsSketch(occ.filter(col("doc_id") < 250), "term"),
+        graft.ops.Sketches.cmsSketch(occ.filter(col("doc_id") >= 250), "term")))
+      val truth = occ.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      val out = graft.ops.Sketches.cmsEstimate(sketch, truth.select("term"), "term")
+        .join(truth, col("key") === col("term"))
+        .select(col("key"), col("estimate"), col("true_cnt"))
+        .orderBy("key")
+        .localCheckpoint()
+      require(out.filter(col("estimate") < col("true_cnt")).isEmpty,
+        "x_cms_heavy: CMS underestimated a key")
+      out
     }),
     "x_token_budget" -> ((s, dir) =>
       // pretraining-mix selection: per-language token budgets filled by a
@@ -2719,6 +2792,100 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, doc_id, score_r6 FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x_hll_registers" ->
+      // the global sketch computed directly (the engine emits the merge of
+      // two batch sketches): md5_number_lower hash, register = top 12
+      // bits, rho = leading zeros of the low-52-bit window + 1 (exact
+      // integer bit probing — no float log anywhere)
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |hs AS (SELECT md5_number_lower('hll:' || term || ':' || doc_id) AS h
+        |       FROM pos),
+        |rw AS (SELECT h >> 52 AS reg, h & ((1::UBIGINT << 52) - 1) AS w FROM hs),
+        |rr AS (SELECT reg,
+        |  CASE WHEN w = 0 THEN 53
+        |       ELSE 52 - list_max(list_transform(generate_series(0, 51),
+        |         b -> CASE WHEN (w & (1::UBIGINT << b)) <> 0 THEN b
+        |              ELSE -1 END))
+        |  END AS rho FROM rw)
+        |SELECT reg::BIGINT AS reg, max(rho)::BIGINT AS rho
+        |FROM rr GROUP BY reg ORDER BY reg""".stripMargin,
+    "x_hll_estimate" ->
+      // same registers, then the estimator: harmonic sum as a
+      // register-ordered left fold of exact binary powers seeded with the
+      // zero-register mass, the raw/linear-counting CASE, round-6
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |keys AS (SELECT term || ':' || doc_id AS key FROM pos),
+        |hs AS (SELECT md5_number_lower('hll:' || key) AS h FROM keys),
+        |rw AS (SELECT h >> 52 AS reg, h & ((1::UBIGINT << 52) - 1) AS w FROM hs),
+        |rr AS (SELECT reg,
+        |  CASE WHEN w = 0 THEN 53
+        |       ELSE 52 - list_max(list_transform(generate_series(0, 51),
+        |         b -> CASE WHEN (w & (1::UBIGINT << b)) <> 0 THEN b
+        |              ELSE -1 END))
+        |  END AS rho FROM rw),
+        |regs AS (SELECT reg, max(rho) AS rho FROM rr GROUP BY reg),
+        |est AS (
+        |  SELECT count(*)::BIGINT AS n_regs, (4096 - count(*))::BIGINT AS zeros,
+        |    list_reduce(list_prepend((4096 - count(*))::DOUBLE,
+        |      list(power(0.5, rho) ORDER BY reg)), (a, x) -> a + x) AS s
+        |  FROM regs),
+        |ex AS (SELECT count(DISTINCT key)::BIGINT AS exact_n FROM keys)
+        |SELECT e.n_regs, e.zeros,
+        |  round(CASE WHEN ((0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0 / e.s)
+        |               <= 10240.0 AND e.zeros > 0
+        |    THEN 4096.0 * ln(4096.0 / e.zeros)
+        |    ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0 / e.s END,
+        |    6) AS estimate_r6,
+        |  ex.exact_n
+        |FROM est e CROSS JOIN ex""".stripMargin,
+    "x_cms_counters" ->
+      // the global Count-Min counters computed directly (the engine emits
+      // the merge of two batch sketches): 4 rows, salt cms:<row>:<term>,
+      // column = hash mod 1024 — integer-exact
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (
+        |  SELECT r, md5_number_lower('cms:' || r || ':' || term) % 1024 AS c
+        |  FROM pos CROSS JOIN rws)
+        |SELECT r::BIGINT AS r, c::BIGINT AS c, count(*)::BIGINT AS cnt
+        |FROM cells GROUP BY r, c ORDER BY r, c""".stripMargin,
+    "x_cms_heavy" ->
+      // min-over-rows point estimates for every distinct term vs the true
+      // counts (estimate >= true is asserted engine-side)
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |counters AS (
+        |  SELECT r, md5_number_lower('cms:' || r || ':' || term) % 1024 AS c,
+        |    count(*)::BIGINT AS cnt
+        |  FROM pos CROSS JOIN rws GROUP BY r, c),
+        |probes AS (SELECT DISTINCT term FROM pos),
+        |pcells AS (
+        |  SELECT term, r, md5_number_lower('cms:' || r || ':' || term) % 1024 AS c
+        |  FROM probes CROSS JOIN rws),
+        |est AS (
+        |  SELECT p.term AS key, min(coalesce(k.cnt, 0))::BIGINT AS estimate
+        |  FROM pcells p LEFT JOIN counters k ON k.r = p.r AND k.c = p.c
+        |  GROUP BY p.term),
+        |truth AS (SELECT term, count(*)::BIGINT AS true_cnt FROM pos
+        |          GROUP BY term)
+        |SELECT e.key, e.estimate, t.true_cnt
+        |FROM est e JOIN truth t ON t.term = e.key ORDER BY e.key""".stripMargin,
     "x_token_budget" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

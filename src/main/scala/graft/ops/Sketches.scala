@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches for incremental corpus statistics — HyperLogLog
+  * distinct counting (Flajolet et al. 2007) and Count-Min frequency
+  * estimation (Cormode & Muthukrishnan 2005).
+  *
+  * The at-scale role: an ongoing ingestion pipeline wants corpus-level
+  * stats (distinct tokens/URLs, heavy-hitter terms) WITHOUT rescanning
+  * 100 TB per tick. Both sketches are DataFrames keyed by register, so
+  * the per-batch sketch is a bounded table (4096 rows here), stored next
+  * to the batch, and the corpus-level figure is a register-wise merge of
+  * the batch sketches — max(rho) for HLL, sum(cnt) for CMS — an
+  * O(#batches × m) job that never touches the documents again. This is
+  * the same shape as the manifest stats columns (`table/FileStats`):
+  * metadata-sized summaries standing in for data-sized scans.
+  *
+  * Determinism contract (pinned by the x_hll / x_cms oracle rows):
+  *  - hash = md5_number_lower(salt || ':' || key) — the DuckDB-recomputable
+  *    64-bit hash used across the sampling/dedup family;
+  *  - HLL: register = top p bits, rho = leading-zero count of the low
+  *    (64-p)-bit window + 1 (so 1..64-p+1); registers are integer-exact.
+  *    The estimator is the classic alpha_m * m^2 / sum(2^-rho) with the
+  *    linear-counting small-range branch; the harmonic sum is carried as
+  *    the EXACT integer sum of 2^(53-rho) (decimal/HUGEINT on the two
+  *    engines) so the double appears only in the final two operations.
+  *    No large-range branch: that correction patches 32-bit-hash
+  *    saturation and a 64-bit hash space never reaches it.
+  *  - CMS: depth rows, row i hashing with salt:i, column = hash mod width,
+  *    counters integer-exact; point estimate = min over rows; the classic
+  *    one-sided guarantee (estimate >= true count) is asserted in-query.
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------- HLL
+
+  /** Sparse HLL registers `(reg, rho)` for the distinct values of
+    * `keyCol`: one explode-free map pass + a register-bounded groupBy
+    * (at most 2^p = m output rows regardless of input size). */
+  def hllSketch(df: DataFrame, keyCol: String, p: Int = 12,
+      salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 18, s"p out of range: $p")
+    val win = 64 - p
+    val hash = udf { (key: String) =>
+      val h = Dedup.md5Lower64(salt + ":" + key)
+      val reg = (h >>> win).toInt
+      val w = h & ((1L << win) - 1)
+      val rho = if (w == 0L) win + 1
+      else java.lang.Long.numberOfLeadingZeros(w) - p + 1
+      (reg, rho)
+    }
+    df.select(hash(col(keyCol).cast("string")).as("h"))
+      .select(col("h._1").cast("long").as("reg"),
+        col("h._2").cast("long").as("rho"))
+      .groupBy("reg").agg(max("rho").as("rho"))
+  }
+
+  /** Register-wise merge: max(rho). Union of sketches == sketch of the
+    * union of inputs, by construction. */
+  def hllMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _).groupBy("reg").agg(max("rho").as("rho"))
+
+  /** One-row estimate frame `(n_regs, zeros, estimate)`. The harmonic sum
+    * folds 2^-rho (every term an exact binary power) in register order,
+    * with the zero-register mass as the fold seed — a deterministic IEEE
+    * sequence both engines replay verbatim, so the estimate differs only
+    * in ln()'s last ulp on the linear-counting branch. The register list
+    * is m-bounded (4096 at p=12), never input-sized. */
+  def hllEstimate(sketch: DataFrame, p: Int = 12): DataFrame = {
+    val m = 1 << p
+    sketch
+      .agg(sort_array(collect_list(struct(col("reg"), col("rho")))).as("rs"))
+      .select(
+        size(col("rs")).cast("long").as("n_regs"),
+        (lit(m.toLong) - size(col("rs"))).as("zeros"),
+        expr(s"aggregate(rs, cast($m - size(rs) as double), " +
+          "(a, x) -> a + power(0.5, x.rho))").as("s"))
+      .select(col("n_regs"), col("zeros"),
+        (lit(0.7213 / (1.0 + 1.079 / m)) * lit(m.toDouble * m) / col("s"))
+          .as("e_raw"))
+      .select(col("n_regs"), col("zeros"),
+        when(col("e_raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("e_raw")).as("estimate"))
+  }
+
+  // ---------------------------------------------------------------- CMS
+
+  private def cmsCells(df: DataFrame, keyCol: String, weightCol: Option[String],
+      depth: Int, width: Int, salt: String): DataFrame = {
+    val hash = udf { (key: String, row: Int) =>
+      java.lang.Long.remainderUnsigned(
+        Dedup.md5Lower64(s"$salt:$row:$key"), width.toLong)
+    }
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    df.select(col(keyCol).cast("string").as("_k"), w.as("_w"))
+      .withColumn("row", explode(lit((0 until depth).toArray)))
+      .select(col("row").cast("long").as("row"),
+        hash(col("_k"), col("row").cast("int")).as("col"), col("_w"))
+  }
+
+  /** Count-Min counters `(row, col, cnt)` — at most depth × width rows.
+    * `weightCol = None` counts occurrences. */
+  def cmsSketch(df: DataFrame, keyCol: String, weightCol: Option[String] = None,
+      depth: Int = 4, width: Int = 1024, salt: String = "cms"): DataFrame =
+    cmsCells(df, keyCol, weightCol, depth, width, salt)
+      .groupBy("row", "col").agg(sum("_w").as("cnt"))
+
+  /** Register-wise merge: sum(cnt). */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _).groupBy("row", "col")
+      .agg(sum("cnt").as("cnt"))
+
+  /** Point estimates for a (small, broadcast) candidate key frame:
+    * est(key) = min over rows of the counter at (row, hash_row(key)) —
+    * a missing cell is a zero counter. The sketch never moves; the
+    * candidate probes broadcast into it. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024, salt: String = "cms"): DataFrame = {
+    val hash = udf { (key: String, row: Int) =>
+      java.lang.Long.remainderUnsigned(
+        Dedup.md5Lower64(s"$salt:$row:$key"), width.toLong)
+    }
+    val probes = keys.select(col(keyCol).cast("string").as("key")).distinct()
+      .withColumn("row", explode(lit((0 until depth).toArray)))
+      .select(col("key"), col("row").cast("long").as("row"),
+        hash(col("key"), col("row").cast("int")).as("col"))
+    broadcast(probes).join(sketch, Seq("row", "col"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("key").agg(min("cnt").as("estimate"))
+  }
+}
