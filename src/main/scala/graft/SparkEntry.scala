@@ -2848,8 +2848,9 @@ object SparkEntry {
         |FROM est e CROSS JOIN ex""".stripMargin,
     "x_cms_counters" ->
       // the global Count-Min counters computed directly (the engine emits
-      // the merge of two batch sketches): 4 rows, salt cms:<row>:<term>,
-      // column = hash mod 1024 — integer-exact
+      // the merge of two batch sketches): ONE md5 per occurrence, row r's
+      // column from the Kirsch-Mitzenmacher pair (lower + r*upper) mod
+      // 1024 — exact in HUGEINT because 4*2^64 < 2^127 and 1024 | 2^64
       """WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
@@ -2857,7 +2858,8 @@ object SparkEntry {
         |pos AS (SELECT doc_id, unnest(t) AS term FROM toks),
         |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
         |cells AS (
-        |  SELECT r, md5_number_lower('cms:' || r || ':' || term) % 1024 AS c
+        |  SELECT r, (md5_number_lower('cms:' || term)::HUGEINT
+        |             + r * md5_number_upper('cms:' || term)::HUGEINT) % 1024 AS c
         |  FROM pos CROSS JOIN rws)
         |SELECT r::BIGINT AS r, c::BIGINT AS c, count(*)::BIGINT AS cnt
         |FROM cells GROUP BY r, c ORDER BY r, c""".stripMargin,
@@ -2871,12 +2873,14 @@ object SparkEntry {
         |pos AS (SELECT doc_id, unnest(t) AS term FROM toks),
         |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
         |counters AS (
-        |  SELECT r, md5_number_lower('cms:' || r || ':' || term) % 1024 AS c,
+        |  SELECT r, (md5_number_lower('cms:' || term)::HUGEINT
+        |             + r * md5_number_upper('cms:' || term)::HUGEINT) % 1024 AS c,
         |    count(*)::BIGINT AS cnt
         |  FROM pos CROSS JOIN rws GROUP BY r, c),
         |probes AS (SELECT DISTINCT term FROM pos),
         |pcells AS (
-        |  SELECT term, r, md5_number_lower('cms:' || r || ':' || term) % 1024 AS c
+        |  SELECT term, r, (md5_number_lower('cms:' || term)::HUGEINT
+        |             + r * md5_number_upper('cms:' || term)::HUGEINT) % 1024 AS c
         |  FROM probes CROSS JOIN rws),
         |est AS (
         |  SELECT p.term AS key, min(coalesce(k.cnt, 0))::BIGINT AS estimate

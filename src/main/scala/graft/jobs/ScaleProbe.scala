@@ -1009,6 +1009,99 @@ object ScaleProbe {
       mark("bucketed", tWbEv + tWbTot + tJoinBkt + tJoinPlain)
     }
 
+    // BM25: index build should be linear in the corpus (one combined
+    // groupBy); query cost should track the QUERY TERMS' posting lists
+    // (~n/vocab per term here), never the corpus row count — the
+    // postings frame must not re-shuffle at scoring time.
+    if (sections("bm25")) {
+      val tmp = System.getProperty("java.io.tmpdir")
+      for (n <- Seq(math.max(500, nDocs / 10), nDocs)) {
+        val docs = synthDocs(spark, n, cpus.toInt).localCheckpoint()
+        val pDir = s"$tmp/graft_scaleprobe_bm25_$n"
+        rmrf(pDir)
+        var pc = 0L
+        // index to a term-sorted parquet layout (the at-scale shape:
+        // term-clustered row groups make the query-term IN-filter prune
+        // real I/O)
+        val (_, tIdx) = time {
+          val p = graft.ops.Bm25.index(docs)
+          p.repartition(cpus.toInt, col("term")).sortWithinPartitions("term")
+            .write.mode("overwrite").parquet(pDir)
+          pc = spark.read.parquet(pDir).count()
+        }
+        val postings = spark.read.parquet(pDir)
+        val stats = Some(graft.ops.Bm25.corpusStats(postings))
+        val queries = docs.filter(col("doc_id") % math.max(1, n / 16) === 3)
+          .limit(16)
+          .select(col("doc_id").as("query_id"),
+            expr("array_join(slice(split(text, ' '), 1, 5), ' ')")
+              .as("query_text")).localCheckpoint()
+        // warm queries with index-time stats: pruned scan vs full scan
+        val (rk, tQ) = time(graft.ops.Bm25.topKIndexed(
+          postings, queries, k = 10, stats = stats).count())
+        val (_, tQFull) = time(graft.ops.Bm25.topKIndexed(
+          postings, queries, k = 10, stats = stats, pushdown = false).count())
+        out(s"bm25_${n}_postings") = pc
+        out(s"bm25_${n}_index_sec") = tIdx
+        out(s"bm25_${n}_topk_rows") = rk
+        out(s"bm25_${n}_query_sec") = tQ
+        out(s"bm25_${n}_query_fullscan_sec") = tQFull
+        mark(s"bm25_$n", tIdx + tQ + tQFull)
+      }
+    }
+
+    // Sketches: the build is one map pass + an m-bounded groupBy, so the
+    // sketch row count must stay <= 4096 while n grows 10x; the merge of
+    // k batch sketches is O(k*m) — corpus-size-independent by
+    // construction (each input is already register-bounded).
+    if (sections("sketch")) {
+      for (n <- Seq(nVecs.toLong, nVecs.toLong * 10)) {
+        val keys = spark.range(0L, n, 1L, cpus.toInt)
+          .select(concat(lit("k"), col("id")).as("key"))
+        var sk: DataFrame = null
+        val (nr, tSk) = time {
+          sk = graft.ops.Sketches.hllSketch(keys, "key").localCheckpoint()
+          sk.count()
+        }
+        require(nr <= 4096, s"hll sketch outgrew its registers: $nr")
+        val est = graft.ops.Sketches.hllEstimate(sk).head.getDouble(2)
+        out(s"hll_${n}_regs") = nr
+        out(s"hll_${n}_sec") = tSk
+        out(s"hll_${n}_est") = est
+        out(s"hll_${n}_err_pct") = 100.0 * (est / n - 1.0)
+        mark(s"hll_$n", tSk)
+      }
+      val batches = (0 until 20).map { b =>
+        graft.ops.Sketches.hllSketch(
+          spark.range(b * 100000L, (b + 1) * 100000L, 1, cpus.toInt)
+            .select(concat(lit("k"), col("id")).as("key")), "key")
+          .localCheckpoint()
+      }
+      val (mr, tM) = time(graft.ops.Sketches.hllMerge(batches).count())
+      val estM = graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllMerge(batches)).head.getDouble(2)
+      out("hll_merge20_regs") = mr
+      out("hll_merge20_sec") = tM
+      out("hll_merge20_err_pct") = 100.0 * (estM / 2000000.0 - 1.0)
+      mark("hll_merge20", tM)
+      val docs = synthDocs(spark, nDocs, cpus.toInt).localCheckpoint()
+      val occ = docs.select(explode(split(col("text"), " ")).as("term"))
+        .localCheckpoint()
+      var cms: DataFrame = null
+      val (cc, tC) = time {
+        cms = graft.ops.Sketches.cmsSketch(occ, "term").localCheckpoint()
+        cms.count()
+      }
+      require(cc <= 4096, s"cms sketch outgrew its counters: $cc")
+      val (hh, tH) = time(
+        graft.ops.Sketches.cmsEstimate(cms, occ.distinct(), "term").count())
+      out("cms_counters") = cc
+      out("cms_build_sec") = tC
+      out("cms_probe_keys") = hh
+      out("cms_probe_sec") = tH
+      mark("sketch_cms", tC + tH)
+    }
+
     val json = out.map {
       case (k, v: Double) => f""""$k":$v%.3f"""
       case (k, v) => s""""$k":$v"""

@@ -247,7 +247,57 @@ object UrlUtils {
       "gub.uy", "coop.py",
       "co.tt", "com.tt", "org.tt", "net.tt", "biz.tt", "info.tt",
       "pro.tt", "name.tt", "edu.tt", "gov.tt",
-      "com.ws", "net.ws", "org.ws", "gov.ws", "edu.ws")
+      "com.ws", "net.ws", "org.ws", "gov.ws", "edu.ws",
+      // round-7b growth (all real PSL rules; the conservative
+      // com/edu/gov/net/org-style sets of registries the table still
+      // mis-split — Central America, Levant, Indian Ocean, Caribbean,
+      // Pacific, plus the .me/.lk/.ht long sets):
+      "com.hn", "edu.hn", "org.hn", "net.hn", "mil.hn",
+      "com.ps", "edu.ps", "gov.ps", "net.ps", "org.ps", "plo.ps", "sec.ps",
+      "com.sy", "edu.sy", "gov.sy", "mil.sy", "net.sy", "org.sy",
+      "com.ye", "edu.ye", "gov.ye", "net.ye", "mil.ye", "org.ye",
+      "com.al", "edu.al", "gov.al", "mil.al", "net.al", "org.al",
+      "co.me", "net.me", "org.me", "edu.me", "ac.me", "gov.me",
+      "its.me", "priv.me",
+      "com.gi", "ltd.gi", "gov.gi", "mod.gi", "edu.gi", "org.gi",
+      "com.ky", "edu.ky", "gov.ky", "net.ky", "org.ky",
+      "biz.bb", "co.bb", "com.bb", "edu.bb", "gov.bb", "info.bb",
+      "net.bb", "org.bb", "store.bb", "tv.bb",
+      "com.ai", "net.ai", "off.ai", "org.ai",
+      "com.dm", "net.dm", "org.dm",
+      "net.bs", "org.bs", "edu.bs", "gov.bs",
+      "com.ms", "edu.ms", "gov.ms", "net.ms", "org.ms",
+      "co.gy", "com.gy", "edu.gy", "gov.gy", "net.gy", "org.gy",
+      "com.to", "gov.to", "net.to", "org.to", "edu.to", "mil.to",
+      "com.vu", "edu.vu", "net.vu", "org.vu",
+      "com.sb", "edu.sb", "gov.sb", "net.sb", "org.sb",
+      "com.pf", "org.pf", "edu.pf",
+      "asso.nc", "nom.nc",
+      "com.mu", "net.mu", "org.mu", "gov.mu", "ac.mu", "co.mu", "or.mu",
+      "org.mg", "nom.mg", "gov.mg", "prd.mg", "tm.mg", "edu.mg",
+      "mil.mg", "com.mg", "co.mg",
+      "ac.rw", "co.rw", "coop.rw", "gov.rw", "int.rw", "mil.rw", "net.rw",
+      "org.ci", "or.ci", "com.ci", "co.ci", "edu.ci", "ed.ci", "ac.ci",
+      "net.ci", "go.ci", "asso.ci", "int.ci", "presse.ci", "md.ci",
+      "gouv.ci",
+      "co.cm", "com.cm", "gov.cm", "net.cm",
+      "com.sd", "net.sd", "org.sd", "edu.sd", "med.sd", "tv.sd",
+      "gov.sd", "info.sd",
+      "sch.lk", "ngo.lk", "soc.lk", "web.lk", "ltd.lk", "assn.lk",
+      "grp.lk", "hotel.lk", "int.lk",
+      "aero.mv", "biz.mv", "com.mv", "coop.mv", "edu.mv", "gov.mv",
+      "info.mv", "int.mv", "mil.mv", "museum.mv", "name.mv", "net.mv",
+      "org.mv", "pro.mv",
+      "com.bt", "edu.bt", "gov.bt", "net.bt", "org.bt",
+      "com.af", "edu.af", "gov.af", "net.af", "org.af",
+      "int.la", "net.la", "info.la", "edu.la", "gov.la", "per.la",
+      "com.la", "org.la",
+      "tm.mc", "asso.mc",
+      "nom.ad",
+      "edu.cu", "org.cu", "net.cu", "gov.cu", "inf.cu",
+      "shop.ht", "firm.ht", "info.ht", "adult.ht", "net.ht", "pro.ht",
+      "org.ht", "med.ht", "art.ht", "coop.ht", "pol.ht", "asso.ht",
+      "edu.ht", "rel.ht", "gouv.ht", "perso.ht")
     // China province second-levels (PSL cn section: 2-letter codes)
     val cnProvinces = Seq("ah", "bj", "cq", "fj", "gd", "gs", "gx", "gz",
       "ha", "hb", "he", "hi", "hl", "hn", "jl", "js", "jx", "ln", "nm",

@@ -60,28 +60,50 @@ object Bm25 {
   def docFreq(postings: DataFrame): DataFrame =
     postings.groupBy("term").agg(count(lit(1)).as("df"))
 
-  /** Top-k BM25 retrieval against a prebuilt postings frame.
-    *
-    * `queries` is `(query_id, query_text)` and is small by contract (it is
-    * broadcast twice). Returns `(query_id, rank, doc_id, score_r6)` with
-    * rank 1..k per query. Candidates per query are bounded by the posting
-    * lists of its terms; the final per-query top-k is a window over that
-    * candidate set. */
-  def topKIndexed(postings: DataFrame, queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // Corpus scalars: bounded collect (2 numbers).
+  /** Corpus scalars (N, avgdl) — one full-postings aggregate. At scale
+    * these belong in index-build metadata; `topKIndexed` accepts them
+    * precomputed so a warm query path touches only its posting lists. */
+  def corpusStats(postings: DataFrame): (Long, Double) = {
     val row = postings.agg(
       countDistinct(col("doc_id")).as("n"),
       sum(col("tf")).as("sumdl")).head()
-    val nDocs = row.getLong(0)
-    val avgdl = row.getLong(1).toDouble / nDocs
+    (row.getLong(0), row.getLong(1).toDouble / row.getLong(0))
+  }
+
+  /** Query-term IN-lists beyond this stop pruning (a parquet filter that
+    * long stops being a win); the broadcast join still filters map-side. */
+  private val MaxPushdownTerms = 1024
+
+  /** Top-k BM25 retrieval against a prebuilt postings frame.
+    *
+    * `queries` is `(query_id, query_text)` and is small by contract (it is
+    * broadcast twice, and its distinct terms are collected to drive scan
+    * pruning). Returns `(query_id, rank, doc_id, score_r6)` with rank
+    * 1..k per query. The distinct query terms become an IN-filter on the
+    * postings BEFORE anything else touches them — over a term-sorted /
+    * term-bucketed parquet layout that filter prunes row groups, so
+    * scoring I/O is O(matched posting lists), not O(corpus). Per-term df
+    * over the pruned frame equals corpus df (pruning is term-exact).
+    * Candidates per query are bounded by its posting lists; the final
+    * per-query top-k is a window over that candidate set. */
+  def topKIndexed(postings: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      stats: Option[(Long, Double)] = None,
+      pushdown: Boolean = true): DataFrame = {
+    val (nDocs, avgdl) = stats.getOrElse(corpusStats(postings))
 
     val qterms = queries
       .select(col("query_id"),
         explode(array_distinct(toks("query_text"))).as("term"))
+    val termList = qterms.select("term").distinct()
+      .collect().map(_.getString(0)) // bounded: queries are small by contract
+    val pruned =
+      if (pushdown && termList.length <= MaxPushdownTerms)
+        postings.filter(col("term").isin(termList.toSeq: _*))
+      else postings
     // Tiny frame: query terms + their corpus df (terms absent from the
     // corpus drop out here — they would contribute to no posting anyway).
-    val qdf = broadcast(qterms).join(docFreq(postings), "term")
+    val qdf = broadcast(qterms).join(docFreq(pruned), "term")
 
     val idf = log(
       ((lit(nDocs.toDouble) - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
@@ -89,7 +111,7 @@ object Bm25 {
     val tfn = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl)))
 
-    val contrib = postings
+    val contrib = pruned
       .join(broadcast(qdf), "term")
       .select(col("query_id"), col("doc_id"), col("term"),
         (idf * tfn).as("c"))

@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   *    engines) so the double appears only in the final two operations.
   *    No large-range branch: that correction patches 32-bit-hash
   *    saturation and a 64-bit hash space never reaches it.
-  *  - CMS: depth rows, row i hashing with salt:i, column = hash mod width,
-  *    counters integer-exact; point estimate = min over rows; the classic
-  *    one-sided guarantee (estimate >= true count) is asserted in-query.
+  *  - CMS: ONE digest per occurrence; row i's column derives from the
+  *    Kirsch-Mitzenmacher pair, col_i = (lower64 + i·upper64) mod width
+  *    (Kirsch & Mitzenmacher 2006 — two hashes simulate the d independent
+  *    ones without weakening the CMS bound). Counters integer-exact;
+  *    point estimate = min over rows; the classic one-sided guarantee
+  *    (estimate >= true count) is asserted in-query.
   */
 object Sketches {
 
@@ -88,17 +91,46 @@ object Sketches {
 
   // ---------------------------------------------------------------- CMS
 
+  /** One md5 digest per occurrence; the depth row columns derive from the
+    * Kirsch-Mitzenmacher pair (h1 + i·h2) — 64-bit wraparound then
+    * mod-width, which collapses to a single native AND because width is a
+    * power of two dividing 2^64. The per-row hashing never re-digests. */
+  /** (md5_number_lower, md5_number_upper) of salt:key — ONE digest. */
+  private def md5PairUdf(salt: String) = udf { key: String =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((salt + ":" + key).getBytes("UTF-8"))
+    var h1 = 0L; var i = 15
+    while (i >= 8) { h1 = (h1 << 8) | (d(i) & 0xffL); i -= 1 }
+    var h2 = 0L; i = 7
+    while (i >= 0) { h2 = (h2 << 8) | (d(i) & 0xffL); i -= 1 }
+    (h1, h2)
+  }
+
+  /** The depth probe rows for one key hash pair, as native arithmetic:
+    * col_i = (h1 + i·h2) mod width. Because width (a power of two)
+    * divides 2^64, the unsigned-64 wraparound is invisible mod width, so
+    * both operands mask down BEFORE the multiply — small nonnegative
+    * longs, no ANSI overflow, still congruent to the oracle's exact
+    * HUGEINT (lower + r·upper) % width. */
+  private def kmCols(depth: Int, width: Int)(base: DataFrame): DataFrame = {
+    require(width > 0 && (width & (width - 1)) == 0,
+      s"cms width must be a power of two (mod = bitmask): $width")
+    val m = lit(width.toLong - 1)
+    base
+      .withColumn("row", explode(lit((0L until depth.toLong).toArray)))
+      .withColumn("col",
+        (col("h._1").bitwiseAND(m) + col("row") * col("h._2").bitwiseAND(m))
+          .bitwiseAND(m))
+      .drop("h")
+  }
+
   private def cmsCells(df: DataFrame, keyCol: String, weightCol: Option[String],
       depth: Int, width: Int, salt: String): DataFrame = {
-    val hash = udf { (key: String, row: Int) =>
-      java.lang.Long.remainderUnsigned(
-        Dedup.md5Lower64(s"$salt:$row:$key"), width.toLong)
-    }
     val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
-    df.select(col(keyCol).cast("string").as("_k"), w.as("_w"))
-      .withColumn("row", explode(lit((0 until depth).toArray)))
-      .select(col("row").cast("long").as("row"),
-        hash(col("_k"), col("row").cast("int")).as("col"), col("_w"))
+    kmCols(depth, width)(
+      df.select(col(keyCol).cast("string").as("_k"), w.as("_w"))
+        .withColumn("h", md5PairUdf(salt)(col("_k"))))
+      .select(col("row"), col("col"), col("_w"))
   }
 
   /** Count-Min counters `(row, col, cnt)` — at most depth × width rows.
@@ -119,14 +151,10 @@ object Sketches {
     * candidate probes broadcast into it. */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 1024, salt: String = "cms"): DataFrame = {
-    val hash = udf { (key: String, row: Int) =>
-      java.lang.Long.remainderUnsigned(
-        Dedup.md5Lower64(s"$salt:$row:$key"), width.toLong)
-    }
-    val probes = keys.select(col(keyCol).cast("string").as("key")).distinct()
-      .withColumn("row", explode(lit((0 until depth).toArray)))
-      .select(col("key"), col("row").cast("long").as("row"),
-        hash(col("key"), col("row").cast("int")).as("col"))
+    val probes = kmCols(depth, width)(
+      keys.select(col(keyCol).cast("string").as("key")).distinct()
+        .withColumn("h", md5PairUdf(salt)(col("key"))))
+      .select(col("key"), col("row"), col("col"))
     broadcast(probes).join(sketch, Seq("row", "col"), "left")
       .na.fill(0L, Seq("cnt"))
       .groupBy("key").agg(min("cnt").as("estimate"))

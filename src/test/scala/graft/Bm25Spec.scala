@@ -87,6 +87,21 @@ class Bm25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dup === single)
   }
 
+  test("query terms push into a parquet-backed postings scan") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25post").toString
+    Bm25.index(docs).repartition(1).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(dir)
+    val postings = spark.read.parquet(dir)
+    val q = queries((1L, "apple banana"))
+    val withPd = Bm25.topKIndexed(postings, q, k = 5)
+    val scan = withPd.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("In(term"),
+      s"expected In(term,...) pushed to the scan:\n$scan")
+    // same results with pruning disabled
+    val noPd = Bm25.topKIndexed(postings, q, k = 5, pushdown = false)
+    assert(withPd.exceptAll(noPd).isEmpty && noPd.exceptAll(withPd).isEmpty)
+  }
+
   test("scoring plan broadcasts the query side; postings never re-shuffle") {
     val postings = Bm25.index(docs)
     val plan = Bm25.topKIndexed(postings, queries((1L, "apple banana")), k = 5)

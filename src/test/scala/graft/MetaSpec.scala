@@ -209,6 +209,34 @@ class MetaSpec extends AnyFunSuite {
     // and single-label hosts under the grown ccTLDs still split plain
     assert(UrlUtils.extractDomain("https://example.kz/") == "example.kz")
     assert(UrlUtils.extractDomain("https://example.bg/") == "example.bg")
+    // r7b growth: Levant/Indian-Ocean/Caribbean/Pacific registries and
+    // the long .me/.lk/.ht/.ci sets — each previously mis-split to the
+    // 2-label fallback
+    assert(UrlUtils.extractDomain("https://news.com.ps/") == "news.com.ps")
+    assert(UrlUtils.extractDomain("https://x.gov.sy/") == "x.gov.sy")
+    assert(UrlUtils.extractDomain("https://blog.co.me/") == "blog.co.me")
+    assert(UrlUtils.extractDomain("https://bank.com.ky/") == "bank.com.ky")
+    assert(UrlUtils.extractDomain("https://shop.store.bb/") == "shop.store.bb")
+    assert(UrlUtils.extractDomain("https://x.off.ai/") == "x.off.ai")
+    assert(UrlUtils.extractDomain("https://uni.edu.bt/") == "uni.edu.bt")
+    assert(UrlUtils.extractDomain("https://x.gouv.ci/") == "x.gouv.ci")
+    assert(UrlUtils.extractDomain("https://site.presse.ci/") == "site.presse.ci")
+    assert(UrlUtils.extractDomain("https://hotel.lk/") == "hotel.lk")
+    assert(UrlUtils.extractDomain("https://x.hotel.lk/") == "x.hotel.lk")
+    assert(UrlUtils.extractDomain("https://resort.museum.mv/") == "resort.museum.mv")
+    assert(UrlUtils.extractDomain("https://x.gouv.ht/") == "x.gouv.ht")
+    assert(UrlUtils.extractDomain("https://biz.com.to/") == "biz.com.to")
+    assert(UrlUtils.extractDomain("https://x.asso.nc/") == "x.asso.nc")
+    assert(UrlUtils.extractDomain("https://uni.ac.mu/") == "uni.ac.mu")
+    assert(UrlUtils.extractDomain("https://x.prd.mg/") == "x.prd.mg")
+    assert(UrlUtils.extractDomain("https://co.coop.rw/") == "co.coop.rw")
+    assert(UrlUtils.extractDomain("https://x.tm.mc/") == "x.tm.mc")
+    assert(UrlUtils.extractDomain("https://site.nom.ad/") == "site.nom.ad")
+    assert(UrlUtils.extractDomain("https://paper.inf.cu/") == "paper.inf.cu")
+    assert(UrlUtils.extractDomain("https://x.com.la/") == "x.com.la")
+    // plain hosts under the grown ccTLDs still split plain
+    assert(UrlUtils.extractDomain("https://example.me/") == "example.me")
+    assert(UrlUtils.extractDomain("https://example.ht/") == "example.ht")
   }
 
   test("mojibake byline repaired end-to-end through the pipeline") {
