@@ -1140,6 +1140,13 @@ object SparkEntry {
       graft.ops.Bm25.topK(docs, queries, k = 10, k1 = 1.5, b = 0.75)
         .orderBy("query_id", "rank")
     }),
+    "x_chunk_windows" -> ((s, dir) =>
+      // RAG-style token chunking (size 40, overlap 10, right-aligned last
+      // window): every placement — chunk count, starts, lengths, and the
+      // rejoined chunk text — recomputed in DuckDB with the same integer
+      // arithmetic and list slicing
+      graft.ops.Chunking.chunk(t(s, dir, "documents"), size = 40, overlap = 10)
+        .orderBy("doc_id", "chunk_id")),
     "x_hll_registers" -> ((s, dir) => {
       // HyperLogLog registers for the distinct (term, doc) keys, computed
       // as the MERGE of two batch sketches (doc_id halves). The oracle
@@ -2792,6 +2799,28 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, doc_id, score_r6 FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x_chunk_windows" ->
+      // same placement arithmetic: nchunks via exact integer ceil, stride
+      // 30, right-aligned last window, 1-based inclusive list slicing
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM toks WHERE len(t) > 0),
+        |c AS (SELECT doc_id, t, n,
+        |  CASE WHEN n <= 40 THEN 1 ELSE (n - 40 + 29) // 30 + 1 END AS nchunks
+        |  FROM d),
+        |e AS (SELECT doc_id, t, n,
+        |  unnest(generate_series(0, nchunks - 1)) AS chunk_id FROM c),
+        |f AS (SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |  (CASE WHEN n <= 40 THEN 0 ELSE least(chunk_id * 30, n - 40) END)::BIGINT
+        |    AS start_tok, n, t FROM e)
+        |SELECT doc_id, chunk_id, start_tok,
+        |  least(40, n - start_tok)::BIGINT AS n_tok,
+        |  array_to_string(
+        |    t[start_tok + 1 : start_tok + least(40, n - start_tok)], ' ')
+        |    AS chunk_text
+        |FROM f ORDER BY doc_id, chunk_id""".stripMargin,
     "x_hll_registers" ->
       // the global sketch computed directly (the engine emits the merge of
       // two batch sketches): md5_number_lower hash, register = top 12

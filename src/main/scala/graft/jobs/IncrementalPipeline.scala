@@ -33,7 +33,8 @@ object IncrementalPipeline {
       keepLangs: Set[String] = Set("en"),
       minQuality: Double = 0.3,
       nearThreshold: Double = 0.8,
-      bloomDir: String = null): Unit = {
+      bloomDir: String = null,
+      sketchDir: String = null): Unit = {
     if (TranscriptTable.isCommitted(table, batchId)) return // replay no-op
     val hasCorpus = TranscriptTable.committedBatches(table).nonEmpty
     val corpus =
@@ -90,6 +91,21 @@ object IncrementalPipeline {
         // token, so an already-current filter no-ops (replay idempotence)
         graft.ops.BloomDedup.buildBloom(
           committed.select("doc_id", "text"), bloomDir)
+    }
+    // Corpus-stat sketches (HLL vocab + CMS term frequencies) ride the
+    // same warm/cold ladder: a token-fresh store takes the O(batch)
+    // append (batch sketch rows land next to the others; readers merge),
+    // anything else rebuilds over the committed table. Pure stats — they
+    // never gate curation, so a stale store costs a rebuild, never an
+    // answer.
+    if (sketchDir != null) {
+      if (hasCorpus &&
+          graft.ops.Sketches.sketchStoreFresh(spark, sketchDir, corpusToken))
+        graft.ops.Sketches.appendSketchStore(
+          survivors.select("doc_id", "text"), sketchDir, newToken)
+      else
+        graft.ops.Sketches.buildSketchStore(
+          committed.select("doc_id", "text"), sketchDir)
     }
   }
 }

@@ -159,4 +159,75 @@ object Sketches {
       .na.fill(0L, Seq("cnt"))
       .groupBy("key").agg(min("cnt").as("estimate"))
   }
+
+  // ------------------------------------------------- persisted store
+
+  /** Persisted corpus-stat sketches for the ongoing pipeline: HLL over the
+    * corpus vocabulary + CMS over term occurrences, token-gated like the
+    * signature store. The store is APPEND-ONLY — each tick writes its
+    * batch's register rows and readers merge (groupBy max / sum, O(#batch
+    * sketches × m)), so maintenance is O(batch) with no read-modify-write.
+    * Sketches never subtract: after a CoW delete/merge rewrites the table,
+    * the input token moves and the next tick rebuilds (degrade-to-correct,
+    * the signature-store contract). */
+  private def terms(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(
+      explode(expr(s"filter(split(lower($textCol), '\\\\W+'), x -> x != '')"))
+        .as("term"))
+
+  private def writeMeta(docs: DataFrame, dir: String, token: Option[Long]): Unit =
+    graft.util.FsAtomic.overwriteFile(
+      docs.sparkSession.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_meta/meta.properties"),
+      s"kind=sketches\ntoken=${token.getOrElse(0L)}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def sketchStoreFresh(spark: org.apache.spark.sql.SparkSession,
+      dir: String, corpusToken: Option[Long]): Boolean = {
+    val metaPath =
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_meta/meta.properties")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    corpusToken.exists { t =>
+      try {
+        val in = fs.open(metaPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.linesIterator.contains(s"token=$t")
+      } catch { case _: Exception => false }
+    }
+  }
+
+  def buildSketchStore(docs: DataFrame, dir: String,
+      textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val token = AnnIndex.inputToken(docs)
+    if (sketchStoreFresh(spark, dir, token)) return
+    val t = terms(docs, textCol).localCheckpoint() // 2 consumers
+    hllSketch(t, "term").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/hll")
+    cmsSketch(t, "term").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/cms")
+    writeMeta(docs, dir, token)
+  }
+
+  /** O(batch): append the new batch's sketch rows; `corpusToken` is the
+    * post-commit table token (the appendSignatureStore convention). */
+  def appendSketchStore(newDocs: DataFrame, dir: String,
+      corpusToken: Option[Long], textCol: String = "text"): Unit = {
+    val t = terms(newDocs, textCol).localCheckpoint()
+    hllSketch(t, "term").write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/hll")
+    cmsSketch(t, "term").write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/cms")
+    writeMeta(newDocs, dir, corpusToken)
+  }
+
+  /** (merged HLL registers, merged CMS counters) — the corpus-level
+    * sketches, merged read-side over however many batch sketches have
+    * accumulated. */
+  def readSketchStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$dir/hll").groupBy("reg").agg(max("rho").as("rho")),
+    spark.read.parquet(s"$dir/cms").groupBy("row", "col")
+      .agg(sum("cnt").as("cnt")))
 }

@@ -217,6 +217,46 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(table, sigDir, bloomDir).foreach(rmrf)
   }
 
+  test("incremental pipeline sketch store: appended per tick, merge == direct rebuild") {
+    val table = "/tmp/graft_inc_pipeline_sk"
+    val sigDir = "/tmp/graft_inc_pipeline_sk_sigs"
+    val sketchDir = "/tmp/graft_inc_pipeline_sk_sketch"
+    Seq(table, sigDir, sketchDir).foreach(rmrf)
+    val sp = spark
+    import sp.implicits._
+    def enText(seed: Long): String = (0 until 60).map(i =>
+      "the word" + graft.jobs.Synth.mix(seed * 97 + i).toHexString.take(3) +
+        " of this and that for is").mkString(" ")
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    graft.jobs.IncrementalPipeline.runBatch(spark,
+      docs((1L, enText(1)), (2L, enText(2))),
+      table, sigDir, "b001", sketchDir = sketchDir)
+    val hllFiles1 = new java.io.File(s"$sketchDir/hll")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    graft.jobs.IncrementalPipeline.runBatch(spark,
+      docs((3L, enText(3)), (4L, enText(4))),
+      table, sigDir, "b002", sketchDir = sketchDir)
+    // tick 2 APPENDED (files grew), and the store is pinned to the table
+    val hllFiles2 = new java.io.File(s"$sketchDir/hll")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(hllFiles2 > hllFiles1, "tick 2 must append, not rebuild")
+    val tok = graft.ops.AnnIndex.inputToken(
+      TranscriptTable.read(spark, table).select("doc_id", "text"))
+    assert(graft.ops.Sketches.sketchStoreFresh(spark, sketchDir, tok))
+    // read-side merge == direct sketches over the final table
+    val corpus = TranscriptTable.read(spark, table).select("doc_id", "text")
+      .withColumn("term",
+        explode(expr("filter(split(lower(text), '\\\\W+'), x -> x != '')")))
+      .select("term").localCheckpoint()
+    val (hll, cms) = graft.ops.Sketches.readSketchStore(spark, sketchDir)
+    val hllDirect = graft.ops.Sketches.hllSketch(corpus, "term")
+    val cmsDirect = graft.ops.Sketches.cmsSketch(corpus, "term")
+    assert(hll.except(hllDirect).isEmpty && hllDirect.except(hll).isEmpty)
+    assert(cms.except(cmsDirect).isEmpty && cmsDirect.except(cms).isEmpty)
+    Seq(table, sigDir, sketchDir).foreach(rmrf)
+  }
+
   test("schema evolution: added columns resolve from manifests, old rows read null") {
     // Iceberg-model evolution: each manifest records its batch schema;
     // readers plan the scan with the UNION resolved from manifests ALONE
