@@ -1050,6 +1050,50 @@ object ScaleProbe {
       }
     }
 
+    // Per-key top-k under a 95%-hot key: does the plain
+    // window+rank-filter form funnel the hot key through one task, or does
+    // Spark's InferWindowGroupLimit already cut the exchange to <= k rows
+    // per (key, map partition)?  Verdict (pinned in WindowTopKSpec): the
+    // built-in partial WindowGroupLimit below the exchange IS the
+    // two-stage escape — a hand-rolled (key, partition-id) pre-rank adds a
+    // second exchange for nothing.  Both arms measured here to keep the
+    // decision honest across Spark upgrades; rows require-pinned equal.
+    // NOTE the key must be non-foldable — a literal key degenerates the
+    // window arm to TakeOrderedAndProject and measures nothing.
+    if (sections("topk")) {
+      import org.apache.spark.sql.expressions.Window
+      val n = 20000000L
+      val k = 10
+      val cand = spark.range(0L, n, 1L, cpus.toInt).select(
+        when(col("id") % 100 < 95, lit(0L))
+          .otherwise(col("id") % 999 + 1).as("key"),
+        col("id"),
+        (col("id") % 9973).cast("double").as("score")).localCheckpoint()
+      val nKeys = 1000L
+      val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+      val winDf = cand.withColumn("r", row_number().over(w))
+        .filter(col("r") <= k)
+      val wLocal = Window.partitionBy(col("key"), col("_pid"))
+        .orderBy(col("score").desc, col("id"))
+      val twoDf = cand.withColumn("_pid", spark_partition_id())
+        .withColumn("_r1", row_number().over(wLocal)).filter(col("_r1") <= k)
+        .drop("_r1", "_pid")
+        .withColumn("r", row_number().over(w)).filter(col("r") <= k)
+      // min-of-2 per arm (the bench convention) — single cold timings at
+      // this size are dominated by first-touch of the checkpointed blocks
+      val (c1, t1a) = time(winDf.count()); val (_, t1b) = time(winDf.count())
+      val (c2, t2a) = time(twoDf.count()); val (_, t2b) = time(twoDf.count())
+      val t1 = t1a min t1b; val t2 = t2a min t2b
+      require(c1 == nKeys * k && c2 == c1, s"arms disagree: $c1 vs $c2")
+      val plan = winDf.queryExecution.executedPlan.toString
+      require(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+        "InferWindowGroupLimit stopped firing — revisit hot-key top-k")
+      out("topk_hotkey_rows") = n
+      out("topk_window_sec") = t1
+      out("topk_handrolled_twostage_sec") = t2
+      mark("topk", t1 + t2)
+    }
+
     // Sketches: the build is one map pass + an m-bounded groupBy, so the
     // sketch row count must stay <= 4096 while n grows 10x; the merge of
     // k batch sketches is O(k*m) — corpus-size-independent by
