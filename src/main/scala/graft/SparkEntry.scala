@@ -1140,6 +1140,26 @@ object SparkEntry {
       graft.ops.Bm25.topK(docs, queries, k = 10, k1 = 1.5, b = 0.75)
         .orderBy("query_id", "rank")
     }),
+    "x_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 top-10 (sparse) + exact dense top-10,
+      // fused by reciprocal rank (k0=60). documents and embeddings share
+      // the same id space by construction, so doc_id % 50 == 7 yields
+      // queries with BOTH a text (first 5 tokens — the x_bm25 technique)
+      // and a query vector. The oracle recomputes both arms AND the
+      // fusion: per-arm round-6 rankings, the coalesce-summed 1/(60+r)
+      // terms in the same operand order, the final round-6 ranking.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = docs.filter(col("doc_id") % 50 === 7)
+        .select(col("doc_id").as("query_id"),
+          expr("array_join(slice(filter(split(lower(text), '\\\\W+'), " +
+            "x -> x != ''), 1, 5), ' ')").as("query_text"))
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")), "query_id")
+      graft.ops.HybridRetrieval.topK(docs, emb, queries,
+          k = 10, depth = 10, k1 = 1.5, b = 0.75)
+        .orderBy("query_id", "rank")
+    }),
     "x_chunk_windows" -> ((s, dir) =>
       // RAG-style token chunking (size 40, overlap 10, right-aligned last
       // window): every placement — chunk count, starts, lengths, and the
@@ -2799,6 +2819,82 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, doc_id, score_r6 FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x_hybrid_rrf" ->
+      // both arms fully recomputed (the x_bm25_topk chain verbatim for the
+      // sparse arm; list_cosine_similarity over DOUBLE[] for the dense arm,
+      // the x_ann_brute convention) and then the fusion itself: per-arm
+      // round-6 rankings with doc_id ties, 1/(60+rank) terms coalesce-
+      // summed sparse-first (fixed operand order keeps fp64 engine-
+      // identical), round-6 fused score, final rank with doc_id ties.
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+        |       FROM pos GROUP BY term, doc_id, dl),
+        |stats AS (SELECT count(DISTINCT doc_id)::BIGINT AS n,
+        |                 sum(tf)::BIGINT AS sumdl FROM tf),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |q AS (SELECT doc_id AS query_id, t[1:5] AS qt FROM toks
+        |      WHERE doc_id % 50 = 7),
+        |qterms AS (SELECT DISTINCT query_id, term FROM
+        |  (SELECT query_id, unnest(qt) AS term FROM q)),
+        |contrib AS (
+        |  SELECT qt.query_id, f.doc_id, f.term,
+        |    ln((((s.n::DOUBLE - d.df) + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+        |        + 1.0::DOUBLE)
+        |    * ((f.tf * 2.5::DOUBLE) /
+        |       (f.tf + 1.5::DOUBLE *
+        |         (0.25::DOUBLE + (0.75::DOUBLE * f.dl)
+        |            / (s.sumdl::DOUBLE / s.n)))) AS c
+        |  FROM tf f
+        |  JOIN qterms qt USING (term)
+        |  JOIN df d ON d.term = f.term
+        |  CROSS JOIN stats s),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+        |      (a, x) -> a + x) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |sranked AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, doc_id)::BIGINT AS sparse_rank
+        |  FROM scored),
+        |sparse AS (SELECT query_id, doc_id, sparse_rank FROM sranked
+        |           WHERE sparse_rank <= 10),
+        |qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |       WHERE vec_id % 50 = 7),
+        |dc AS (SELECT qe.query_id, e.vec_id AS doc_id,
+        |         round(list_cosine_similarity(cast(e.embedding AS DOUBLE[]),
+        |           cast(qe.qv AS DOUBLE[])), 6) AS cos_r6
+        |       FROM embeddings e CROSS JOIN qe),
+        |dranked AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_r6 DESC, doc_id)::BIGINT AS dense_rank
+        |  FROM dc),
+        |dense AS (SELECT query_id, doc_id, dense_rank FROM dranked
+        |          WHERE dense_rank <= 10),
+        |fused AS (
+        |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+        |         coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |         s.sparse_rank, d.dense_rank,
+        |         round(
+        |           coalesce(1.0::DOUBLE / (60.0::DOUBLE + s.sparse_rank),
+        |                    0.0::DOUBLE)
+        |           + coalesce(1.0::DOUBLE / (60.0::DOUBLE + d.dense_rank),
+        |                      0.0::DOUBLE), 6) AS rrf_r6
+        |  FROM sparse s FULL OUTER JOIN dense d
+        |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+        |franked AS (
+        |  SELECT query_id, doc_id, rrf_r6, sparse_rank, dense_rank,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_r6 DESC, doc_id)::BIGINT AS rank
+        |  FROM fused)
+        |SELECT query_id, rank, doc_id, rrf_r6, sparse_rank, dense_rank
+        |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x_chunk_windows" ->
       // same placement arithmetic: nchunks via exact integer ceil, stride
       // 30, right-aligned last window, 1-based inclusive list slicing
