@@ -1226,6 +1226,47 @@ object SparkEntry {
         "x_cms_heavy: CMS underestimated a key")
       out
     }),
+    "x_dd_sketch" -> ((s, dir) => {
+      // log-linear quantile sketch (DDSketch/HDR-histogram family), the
+      // third leg of the mergeable trio: value = token count − 50, the
+      // planted shift that exercises all three stores (negative mirror,
+      // zero bucket, positive octaves). Engine emits the MERGE of two
+      // batch sketches; DuckDB computes the global sketch directly —
+      // octave from bit length, linear sub-bucket, monotone encoding,
+      // all exact integer arithmetic (never a float log).
+      val docs = t(s, dir, "documents")
+      val v = docs.select(col("doc_id"),
+        (size(expr("filter(split(lower(text), '\\\\W+'), x -> x != '')"))
+          .cast("long") - 50).as("v"))
+      graft.ops.Sketches.ddMerge(Seq(
+        graft.ops.Sketches.ddSketch(v.filter(col("doc_id") < 250), "v"),
+        graft.ops.Sketches.ddSketch(v.filter(col("doc_id") >= 250), "v")))
+        .orderBy("bkt")
+    }),
+    "x_dd_quantiles" -> ((s, dir) => {
+      // quantile extraction replayed end-to-end in DuckDB: cumulative
+      // counts in encoded-bucket order, nearest-rank selection, exact-
+      // binary bucket midpoints. The in-query require pins the sketch
+      // guarantee itself — the TRUE rank-r value falls in the chosen
+      // bucket (exact integer membership via ddBucketOf, which implies
+      // the 1/(2s) relative-error bound).
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val v = docs.select(
+        (size(expr("filter(split(lower(text), '\\\\W+'), x -> x != '')"))
+          .cast("long") - 50).as("v"))
+      val sketch = graft.ops.Sketches.ddSketch(v, "v")
+      val out = graft.ops.Sketches.ddQuantiles(sketch,
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99)).orderBy("q").localCheckpoint()
+      val w = Window.partitionBy(pmod(col("v"), lit(1))).orderBy("v")
+      val ranked = v.withColumn("r", row_number().over(w).cast("long"))
+      val gate = graft.ops.Sketches.ddBucketOf(
+        ranked.join(out.select(col("rank"), col("bkt").as("bkt_sk")),
+          col("r") === col("rank")), "v")
+      require(gate.filter(col("bkt") =!= col("bkt_sk")).isEmpty,
+        "x_dd_quantiles: a true rank value fell outside its sketch bucket")
+      out
+    }),
     "x_token_budget" -> ((s, dir) =>
       // pretraining-mix selection: per-language token budgets filled by a
       // deterministic hash-ordered prefix; DuckDB recomputes the exact
@@ -3015,6 +3056,64 @@ object SparkEntry {
         |          GROUP BY term)
         |SELECT e.key, e.estimate, t.true_cnt
         |FROM est e JOIN truth t ON t.term = e.key ORDER BY e.key""".stripMargin,
+    "x_dd_sketch" ->
+      // the global sketch computed directly (the engine emits the merge of
+      // two batch sketches): octave = bit length − 1 via printf('%b'),
+      // sub-bucket = ((|v| − 2^e)·32) // 2^e, encoding v=0 → −1 and
+      // v<0 → −2−bkt(−v) — exact integer arithmetic end to end
+      """WITH v AS (
+        |  SELECT len(list_filter(string_split_regex(lower(text), '\W+'),
+        |           x -> x <> ''))::BIGINT - 50 AS v
+        |  FROM documents),
+        |a AS (SELECT v, abs(v) AS av FROM v),
+        |b AS (SELECT v,
+        |  CASE WHEN v = 0 THEN -1
+        |    WHEN v > 0 THEN (length(printf('%b', av)) - 1)::BIGINT * 32
+        |      + ((av - (1::BIGINT << (length(printf('%b', av)) - 1))) * 32)
+        |        // (1::BIGINT << (length(printf('%b', av)) - 1))
+        |    ELSE -2 - ((length(printf('%b', av)) - 1)::BIGINT * 32
+        |      + ((av - (1::BIGINT << (length(printf('%b', av)) - 1))) * 32)
+        |        // (1::BIGINT << (length(printf('%b', av)) - 1))) END AS bkt
+        |  FROM a)
+        |SELECT bkt, count(*)::BIGINT AS cnt FROM b
+        |GROUP BY bkt ORDER BY bkt""".stripMargin,
+    "x_dd_quantiles" ->
+      // extraction replayed: cumulative counts in encoded-bucket order,
+      // rank = floor(q·(n−1)) + 1, first bucket reaching the rank, exact-
+      // binary midpoint 2^e·(1 + (2j+1)/64) (mirrored for bkt ≤ −2)
+      """WITH v AS (
+        |  SELECT len(list_filter(string_split_regex(lower(text), '\W+'),
+        |           x -> x <> ''))::BIGINT - 50 AS v
+        |  FROM documents),
+        |a AS (SELECT v, abs(v) AS av FROM v),
+        |b AS (SELECT v,
+        |  CASE WHEN v = 0 THEN -1
+        |    WHEN v > 0 THEN (length(printf('%b', av)) - 1)::BIGINT * 32
+        |      + ((av - (1::BIGINT << (length(printf('%b', av)) - 1))) * 32)
+        |        // (1::BIGINT << (length(printf('%b', av)) - 1))
+        |    ELSE -2 - ((length(printf('%b', av)) - 1)::BIGINT * 32
+        |      + ((av - (1::BIGINT << (length(printf('%b', av)) - 1))) * 32)
+        |        // (1::BIGINT << (length(printf('%b', av)) - 1))) END AS bkt
+        |  FROM a),
+        |sk AS (SELECT bkt, count(*)::BIGINT AS cnt FROM b GROUP BY bkt),
+        |cum AS (SELECT bkt, cnt,
+        |          sum(cnt) OVER (ORDER BY bkt)::BIGINT AS cum FROM sk),
+        |tot AS (SELECT sum(cnt)::BIGINT AS n FROM sk),
+        |qs(q) AS (VALUES (0.01::DOUBLE), (0.25::DOUBLE), (0.5::DOUBLE),
+        |                 (0.75::DOUBLE), (0.99::DOUBLE)),
+        |ranks AS (SELECT q, (floor(q * (n - 1)) + 1)::BIGINT AS rank
+        |          FROM qs CROSS JOIN tot),
+        |chosen AS (SELECT q, rank, min(bkt) AS bkt
+        |           FROM ranks JOIN cum ON cum.cum >= ranks.rank
+        |           GROUP BY q, rank)
+        |SELECT q, rank, bkt,
+        |  CASE WHEN bkt = -1 THEN 0.0::DOUBLE
+        |    WHEN bkt >= 0 THEN power(2.0::DOUBLE, bkt // 32)
+        |      + (2 * (bkt % 32) + 1) * power(2.0::DOUBLE, bkt // 32 - 6)
+        |    ELSE -(power(2.0::DOUBLE, (-2 - bkt) // 32)
+        |      + (2 * ((-2 - bkt) % 32) + 1)
+        |        * power(2.0::DOUBLE, (-2 - bkt) // 32 - 6)) END AS est
+        |FROM chosen ORDER BY q""".stripMargin,
     "x_token_budget" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -1144,6 +1144,30 @@ object ScaleProbe {
       out("cms_probe_keys") = hh
       out("cms_probe_sec") = tH
       mark("sketch_cms", tC + tH)
+      // DD quantile sketch: bucket count must stay bounded while n grows
+      // 10x (log-linear buckets: <= 64 octaves x 32 x 2 + 2 no matter the
+      // input), and the extracted quantiles must hold the 1/(2s) bound
+      // against closed-form truth (values are a known permutation of 1..n)
+      for (n <- Seq(nVecs.toLong, nVecs.toLong * 10)) {
+        val vs = spark.range(0L, n, 1L, cpus.toInt)
+          .select((col("id") + 1L).as("v"))
+        var dd: DataFrame = null
+        val (dr, tD) = time {
+          dd = graft.ops.Sketches.ddSketch(vs, "v").localCheckpoint()
+          dd.count()
+        }
+        require(dr <= 4098, s"dd sketch outgrew its buckets: $dr")
+        val qs = graft.ops.Sketches.ddQuantiles(dd, Seq(0.5, 0.99))
+          .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(3)))
+        qs.foreach { case (q, rank, est) =>
+          val truth = rank.toDouble // rank-th smallest of 1..n is rank
+          require(math.abs(est / truth - 1.0) <= 1.0 / 64,
+            s"dd quantile bound broke at n=$n q=$q: est=$est true=$truth")
+        }
+        out(s"dd_${n}_buckets") = dr
+        out(s"dd_${n}_sec") = tD
+        mark(s"dd_$n", tD)
+      }
     }
 
     val json = out.map {

@@ -160,6 +160,114 @@ object Sketches {
       .groupBy("key").agg(min("cnt").as("estimate"))
   }
 
+  // ------------------------------------- DD (log-linear quantile sketch)
+
+  /** Log-linear quantile sketch — the DDSketch/HDR-histogram family
+    * (Masson, Rim & Lee, VLDB 2019; Tene's HdrHistogram uses the same
+    * log-linear mapping): per-octave linear sub-buckets give a relative-
+    * error guarantee of 1/(2s) while the whole sketch stays a bounded
+    * `(bkt, cnt)` table that merges by plain counter sum — the third leg
+    * of the mergeable-stats trio (HLL = distinct, CMS = frequency,
+    * DD = quantiles).
+    *
+    * Exactness contract (the x_dd oracle rows): values are INTEGERS (cast
+    * to long; fractional inputs are the caller's to scale — the
+    * HdrHistogram convention), and the bucket function is EXACT integer
+    * arithmetic — octave = bit length − 1 (never a float log, so the two
+    * engines can't disagree at an octave boundary), sub-bucket =
+    * ((v − 2^e) · s) div 2^e. The encoded key is monotone in the value
+    * across the whole real line:
+    *   v > 0 → bkt = e·s + j  (≥ 0)
+    *   v = 0 → bkt = −1
+    *   v < 0 → bkt = −2 − bkt(−v)  (≤ −2; the DDSketch mirrored store)
+    * so cumulative counts in bkt order ARE the value CDF. With s a power
+    * of two, every bucket boundary and midpoint is an exact binary
+    * double — estimates are bit-identical across engines. */
+  /** The exact-integer bucket of the staged `_ddv`/`_ddv_abs` columns:
+    * e = bit length − 1 (bin() string length — never a float log),
+    * j = ((|v| − 2^e) · s) div 2^e, encoded monotone per the scaladoc
+    * above. |v| = Long.MinValue is the one unrepresentable abs —
+    * documented out (counts and lengths never reach 2^63). */
+  private def ddBucketExpr(s: Int): org.apache.spark.sql.Column = {
+    val posBkt = // bucket of _ddv_abs >= 1, exact integer arithmetic
+      s"""cast(length(bin(_ddv_abs)) - 1 as bigint) * $s +
+         |((_ddv_abs - shiftleft(1L, cast(length(bin(_ddv_abs)) - 1 as int)))
+         |  * $s) div shiftleft(1L, cast(length(bin(_ddv_abs)) - 1 as int))"""
+        .stripMargin
+    expr(
+      s"""case when _ddv = 0 then -1L
+         |     when _ddv > 0 then $posBkt
+         |     else -2L - ($posBkt) end""".stripMargin)
+  }
+
+  /** `df` plus the encoded bucket of `valueCol` as `bkt` — the audit /
+    * gate form (e.g. "does the true rank-r value live in the bucket the
+    * sketch chose?" — exact integer membership, no interval arithmetic). */
+  def ddBucketOf(df: DataFrame, valueCol: String, s: Int = 32): DataFrame = {
+    require(s > 0 && (s & (s - 1)) == 0, s"s must be a power of two: $s")
+    df.withColumn("_ddv", col(valueCol).cast("long"))
+      .withColumn("_ddv_abs", abs(col("_ddv")))
+      .withColumn("bkt", ddBucketExpr(s))
+      .drop("_ddv", "_ddv_abs")
+  }
+
+  /** Sketch rows `(bkt, cnt)` — at most s·64·2 + 2 rows regardless of
+    * input size. Null values are ignored (SQL aggregate convention). */
+  def ddSketch(df: DataFrame, valueCol: String, s: Int = 32): DataFrame = {
+    require(s > 0 && (s & (s - 1)) == 0, s"s must be a power of two: $s")
+    df.select(col(valueCol).cast("long").as("_ddv"))
+      .where(col("_ddv").isNotNull)
+      .withColumn("_ddv_abs", abs(col("_ddv")))
+      .withColumn("bkt", ddBucketExpr(s))
+      .groupBy("bkt").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Register-wise merge: sum(cnt). */
+  def ddMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _).groupBy("bkt").agg(sum("cnt").as("cnt"))
+
+  /** Bucket midpoint — exact binary double (s is a power of two, so
+    * 2^e·(1 + (2j+1)/(2s)) has a short mantissa on both engines). */
+  private def ddMid(bkt: org.apache.spark.sql.Column, s: Int):
+      org.apache.spark.sql.Column = {
+    val log2s = java.lang.Integer.numberOfTrailingZeros(s)
+    def mid(b: org.apache.spark.sql.Column) = {
+      val e = (b / s).cast("int") // b >= 0 here, so / and div agree
+      val j = b % s
+      pow(lit(2.0), e) + (j * 2 + 1).cast("double") *
+        pow(lit(2.0), e - lit(1 + log2s))
+    }
+    when(bkt === -1L, lit(0.0))
+      .when(bkt >= 0L, mid(bkt))
+      .otherwise(-mid(lit(-2L) - bkt))
+  }
+
+  /** Quantile estimates `(q, rank, bkt, est)` from a (merged) sketch:
+    * rank = floor(q·(n−1)) + 1 (the nearest-rank convention), bkt = the
+    * first bucket whose cumulative count reaches the rank, est = that
+    * bucket's midpoint. The cumulative window runs over the register-
+    * bounded sketch, never the data (the hllEstimate shape); the rank-r
+    * value provably lies in the chosen bucket, so |est/true − 1| ≤ 1/(2s)
+    * for nonzero values. */
+  def ddQuantiles(sketch: DataFrame, qs: Seq[Double], s: Int = 32): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs: $qs")
+    val spark = sketch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    // pmod keeps WindowExec from warning about a global window — the input
+    // is the register-bounded sketch, so one partition is the point
+    val w = Window.partitionBy(pmod(col("bkt"), lit(1))).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch.withColumn("cum", sum("cnt").over(w))
+    val tot = cum.agg(max("cum").as("n"))
+    val qdf = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    val ranks = broadcast(qdf.crossJoin(tot)
+      .withColumn("rank", floor(col("q") * (col("n") - 1)) + 1))
+    ranks.join(cum, col("cum") >= col("rank"))
+      .groupBy("q", "rank").agg(min("bkt").as("bkt"))
+      .withColumn("est", ddMid(col("bkt"), s))
+      .select("q", "rank", "bkt", "est")
+  }
+
   // ------------------------------------------------- persisted store
 
   /** Persisted corpus-stat sketches for the ongoing pipeline: HLL over the
@@ -207,8 +315,17 @@ object Sketches {
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/hll")
     cmsSketch(t, "term").write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/cms")
+    ddSketch(docLens(docs, textCol), "dl").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/dd")
     writeMeta(docs, dir, token)
   }
+
+  /** Per-doc token count — the sequence-length distribution the packing /
+    * chunking planners consume (via [[ddQuantiles]] over the store). */
+  private def docLens(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(
+      size(expr(s"filter(split(lower($textCol), '\\\\W+'), x -> x != '')"))
+        .cast("long").as("dl"))
 
   /** O(batch): append the new batch's sketch rows; `corpusToken` is the
     * post-commit table token (the appendSignatureStore convention). */
@@ -219,8 +336,16 @@ object Sketches {
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/hll")
     cmsSketch(t, "term").write
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/cms")
+    ddSketch(docLens(newDocs, textCol), "dl").write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/dd")
     writeMeta(newDocs, dir, corpusToken)
   }
+
+  /** Merged doc-length quantile sketch — read-side counter sum over the
+    * accumulated batch sketches, like [[readSketchStore]]. */
+  def readDdStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/dd").groupBy("bkt").agg(sum("cnt").as("cnt"))
 
   /** (merged HLL registers, merged CMS counters) — the corpus-level
     * sketches, merged read-side over however many batch sketches have

@@ -106,4 +106,81 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val est = Sketches.cmsEstimate(sketch, keys(3, "absent"), "key").collect()
     assert(est.length === 3 && est.forall(_.getLong(1) === 0L))
   }
+
+  // ---------------------------------------------------------------- DD
+
+  private def vals(vs: Seq[Long]) = {
+    val sp = spark; import sp.implicits._
+    vs.toDF("v").repartition(4)
+  }
+
+  private def bktOf(v: Long): Long =
+    Sketches.ddSketch(vals(Seq(v)), "v").head.getLong(0)
+
+  test("DD: bucket literals — octave from bit length, linear sub-bucket") {
+    // v=1: e=0, base=1, j=0           -> 0
+    // v=3: e=1, base=2, j=(1*32)/2=16 -> 48
+    // v=100: e=6, base=64, j=(36*32)/64=18 -> 210
+    // v=0 -> -1 (zero bucket); v=-3 -> -2-48 = -50 (mirrored store)
+    assert(bktOf(1L) === 0L)
+    assert(bktOf(3L) === 48L)
+    assert(bktOf(100L) === 210L)
+    assert(bktOf(0L) === -1L)
+    assert(bktOf(-3L) === -50L)
+    // octave boundary: 2^e maps to (e*32, j=0) exactly — no float log to
+    // disagree at the boundary
+    assert(bktOf(1024L) === 320L)
+    assert(bktOf(1023L) === 9L * 32 + 31) // last sub-bucket of octave 9
+  }
+
+  test("DD: encoded bucket is monotone in the value across the real line") {
+    val vs = (-70L to 70L) ++ Seq(-100000L, -4097L, 4096L, 4097L, 99999L,
+      (1L << 40) - 1, 1L << 40, (1L << 40) + 12345L)
+    val got = Sketches.ddSketch(vals(vs), "v")
+    // recover per-value buckets by sketching singletons and compare order
+    val pairs = vs.sorted.map(v => (v, bktOf(v)))
+    pairs.sliding(2).foreach { case Seq((v1, b1), (v2, b2)) =>
+      assert(b1 <= b2, s"bucket order broke between $v1($b1) and $v2($b2)")
+    }
+    // counts conserved
+    assert(got.agg(sum("cnt")).head.getLong(0) === vs.length.toLong)
+  }
+
+  test("DD: merge of batch sketches == global sketch, counter-exact") {
+    val vs = (1L to 3000L).map(i => (i * i * 2654435761L) % 100000L - 20000L)
+    val all = vals(vs)
+    val parts = Seq(vals(vs.take(1000)), vals(vs.slice(1000, 2200)),
+      vals(vs.drop(2200)))
+    val merged = Sketches.ddMerge(parts.map(Sketches.ddSketch(_, "v")))
+    val direct = Sketches.ddSketch(all, "v")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("DD: quantile estimates carry the 1/(2s) relative-error guarantee") {
+    val vs = (1L to 5000L).map(i => ((i * 48271L) % 99991L) + 1L)
+    val sketch = Sketches.ddSketch(vals(vs), "v")
+    val qs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val got = Sketches.ddQuantiles(sketch, qs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    val sorted = vs.sorted
+    assert(got.length === qs.length)
+    got.foreach { case (q, rank, est) =>
+      assert(rank === math.floor(q * (vs.length - 1)).toLong + 1)
+      val truth = sorted(rank.toInt - 1).toDouble
+      assert(math.abs(est / truth - 1.0) <= 1.0 / 64,
+        s"q=$q est=$est true=$truth")
+    }
+  }
+
+  test("DD: zero and negative quantiles resolve through the mirrored store") {
+    val vs = Seq.fill(10)(-8L) ++ Seq.fill(10)(0L) ++ Seq.fill(10)(9L)
+    val sketch = Sketches.ddSketch(vals(vs), "v")
+    val got = Sketches.ddQuantiles(sketch, Seq(0.0, 0.5, 1.0)).collect()
+      .map(r => (r.getDouble(0), r.getDouble(3))).toMap
+    // exact: -8 and 9 are bucket midpoints' SIGNS and magnitudes within
+    // 1/(2s); the median of the 30 values is 0 exactly
+    assert(got(0.5) === 0.0)
+    assert(math.abs(got(0.0) / -8.0 - 1.0) <= 1.0 / 64)
+    assert(math.abs(got(1.0) / 9.0 - 1.0) <= 1.0 / 64)
+  }
 }

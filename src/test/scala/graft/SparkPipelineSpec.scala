@@ -254,6 +254,13 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cmsDirect = graft.ops.Sketches.cmsSketch(corpus, "term")
     assert(hll.except(hllDirect).isEmpty && hllDirect.except(hll).isEmpty)
     assert(cms.except(cmsDirect).isEmpty && cmsDirect.except(cms).isEmpty)
+    // the DD doc-length leg rides the same append/merge contract
+    val dd = graft.ops.Sketches.readDdStore(spark, sketchDir)
+    val ddDirect = graft.ops.Sketches.ddSketch(
+      TranscriptTable.read(spark, table).select(
+        size(expr("filter(split(lower(text), '\\\\W+'), x -> x != '')"))
+          .cast("long").as("dl")), "dl")
+    assert(dd.except(ddDirect).isEmpty && ddDirect.except(dd).isEmpty)
     Seq(table, sigDir, sketchDir).foreach(rmrf)
   }
 
