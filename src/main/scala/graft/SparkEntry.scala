@@ -1267,6 +1267,20 @@ object SparkEntry {
         "x_dd_quantiles: a true rank value fell outside its sketch bucket")
       out
     }),
+    "x_dd_by_source" -> ((s, dir) => {
+      // per-source length quantiles (median + p90 of the token count) from
+      // per-key sketches — the mixing/packing planner's view. The sketch
+      // frame is O(#sources × buckets), the cumulative window partitions
+      // by source over that bounded frame, and DuckDB replays the whole
+      // per-key chain.
+      val docs = t(s, dir, "documents")
+      val v = docs.select(col("source"),
+        size(expr("filter(split(lower(text), '\\\\W+'), x -> x != '')"))
+          .cast("long").as("dl"))
+      val sk = graft.ops.Sketches.ddSketchByKey(v, Seq("source"), "dl")
+      graft.ops.Sketches.ddQuantilesByKey(sk, Seq("source"), Seq(0.5, 0.9))
+        .orderBy("source", "q")
+    }),
     "x_token_budget" -> ((s, dir) =>
       // pretraining-mix selection: per-language token budgets filled by a
       // deterministic hash-ordered prefix; DuckDB recomputes the exact
@@ -3114,6 +3128,45 @@ object SparkEntry {
         |      + (2 * ((-2 - bkt) % 32) + 1)
         |        * power(2.0::DOUBLE, (-2 - bkt) // 32 - 6)) END AS est
         |FROM chosen ORDER BY q""".stripMargin,
+    "x_dd_by_source" ->
+      // the per-key chain replayed: per-source sketch, per-source
+      // cumulative counts, nearest-rank, exact-binary midpoints
+      """WITH v AS (
+        |  SELECT source,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> x <> ''))::BIGINT AS v
+        |  FROM documents),
+        |a AS (SELECT source, v, abs(v) AS av FROM v),
+        |b AS (SELECT source,
+        |  CASE WHEN v = 0 THEN -1
+        |    WHEN v > 0 THEN (length(printf('%b', av)) - 1)::BIGINT * 32
+        |      + ((av - (1::BIGINT << (length(printf('%b', av)) - 1))) * 32)
+        |        // (1::BIGINT << (length(printf('%b', av)) - 1))
+        |    ELSE -2 - ((length(printf('%b', av)) - 1)::BIGINT * 32
+        |      + ((av - (1::BIGINT << (length(printf('%b', av)) - 1))) * 32)
+        |        // (1::BIGINT << (length(printf('%b', av)) - 1))) END AS bkt
+        |  FROM a),
+        |sk AS (SELECT source, bkt, count(*)::BIGINT AS cnt FROM b
+        |       GROUP BY source, bkt),
+        |cum AS (SELECT source, bkt, cnt,
+        |          sum(cnt) OVER (PARTITION BY source ORDER BY bkt)::BIGINT
+        |            AS cum FROM sk),
+        |tot AS (SELECT source, sum(cnt)::BIGINT AS n FROM sk GROUP BY source),
+        |qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE)),
+        |ranks AS (SELECT source, q, (floor(q * (n - 1)) + 1)::BIGINT AS rank
+        |          FROM tot CROSS JOIN qs),
+        |chosen AS (SELECT r.source, r.q, r.rank, min(c.bkt) AS bkt
+        |           FROM ranks r JOIN cum c
+        |             ON c.source = r.source AND c.cum >= r.rank
+        |           GROUP BY r.source, r.q, r.rank)
+        |SELECT source, q, rank, bkt,
+        |  CASE WHEN bkt = -1 THEN 0.0::DOUBLE
+        |    WHEN bkt >= 0 THEN power(2.0::DOUBLE, bkt // 32)
+        |      + (2 * (bkt % 32) + 1) * power(2.0::DOUBLE, bkt // 32 - 6)
+        |    ELSE -(power(2.0::DOUBLE, (-2 - bkt) // 32)
+        |      + (2 * ((-2 - bkt) % 32) + 1)
+        |        * power(2.0::DOUBLE, (-2 - bkt) // 32 - 6)) END AS est
+        |FROM chosen ORDER BY source, q""".stripMargin,
     "x_token_budget" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -268,6 +268,49 @@ object Sketches {
       .select("q", "rank", "bkt", "est")
   }
 
+  /** Per-key sketch rows `(keys…, bkt, cnt)` — bounded per key, so the
+    * whole frame is O(#keys × buckets): per-source / per-language length
+    * distributions for the mixing and packing planners. */
+  def ddSketchByKey(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      s: Int = 32): DataFrame = {
+    require(s > 0 && (s & (s - 1)) == 0, s"s must be a power of two: $s")
+    val keys = keyCols.map(col)
+    df.select(keys :+ col(valueCol).cast("long").as("_ddv"): _*)
+      .where(col("_ddv").isNotNull)
+      .withColumn("_ddv_abs", abs(col("_ddv")))
+      .withColumn("bkt", ddBucketExpr(s))
+      .groupBy(keyCols.head, keyCols.tail :+ "bkt": _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-key quantiles `(keys…, q, rank, bkt, est)`. The cumulative
+    * window partitions BY KEY over the per-key-bounded sketch — a hot key
+    * owns at most `buckets` rows, never its data — and the rank join is
+    * keys-equal + cum ≥ rank over the same bounded frame. */
+  def ddQuantilesByKey(sketch: DataFrame, keyCols: Seq[String],
+      qs: Seq[Double], s: Int = 32): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs: $qs")
+    import org.apache.spark.sql.expressions.Window
+    val spark = sketch.sparkSession
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch.withColumn("cum", sum("cnt").over(w))
+    val qdf = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    val ranks = sketch.groupBy(keys: _*).agg(sum("cnt").as("n"))
+      .crossJoin(broadcast(qdf))
+      .withColumn("rank", floor(col("q") * (col("n") - 1)) + 1)
+      .select(keyCols.map(k => col(k).as(s"_rk_$k")) ++
+        Seq(col("q"), col("rank")): _*)
+    val joinCond = keyCols.map(k => col(s"_rk_$k") === col(k))
+      .reduce(_ && _) && col("cum") >= col("rank")
+    ranks.join(cum, joinCond)
+      .groupBy(keyCols.map(k => col(s"_rk_$k").as(k)) :+ col("q"): _*)
+      .agg(max("rank").as("rank"), min("bkt").as("bkt"))
+      .withColumn("est", ddMid(col("bkt"), s))
+      .select(keys ++ Seq(col("q"), col("rank"), col("bkt"), col("est")): _*)
+  }
+
   // ------------------------------------------------- persisted store
 
   /** Persisted corpus-stat sketches for the ongoing pipeline: HLL over the

@@ -172,6 +172,22 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DD: per-key quantiles == single-key extraction of the filtered sketch") {
+    val sp = spark; import sp.implicits._
+    val rows = (1L to 500L).map(v => ("a", v)) ++
+      (1L to 200L).map(v => ("b", v * 7 - 400)) // negatives ride key b
+    val df = rows.toDF("k", "v").repartition(4)
+    val sk = Sketches.ddSketchByKey(df, Seq("k"), "v")
+    val got = Sketches.ddQuantilesByKey(sk, Seq("k"), Seq(0.25, 0.5, 0.9))
+    for (k <- Seq("a", "b")) {
+      val single = Sketches.ddQuantiles(
+        sk.filter(col("k") === k).select("bkt", "cnt"), Seq(0.25, 0.5, 0.9))
+      val gk = got.filter(col("k") === k).select("q", "rank", "bkt", "est")
+      assert(gk.exceptAll(single).isEmpty && single.exceptAll(gk).isEmpty,
+        s"per-key extraction diverged for key $k")
+    }
+  }
+
   test("DD: zero and negative quantiles resolve through the mirrored store") {
     val vs = Seq.fill(10)(-8L) ++ Seq.fill(10)(0L) ++ Seq.fill(10)(9L)
     val sketch = Sketches.ddSketch(vals(vs), "v")
