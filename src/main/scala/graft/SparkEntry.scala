@@ -986,6 +986,29 @@ object SparkEntry {
         .orderBy("doc_id")),
     "x_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"))),
+    "x_pr_curve" -> ((s, dir) => {
+      // classifier calibration: precision/recall/F1 sweep of "stopword
+      // ratio predicts English" over 128 exact-binary bins. The oracle
+      // replays the x_quality_counts counters, the binning, the top-down
+      // cumulative counts, and every guarded ratio.
+      val scored = t(s, dir, "documents")
+        .withColumn("qc", TextAnalysis.qualityCountsUdf(col("text")))
+        .filter(col("qc._1") > 0)
+        .select((col("qc._2").cast("double") / col("qc._1")).as("score"),
+          (col("lang") === "en").cast("long").as("y"))
+      graft.ops.ThresholdSweep.prCurve(scored, "score", "y").orderBy("bin")
+    }),
+    "x_roc_auc" -> ((s, dir) => {
+      // the one-number summary of the same sweep: ROC-AUC by trapezoid in
+      // fixed fold order, recomputed end-to-end in DuckDB (binning,
+      // cumulative counts, the (0,0)-seeded struct fold)
+      val scored = t(s, dir, "documents")
+        .withColumn("qc", TextAnalysis.qualityCountsUdf(col("text")))
+        .filter(col("qc._1") > 0)
+        .select((col("qc._2").cast("double") / col("qc._1")).as("score"),
+          (col("lang") === "en").cast("long").as("y"))
+      graft.ops.ThresholdSweep.rocAuc(scored, "score", "y")
+    }),
     "x_fingerprint" -> ((s, dir) =>
       // the native Fingerprint64 codegen expression under a full DuckDB
       // recomputation (r6): per-token FNV-1a, then the order-sensitive
@@ -2377,6 +2400,82 @@ object SparkEntry {
         |  cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) as int) AS n_digit,
         |  cast(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) as int) AS n_upper
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_pr_curve" ->
+      // the binned sweep replayed: the x_quality_counts counters, the
+      // float bin (the same IEEE divide-then-scale both engines), zero-
+      // filled bins, cumulative counts ordered bin DESC, guarded ratios
+      """WITH c AS (
+        |  SELECT
+        |    len(list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'),
+        |      x -> x <> ''))::BIGINT AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> list_contains(['the','and','of','to','in','is','that',
+        |        'for','with','was','are','this'], x)))::BIGINT AS n_stopwords,
+        |    (lang = 'en')::BIGINT AS y
+        |  FROM documents),
+        |s AS (SELECT greatest(least(
+        |        floor((n_stopwords::DOUBLE / n_tokens) * 128), 127), 0)::BIGINT
+        |        AS bin, y
+        |      FROM c WHERE n_tokens > 0),
+        |g AS (SELECT bin, sum(y)::BIGINT AS pos,
+        |        (count(*) - sum(y))::BIGINT AS neg FROM s GROUP BY bin),
+        |bins AS (SELECT unnest(generate_series(0, 127))::BIGINT AS bin),
+        |f AS (SELECT b.bin, coalesce(g.pos, 0)::BIGINT AS pos,
+        |        coalesce(g.neg, 0)::BIGINT AS neg
+        |      FROM bins b LEFT JOIN g USING (bin)),
+        |cum AS (SELECT bin, sum(pos) OVER (ORDER BY bin DESC)::BIGINT AS tp,
+        |          sum(neg) OVER (ORDER BY bin DESC)::BIGINT AS fp FROM f),
+        |tot AS (SELECT sum(pos)::BIGINT AS p, sum(neg)::BIGINT AS n FROM f)
+        |SELECT bin, bin::DOUBLE / 128 AS thr, tp, fp,
+        |  (p - tp)::BIGINT AS fn, (n - fp)::BIGINT AS tn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |       ELSE round(tp / (tp + fp), 6) END AS precision_r6,
+        |  CASE WHEN p = 0 THEN NULL ELSE round(tp / p, 6) END AS recall_r6,
+        |  CASE WHEN n = 0 THEN NULL ELSE round(fp / n, 6) END AS fpr_r6,
+        |  CASE WHEN tp * 2 + fp + (p - tp) = 0 THEN NULL
+        |       ELSE round(tp * 2 / (tp * 2 + fp + (p - tp)), 6) END AS f1_r6
+        |FROM cum CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "x_roc_auc" ->
+      // same chain, then the trapezoid fold in fixed order (threshold
+      // descending = fpr ascending) from the (0,0) seed — list_transform
+      // lifts each point into the accumulator struct shape first
+      """WITH c AS (
+        |  SELECT
+        |    len(list_filter(string_split_regex(text, '[ \t\n\r\x0B\f]+'),
+        |      x -> x <> ''))::BIGINT AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> list_contains(['the','and','of','to','in','is','that',
+        |        'for','with','was','are','this'], x)))::BIGINT AS n_stopwords,
+        |    (lang = 'en')::BIGINT AS y
+        |  FROM documents),
+        |s AS (SELECT greatest(least(
+        |        floor((n_stopwords::DOUBLE / n_tokens) * 128), 127), 0)::BIGINT
+        |        AS bin, y
+        |      FROM c WHERE n_tokens > 0),
+        |g AS (SELECT bin, sum(y)::BIGINT AS pos,
+        |        (count(*) - sum(y))::BIGINT AS neg FROM s GROUP BY bin),
+        |bins AS (SELECT unnest(generate_series(0, 127))::BIGINT AS bin),
+        |f AS (SELECT b.bin, coalesce(g.pos, 0)::BIGINT AS pos,
+        |        coalesce(g.neg, 0)::BIGINT AS neg
+        |      FROM bins b LEFT JOIN g USING (bin)),
+        |cum AS (SELECT bin, sum(pos) OVER (ORDER BY bin DESC)::BIGINT AS tp,
+        |          sum(neg) OVER (ORDER BY bin DESC)::BIGINT AS fp FROM f),
+        |tot AS (SELECT sum(pos)::BIGINT AS p, sum(neg)::BIGINT AS n FROM f),
+        |pts AS (SELECT (127 - bin)::BIGINT AS o,
+        |          fp / n AS x, tp / p AS y FROM cum CROSS JOIN tot),
+        |agg AS (SELECT list(struct_pack(o := o, x := x, y := y) ORDER BY o)
+        |          AS pts FROM pts)
+        |SELECT p, n,
+        |  round(list_reduce(
+        |    list_prepend(
+        |      struct_pack(px := 0.0::DOUBLE, py := 0.0::DOUBLE,
+        |        acc := 0.0::DOUBLE),
+        |      list_transform(pts, t -> struct_pack(px := t.x, py := t.y,
+        |        acc := 0.0::DOUBLE))),
+        |    (a, t) -> struct_pack(px := t.px, py := t.py,
+        |      acc := a.acc + (t.px - a.px) * (t.py + a.py) / 2.0)).acc, 6)
+        |    AS auc_r6
+        |FROM agg CROSS JOIN tot""".stripMargin,
     "x_jaccard_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
