@@ -1183,6 +1183,22 @@ object SparkEntry {
           k = 10, depth = 10, k1 = 1.5, b = 0.75)
         .orderBy("query_id", "rank")
     }),
+    "x_bitext_margin" -> ((s, dir) => {
+      // margin-based bitext mining (the LASER/CCMatrix recipe): src = the
+      // first 100 vectors, tgt = 50 PLANTED twins (ids +1000, the
+      // planted-dup union technique — mutual best at cos 1.0 by
+      // construction) plus the natural 250..499 tail. The oracle
+      // recomputes both k-NN directions, the rank-ordered normalizer
+      // folds over round-6 cosines, mutuality, and the margin itself.
+      val emb = t(s, dir, "embeddings")
+      val src = emb.filter(col("vec_id") < 100).select("vec_id", "embedding")
+      val tgt = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+        .unionByName(
+          emb.filter(col("vec_id") >= 250).select("vec_id", "embedding"))
+      graft.ops.BitextMining.mine(src, tgt, k = 4, minMargin = 1.05)
+        .orderBy("src_id")
+    }),
     "x_chunk_windows" -> ((s, dir) =>
       // RAG-style token chunking (size 40, overlap 10, right-aligned last
       // window): every placement — chunk count, starts, lengths, and the
@@ -3049,6 +3065,54 @@ object SparkEntry {
         |  FROM fused)
         |SELECT query_id, rank, doc_id, rrf_r6, sparse_rank, dense_rank
         |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x_bitext_margin" ->
+      // both k-NN directions recomputed (round-6 cosine, doc_id ties),
+      // normalizers as rank-ordered left folds over the ROUNDED cosines
+      // (exact sums), mutual-best join, margin as one fixed expression,
+      // filtered on the rounded margin exactly like the engine
+      """WITH src AS (SELECT vec_id, embedding FROM embeddings
+        |             WHERE vec_id < 100),
+        |tgt AS (SELECT vec_id + 1000 AS vec_id, embedding FROM embeddings
+        |        WHERE vec_id < 50
+        |        UNION ALL
+        |        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250),
+        |fnn0 AS (SELECT s.vec_id AS query_id, t.vec_id AS doc_id,
+        |    round(list_cosine_similarity(cast(t.embedding AS DOUBLE[]),
+        |      cast(s.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM src s CROSS JOIN tgt t),
+        |fnn AS (SELECT query_id, doc_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, doc_id)::BIGINT AS rank FROM fnn0),
+        |f4 AS (SELECT * FROM fnn WHERE rank <= 4),
+        |bnn0 AS (SELECT t.vec_id AS query_id, s.vec_id AS doc_id,
+        |    round(list_cosine_similarity(cast(s.embedding AS DOUBLE[]),
+        |      cast(t.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM tgt t CROSS JOIN src s),
+        |bnn AS (SELECT query_id, doc_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, doc_id)::BIGINT AS rank FROM bnn0),
+        |b4 AS (SELECT * FROM bnn WHERE rank <= 4),
+        |favg AS (SELECT query_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(cos ORDER BY rank)),
+        |      (a, x) -> a + x) / 4 AS avg_src
+        |  FROM f4 GROUP BY query_id),
+        |bavg AS (SELECT query_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(cos ORDER BY rank)),
+        |      (a, x) -> a + x) / 4 AS avg_tgt
+        |  FROM b4 GROUP BY query_id),
+        |fwd AS (SELECT query_id AS src_id, doc_id AS tgt_id, cos AS cos_r6
+        |        FROM f4 WHERE rank = 1),
+        |bwd AS (SELECT query_id AS tgt_id, doc_id AS bwd_src
+        |        FROM b4 WHERE rank = 1),
+        |m AS (SELECT f.src_id, f.tgt_id, f.cos_r6,
+        |    round(f.cos_r6 / ((fa.avg_src + ba.avg_tgt) / 2.0), 6)
+        |      AS margin_r6
+        |  FROM fwd f
+        |  JOIN bwd b ON b.tgt_id = f.tgt_id AND b.bwd_src = f.src_id
+        |  JOIN favg fa ON fa.query_id = f.src_id
+        |  JOIN bavg ba ON ba.query_id = f.tgt_id)
+        |SELECT src_id, tgt_id, cos_r6, margin_r6 FROM m
+        |WHERE margin_r6 >= 1.05 ORDER BY src_id""".stripMargin,
     "x_chunk_windows" ->
       // same placement arithmetic: nchunks via exact integer ceil, stride
       // 30, right-aligned last window, 1-based inclusive list slicing
