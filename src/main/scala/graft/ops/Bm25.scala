@@ -130,9 +130,15 @@ object Bm25 {
       .select("query_id", "rank", "doc_id", "score_r6")
   }
 
-  /** Convenience: index + retrieve in one call. */
+  /** Convenience: index + retrieve in one call. The postings frame is
+    * barriered — corpusStats, docFreq, and the scoring join are three
+    * consumers, and without the checkpoint each one re-tokenizes and
+    * re-aggregates the corpus (the r3 multi-consumer lesson). The scale
+    * path stays [[topKIndexed]] over a PERSISTED term-bucketed postings
+    * table with stats from index metadata. */
   def topK(docs: DataFrame, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    topKIndexed(index(docs, idCol, textCol), queries, k, k1, b)
+    topKIndexed(index(docs, idCol, textCol).localCheckpoint(), queries,
+      k, k1, b)
 }
