@@ -2482,7 +2482,8 @@ object SparkEntry {
         |agg AS (SELECT list(struct_pack(o := o, x := x, y := y) ORDER BY o)
         |          AS pts FROM pts)
         |SELECT p, n,
-        |  round(list_reduce(
+        |  CASE WHEN p = 0 OR n = 0 THEN NULL
+        |  ELSE round(list_reduce(
         |    list_prepend(
         |      struct_pack(px := 0.0::DOUBLE, py := 0.0::DOUBLE,
         |        acc := 0.0::DOUBLE),
@@ -2490,7 +2491,7 @@ object SparkEntry {
         |        acc := 0.0::DOUBLE))),
         |    (a, t) -> struct_pack(px := t.px, py := t.py,
         |      acc := a.acc + (t.px - a.px) * (t.py + a.py) / 2.0)).acc, 6)
-        |    AS auc_r6
+        |  END AS auc_r6
         |FROM agg CROSS JOIN tot""".stripMargin,
     "x_jaccard_pairs" ->
       """WITH toks AS (
@@ -3093,13 +3094,15 @@ object SparkEntry {
         |      ORDER BY cos DESC, doc_id)::BIGINT AS rank FROM bnn0),
         |b4 AS (SELECT * FROM bnn WHERE rank <= 4),
         |favg AS (SELECT query_id,
-        |    list_reduce(list_prepend(0.0::DOUBLE, list(cos ORDER BY rank)),
-        |      (a, x) -> a + x) / 4 AS avg_src
-        |  FROM f4 GROUP BY query_id),
+        |    list_reduce(list_prepend(0.0::DOUBLE, cs), (a, x) -> a + x)
+        |      / len(cs) AS avg_src
+        |  FROM (SELECT query_id, list(cos ORDER BY rank) AS cs
+        |        FROM f4 GROUP BY query_id)),
         |bavg AS (SELECT query_id,
-        |    list_reduce(list_prepend(0.0::DOUBLE, list(cos ORDER BY rank)),
-        |      (a, x) -> a + x) / 4 AS avg_tgt
-        |  FROM b4 GROUP BY query_id),
+        |    list_reduce(list_prepend(0.0::DOUBLE, cs), (a, x) -> a + x)
+        |      / len(cs) AS avg_tgt
+        |  FROM (SELECT query_id, list(cos ORDER BY rank) AS cs
+        |        FROM b4 GROUP BY query_id)),
         |fwd AS (SELECT query_id AS src_id, doc_id AS tgt_id, cos AS cos_r6
         |        FROM f4 WHERE rank = 1),
         |bwd AS (SELECT query_id AS tgt_id, doc_id AS bwd_src

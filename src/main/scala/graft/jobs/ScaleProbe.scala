@@ -1053,11 +1053,12 @@ object ScaleProbe {
     // Per-key top-k under a 95%-hot key: does the plain
     // window+rank-filter form funnel the hot key through one task, or does
     // Spark's InferWindowGroupLimit already cut the exchange to <= k rows
-    // per (key, map partition)?  Verdict (pinned in WindowTopKSpec): the
+    // per (key, map partition)?  Verdict (pinned in TopKSpec): the
     // built-in partial WindowGroupLimit below the exchange IS the
     // two-stage escape — a hand-rolled (key, partition-id) pre-rank adds a
     // second exchange for nothing.  Both arms measured here to keep the
-    // decision honest across Spark upgrades; rows require-pinned equal.
+    // decision honest across Spark upgrades; the emitted ROWS (not just
+    // counts) are require-pinned equal via exceptAll both ways.
     // NOTE the key must be non-foldable — a literal key degenerates the
     // window arm to TakeOrderedAndProject and measures nothing.
     if (sections("topk")) {
@@ -1085,6 +1086,12 @@ object ScaleProbe {
       val (c2, t2a) = time(twoDf.count()); val (_, t2b) = time(twoDf.count())
       val t1 = t1a min t1b; val t2 = t2a min t2b
       require(c1 == nKeys * k && c2 == c1, s"arms disagree: $c1 vs $c2")
+      // untimed: same COUNT is not same ROWS — a tie-ordering regression
+      // in either arm would slip a count check, so pin set equality
+      require(winDf.exceptAll(twoDf.select(winDf.columns.map(col): _*))
+          .isEmpty &&
+        twoDf.select(winDf.columns.map(col): _*).exceptAll(winDf).isEmpty,
+        "topk arms emitted different rows at equal counts")
       val plan = winDf.queryExecution.executedPlan.toString
       require(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
         "InferWindowGroupLimit stopped firing — revisit hot-key top-k")

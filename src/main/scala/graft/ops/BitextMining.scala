@@ -30,32 +30,39 @@ import org.apache.spark.sql.functions._
   * from the arms' round-6 + id tie ordering. */
 object BitextMining {
 
-  /** Per-query normalizer: the rank-ordered mean of the k cosines,
-    * returned as `(query_id, avg_nn)`. */
-  private def avgNN(nn: DataFrame, k: Int): DataFrame =
+  /** Per-query normalizer: the rank-ordered mean of the query's neighbor
+    * cosines, returned as `(query_id, avg_nn)`. Divides by the ACTUAL
+    * neighbor count, not the requested depth — a query with fewer than k
+    * neighbors (tiny corpus side) must not get its normalizer understated
+    * and its margins inflated. */
+  private def avgNN(nn: DataFrame): DataFrame =
     nn.groupBy("query_id")
       .agg(sort_array(collect_list(struct(col("rank"), col("cosine_r6"))))
         .as("cs"))
       .select(col("query_id"),
-        (expr("aggregate(cs, 0.0d, (a, x) -> a + x.cosine_r6)") / k)
-          .as("avg_nn"))
+        (expr("aggregate(cs, 0.0d, (a, x) -> a + x.cosine_r6)")
+          / size(col("cs"))).as("avg_nn"))
 
   /** Mine mutual-best pairs from precomputed k-NN frames.
     * `srcNN` = src queries against the tgt corpus, `tgtNN` = tgt queries
     * against the src corpus, both `(query_id, rank, doc_id, cosine_r6)`
-    * with ranks 1..k. Returns `(src_id, tgt_id, cos_r6, margin_r6)` for
+    * with ranks from 1. Returns `(src_id, tgt_id, cos_r6, margin_r6)` for
     * mutual pairs with margin ≥ minMargin. */
-  def mineFromNN(srcNN: DataFrame, tgtNN: DataFrame, k: Int,
+  def mineFromNN(srcNNIn: DataFrame, tgtNNIn: DataFrame,
       minMargin: Double = 1.05): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
+    // each NN frame has two consumers (best-match filter + normalizer
+    // fold); the barrier keeps the arms' corpus-sized work single-run
+    // (the multi-consumer rule). Both frames are #queries × k bounded.
+    val srcNN = srcNNIn.localCheckpoint()
+    val tgtNN = tgtNNIn.localCheckpoint()
     val fwd = srcNN.filter(col("rank") === 1L)
       .select(col("query_id").as("src_id"), col("doc_id").as("tgt_id"),
         col("cosine_r6").as("cos_r6"))
     val bwd = tgtNN.filter(col("rank") === 1L)
       .select(col("query_id").as("tgt_id"), col("doc_id").as("bwd_src_id"))
-    val srcAvg = avgNN(srcNN, k)
+    val srcAvg = avgNN(srcNN)
       .select(col("query_id").as("src_id"), col("avg_nn").as("avg_src"))
-    val tgtAvg = avgNN(tgtNN, k)
+    val tgtAvg = avgNN(tgtNN)
       .select(col("query_id").as("tgt_id"), col("avg_nn").as("avg_tgt"))
     fwd
       .join(bwd, Seq("tgt_id"))
@@ -76,8 +83,9 @@ object BitextMining {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val srcQ = src.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val tgtQ = tgt.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    require(k > 0, s"k must be positive: $k")
     val srcNN = HybridRetrieval.denseBruteTopK(tgt, srcQ, k, idCol, vecCol)
     val tgtNN = HybridRetrieval.denseBruteTopK(src, tgtQ, k, idCol, vecCol)
-    mineFromNN(srcNN, tgtNN, k, minMargin)
+    mineFromNN(srcNN, tgtNN, minMargin)
   }
 }

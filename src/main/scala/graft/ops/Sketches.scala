@@ -185,15 +185,22 @@ object Sketches {
     * double — estimates are bit-identical across engines. */
   /** The exact-integer bucket of the staged `_ddv`/`_ddv_abs` columns:
     * e = bit length − 1 (bin() string length — never a float log),
-    * j = ((|v| − 2^e) · s) div 2^e, encoded monotone per the scaladoc
-    * above. |v| = Long.MinValue is the one unrepresentable abs —
-    * documented out (counts and lengths never reach 2^63). */
+    * j = (|v| − 2^e) div 2^(e−log2 s), encoded monotone per the scaladoc
+    * above. The sub-bucket divides by the bucket width instead of
+    * multiplying by s first — ((|v|−2^e)·s) would overflow long above
+    * |v| ≈ 2^59; this form is overflow-free for every long except
+    * |Long.MinValue| (abs unrepresentable — documented out). For the
+    * low octaves (e < log2 s, width < 1) the width-divide degenerates,
+    * so the multiply form runs there — its operands are tiny. */
   private def ddBucketExpr(s: Int): org.apache.spark.sql.Column = {
+    val log2s = java.lang.Integer.numberOfTrailingZeros(s)
+    val e = "cast(length(bin(_ddv_abs)) - 1 as int)"
+    val base = s"shiftleft(1L, $e)"
     val posBkt = // bucket of _ddv_abs >= 1, exact integer arithmetic
-      s"""cast(length(bin(_ddv_abs)) - 1 as bigint) * $s +
-         |((_ddv_abs - shiftleft(1L, cast(length(bin(_ddv_abs)) - 1 as int)))
-         |  * $s) div shiftleft(1L, cast(length(bin(_ddv_abs)) - 1 as int))"""
-        .stripMargin
+      s"""cast($e as bigint) * $s +
+         |(case when $e >= $log2s
+         |  then (_ddv_abs - $base) div shiftleft(1L, $e - $log2s)
+         |  else ((_ddv_abs - $base) * $s) div $base end)""".stripMargin
     expr(
       s"""case when _ddv = 0 then -1L
          |     when _ddv > 0 then $posBkt
@@ -249,8 +256,12 @@ object Sketches {
     * bounded sketch, never the data (the hllEstimate shape); the rank-r
     * value provably lies in the chosen bucket, so |est/true − 1| ≤ 1/(2s)
     * for nonzero values. */
-  def ddQuantiles(sketch: DataFrame, qs: Seq[Double], s: Int = 32): DataFrame = {
+  def ddQuantiles(sketchIn: DataFrame, qs: Seq[Double], s: Int = 32): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs: $qs")
+    // the sketch feeds both the cumulative window and the totals frame —
+    // barrier the (register-bounded) input so a lazily-passed ddSketch
+    // doesn't scan its corpus twice (the multi-consumer rule)
+    val sketch = sketchIn.localCheckpoint()
     val spark = sketch.sparkSession
     import org.apache.spark.sql.expressions.Window
     // pmod keeps WindowExec from warning about a global window — the input
@@ -287,9 +298,10 @@ object Sketches {
     * window partitions BY KEY over the per-key-bounded sketch — a hot key
     * owns at most `buckets` rows, never its data — and the rank join is
     * keys-equal + cum ≥ rank over the same bounded frame. */
-  def ddQuantilesByKey(sketch: DataFrame, keyCols: Seq[String],
+  def ddQuantilesByKey(sketchIn: DataFrame, keyCols: Seq[String],
       qs: Seq[Double], s: Int = 32): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs: $qs")
+    val sketch = sketchIn.localCheckpoint() // two consumers, O(#keys × buckets)
     import org.apache.spark.sql.expressions.Window
     val spark = sketch.sparkSession
     val keys = keyCols.map(col)
@@ -352,7 +364,18 @@ object Sketches {
       textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     val token = AnnIndex.inputToken(docs)
-    if (sketchStoreFresh(spark, dir, token)) return
+    if (sketchStoreFresh(spark, dir, token)) {
+      // upgrade path: a store built before the dd leg existed is token-
+      // fresh but has no dd/ — backfill it from the same corpus instead of
+      // leaving readDdStore to throw (appends deliberately skip a missing
+      // dd/ so a partial, base-less sketch can never appear)
+      val ddPath = new org.apache.hadoop.fs.Path(s"$dir/dd")
+      val fs = ddPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(ddPath))
+        ddSketch(docLens(docs, textCol), "dl").write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/dd")
+      return
+    }
     val t = terms(docs, textCol).localCheckpoint() // 2 consumers
     hllSketch(t, "term").write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/hll")
@@ -379,8 +402,17 @@ object Sketches {
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/hll")
     cmsSketch(t, "term").write
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/cms")
-    ddSketch(docLens(newDocs, textCol), "dl").write
-      .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/dd")
+    // only append the dd leg to a store that HAS one — appending the new
+    // batch's doc lengths to a pre-dd store would create a base-less
+    // sketch that silently undercounts; leaving dd/ absent keeps
+    // readDdStore loud (path-not-found) until the next cold rebuild (or
+    // the buildSketchStore backfill) creates the full leg
+    val ddPath = new org.apache.hadoop.fs.Path(s"$dir/dd")
+    val fs = ddPath.getFileSystem(
+      newDocs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(ddPath))
+      ddSketch(docLens(newDocs, textCol), "dl").write
+        .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/dd")
     writeMeta(newDocs, dir, corpusToken)
   }
 

@@ -50,7 +50,11 @@ object ThresholdSweep {
       nBins: Int = 128): DataFrame = {
     require(nBins > 0 && (nBins & (nBins - 1)) == 0,
       s"nBins must be a power of two (exact-binary thresholds): $nBins")
-    val cnts = binned(df, scoreCol, labelCol, nBins)
+    // barrier: the bin frame feeds both the cumulative window and the
+    // totals aggregate — without it the data-sized scan+groupBy runs
+    // twice per action (the multi-consumer rule); the checkpoint is
+    // ≤ nBins rows
+    val cnts = binned(df, scoreCol, labelCol, nBins).localCheckpoint()
     // cumulative from the top bin down — nBins-bounded input, single
     // partition is the point (pmod quiets the global-window warning)
     val w = Window.partitionBy(pmod(col("bin"), lit(1)))
@@ -83,12 +87,15 @@ object ThresholdSweep {
 
   /** One row `(p, n, auc_r6)`: ROC-AUC by trapezoid over the binned curve,
     * folded in fixed order (threshold descending, i.e. fpr ascending) from
-    * a (0, 0) seed — a deterministic IEEE sequence both engines replay. */
+    * a (0, 0) seed — a deterministic IEEE sequence both engines replay.
+    * A single-class input (p = 0 or n = 0) has no ROC — auc_r6 is null by
+    * an explicit guard (prCurve's per-ratio convention), never a division
+    * artifact. */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
       nBins: Int = 128): DataFrame = {
     require(nBins > 0 && (nBins & (nBins - 1)) == 0,
       s"nBins must be a power of two (exact-binary thresholds): $nBins")
-    val cnts = binned(df, scoreCol, labelCol, nBins)
+    val cnts = binned(df, scoreCol, labelCol, nBins).localCheckpoint()
     val w = Window.partitionBy(pmod(col("bin"), lit(1)))
       .orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -97,19 +104,26 @@ object ThresholdSweep {
       .withColumn("fp", sum("neg").over(w))
     val tot = cnts.agg(sum("pos").as("_p"), sum("neg").as("_n"))
     cum.crossJoin(broadcast(tot))
+      // the 0.0 placeholders are never emitted — the single-class guard
+      // below nulls the output — but ANSI mode requires the division
+      // itself be conditional
       .select(col("bin"), col("_p"), col("_n"),
-        (col("fp") / col("_n")).as("x"), (col("tp") / col("_p")).as("y"))
+        when(col("_n") === 0L, lit(0.0)).otherwise(col("fp") / col("_n"))
+          .as("x"),
+        when(col("_p") === 0L, lit(0.0)).otherwise(col("tp") / col("_p"))
+          .as("y"))
       // ord ascending == threshold descending == fpr ascending
       .select(struct((lit(nBins - 1) - col("bin")).as("ord"),
         col("x"), col("y")).as("pt"), col("_p"), col("_n"))
       .groupBy("_p", "_n")
       .agg(sort_array(collect_list(col("pt"))).as("pts"))
       .select(col("_p").as("p"), col("_n").as("n"),
-        round(expr(
-          """aggregate(pts,
-            |  named_struct('px', 0.0d, 'py', 0.0d, 'acc', 0.0d),
-            |  (a, t) -> named_struct('px', t.x, 'py', t.y,
-            |    'acc', a.acc + (t.x - a.px) * (t.y + a.py) / 2.0d),
-            |  a -> a.acc)""".stripMargin), 6).as("auc_r6"))
+        when(col("_p") === 0L || col("_n") === 0L, lit(null).cast("double"))
+          .otherwise(round(expr(
+            """aggregate(pts,
+              |  named_struct('px', 0.0d, 'py', 0.0d, 'acc', 0.0d),
+              |  (a, t) -> named_struct('px', t.x, 'py', t.y,
+              |    'acc', a.acc + (t.x - a.px) * (t.y + a.py) / 2.0d),
+              |  a -> a.acc)""".stripMargin), 6)).as("auc_r6"))
   }
 }

@@ -54,6 +54,25 @@ class BitextMiningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === Seq((1L, 10L)))
   }
 
+  test("normalizer divides by the actual neighbor count when corpus < k") {
+    val sp = spark; import sp.implicits._
+    // tgt has only 2 vectors but k=4: avgNN must divide by 2, not 4 —
+    // src1=(1,0) vs tgt {10:(1,0), 12:(-1,0)}: cosines 1.0 and -1.0,
+    // avg_src = 0; bwd t10 -> src1 (avg (1.0 + 0)/2 = .5 over src side
+    // which has 2 vectors = k'... src side has 2 vectors so bwd avg uses
+    // both). margin(1,10) = 1.0 / ((0 + 0.5)/2) = 4.0. A /k=4 bug would
+    // halve both normalizers and double the margin to 8.0.
+    val src = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((10L, Array(1f, 0f)), (12L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = BitextMining.mine(src, tgt, k = 4, minMargin = 1.05)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val pair110 = got.find(p => p._1 == 1L && p._2 == 10L)
+    assert(pair110.exists(_._3 === 4.0), got.toSeq.toString)
+  }
+
   test("planted twins mine at margin >> natural pairs") {
     val sp = spark; import sp.implicits._
     // 8 quasi-orthogonal src vectors; tgt = exact twins of the first 4

@@ -131,6 +131,12 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // disagree at the boundary
     assert(bktOf(1024L) === 320L)
     assert(bktOf(1023L) === 9L * 32 + 31) // last sub-bucket of octave 9
+    // high octaves: the width-divide form is overflow-free where the
+    // naive ((v - 2^e)·s) multiply would wrap past Long.Max (|v| ≳ 2^59)
+    assert(bktOf((1L << 60) + (1L << 59)) === 60L * 32 + 16)
+    assert(bktOf((1L << 60) - 1) === 59L * 32 + 31)
+    assert(bktOf(Long.MaxValue) === 62L * 32 + 31)
+    assert(bktOf(-Long.MaxValue) === -2L - (62L * 32 + 31))
   }
 
   test("DD: encoded bucket is monotone in the value across the real line") {

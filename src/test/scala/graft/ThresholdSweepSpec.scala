@@ -66,6 +66,13 @@ class ThresholdSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head.getDouble(2) === 1.0)
   }
 
+  test("rocAuc: single-class input yields an explicit null, not an artifact") {
+    val sp = spark; import sp.implicits._
+    val allPos = Seq((0.3, 1L), (0.7, 1L)).toDF("score", "y")
+    val r = ThresholdSweep.rocAuc(allPos, "score", "y", nBins = 4).head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L && r.isNullAt(2))
+  }
+
   test("curve row count is nBins regardless of input size") {
     val sp = spark; import sp.implicits._
     val big = spark.range(0, 50000, 1, 8).select(
