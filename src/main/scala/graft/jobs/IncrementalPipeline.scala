@@ -34,7 +34,8 @@ object IncrementalPipeline {
       minQuality: Double = 0.3,
       nearThreshold: Double = 0.8,
       bloomDir: String = null,
-      sketchDir: String = null): Unit = {
+      sketchDir: String = null,
+      postingsDir: String = null): Unit = {
     if (TranscriptTable.isCommitted(table, batchId)) return // replay no-op
     val hasCorpus = TranscriptTable.committedBatches(table).nonEmpty
     val corpus =
@@ -106,6 +107,20 @@ object IncrementalPipeline {
       else
         graft.ops.Sketches.buildSketchStore(
           committed.select("doc_id", "text"), sketchDir)
+    }
+    // BM25 postings store — the lexical retrieval leg, same ladder: a
+    // token-fresh store takes the O(batch) append (the tick's dedup
+    // stages guarantee the survivors' doc_ids are new, so their postings
+    // are new (term, doc) rows and the meta scalars add); anything else
+    // rebuilds over the committed table. Retrieval never gates curation.
+    if (postingsDir != null) {
+      if (hasCorpus &&
+          graft.ops.Bm25.postingsStoreFresh(spark, postingsDir, corpusToken))
+        graft.ops.Bm25.appendPostingsStore(
+          survivors.select("doc_id", "text"), postingsDir, newToken)
+      else
+        graft.ops.Bm25.buildPostingsStore(
+          committed.select("doc_id", "text"), postingsDir)
     }
   }
 }

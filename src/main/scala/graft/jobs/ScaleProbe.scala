@@ -1050,6 +1050,42 @@ object ScaleProbe {
       }
     }
 
+    // BM25 postings store: O(batch) append vs full rebuild, with the
+    // retrieval-equality require (appended store == rebuilt store on the
+    // same queries — the meta scalars accumulate additively, so a drift
+    // would move scores and fail the exceptAll).
+    if (sections("bm25store")) {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val n = nDocs
+      val dir = s"$tmp/graft_scaleprobe_bm25store"
+      val dir2 = s"$dir-full"
+      rmrf(dir); rmrf(dir2)
+      val base = synthDocs(spark, n, cpus.toInt).localCheckpoint()
+      val batch = synthDocs(spark, math.max(50, n / 10), cpus.toInt)
+        .select((col("doc_id") + 10L * n).as("doc_id"), col("text"))
+        .localCheckpoint()
+      val (_, tBuild) = time(graft.ops.Bm25.buildPostingsStore(base, dir))
+      val (_, tApp) = time(
+        graft.ops.Bm25.appendPostingsStore(batch, dir, Some(7L)))
+      val (_, tFull) = time(
+        graft.ops.Bm25.buildPostingsStore(base.unionByName(batch), dir2))
+      val queries = base.filter(col("doc_id") % math.max(1, n / 8) === 3)
+        .limit(8)
+        .select(col("doc_id").as("query_id"),
+          expr("array_join(slice(split(text, ' '), 1, 5), ' ')")
+            .as("query_text")).localCheckpoint()
+      val fromAppend = graft.ops.Bm25.topKStore(spark, dir, queries, 10)
+      val fromRebuild = graft.ops.Bm25.topKStore(spark, dir2, queries, 10)
+      require(fromAppend.exceptAll(fromRebuild).isEmpty &&
+        fromRebuild.exceptAll(fromAppend).isEmpty,
+        "appended postings store diverged from a rebuild")
+      out("bm25store_docs") = n
+      out("bm25store_build_sec") = tBuild
+      out("bm25store_append10pct_sec") = tApp
+      out("bm25store_rebuild_sec") = tFull
+      mark("bm25store", tBuild + tApp + tFull)
+    }
+
     // Per-key top-k under a 95%-hot key: does the plain
     // window+rank-filter form funnel the hot key through one task, or does
     // Spark's InferWindowGroupLimit already cut the exchange to <= k rows

@@ -130,6 +130,108 @@ object Bm25 {
       .select("query_id", "rank", "doc_id", "score_r6")
   }
 
+  // ------------------------------------------------- persisted store
+
+  /** Persisted postings store for the ongoing pipeline — the lexical
+    * retrieval leg of the incremental tick, on the same token-gated
+    * warm/cold ladder as the signature / Bloom / sketch stores:
+    *  - the postings land term-repartitioned and term-sorted (the layout
+    *    whose row groups the query-term IN-filter prunes — BENCH §7b
+    *    measured warm queries FLAT vs corpus size on it);
+    *  - APPEND is O(batch): a new batch's postings are new (term, doc)
+    *    rows by the disjoint-doc_id contract every store in the tick
+    *    shares, so they simply land as more term-sorted files;
+    *  - the corpus scalars (N, Σdl) accumulate ADDITIVELY in the store
+    *    meta, so the warm query path reads them without any corpus-sized
+    *    scan (`topKStore` runs stats-injected `topKIndexed`). */
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession, dir: String,
+      token: Option[Long], nDocs: Long, sumDl: Long): Unit =
+    graft.util.FsAtomic.overwriteFile(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_meta/meta.properties"),
+      s"kind=bm25\ntoken=${token.getOrElse(0L)}\nn_docs=$nDocs\nsum_dl=$sumDl\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Map[String, String]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_meta/meta.properties")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(txt.linesIterator.filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap)
+    } catch { case _: Exception => None }
+  }
+
+  def postingsStoreFresh(spark: org.apache.spark.sql.SparkSession,
+      dir: String, corpusToken: Option[Long]): Boolean =
+    corpusToken.exists(t =>
+      readMeta(spark, dir).exists(_.get("token").contains(t.toString)))
+
+  /** Exact integer corpus scalars (no double round-trip — the meta
+    * accumulates these additively across appends). */
+  private def rawStats(p: DataFrame): (Long, Long) = {
+    val row = p.agg(countDistinct(col("doc_id")).as("n"),
+      sum(col("tf")).as("sumdl")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  def buildPostingsStore(docs: DataFrame, dir: String, nBuckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val token = AnnIndex.inputToken(docs)
+    if (postingsStoreFresh(spark, dir, token)) return
+    val p = index(docs, idCol, textCol).localCheckpoint() // write + stats
+    val (n, sumDl) = rawStats(p)
+    p.repartition(nBuckets, col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/postings")
+    writeMeta(spark, dir, token, n, sumDl)
+  }
+
+  /** O(batch): the new batch's postings append as more term-sorted files;
+    * corpus scalars accumulate in the meta. `corpusToken` is the
+    * post-commit table token (the appendSignatureStore convention);
+    * doc_ids must be new — the tick's dedup stages guarantee it. */
+  def appendPostingsStore(newDocs: DataFrame, dir: String,
+      corpusToken: Option[Long], nBuckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val old = readMeta(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"appendPostingsStore on an unbuilt store: $dir"))
+    val p = index(newDocs, idCol, textCol).localCheckpoint()
+    val (n, sumDl) = rawStats(p)
+    p.repartition(nBuckets, col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/postings")
+    writeMeta(spark, dir, corpusToken,
+      old("n_docs").toLong + n, old("sum_dl").toLong + sumDl)
+  }
+
+  /** (postings, stats) — the warm query inputs: the postings scan (pruned
+    * by the query-term IN-filter down to matched row groups) plus the
+    * meta-carried corpus scalars. Zero corpus-sized work. */
+  def readPostingsStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, (Long, Double)) = {
+    val meta = readMeta(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no postings store at $dir"))
+    val n = meta("n_docs").toLong
+    (spark.read.parquet(s"$dir/postings"),
+      (n, meta("sum_dl").toLong.toDouble / n))
+  }
+
+  /** Warm store-backed retrieval: stats from meta, I/O = matched lists. */
+  def topKStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val (postings, stats) = readPostingsStore(spark, dir)
+    topKIndexed(postings, queries, k, k1, b, stats = Some(stats))
+  }
+
   /** Convenience: index + retrieve in one call. The postings frame is
     * barriered — corpusStats, docFreq, and the scoring join are three
     * consumers, and without the checkpoint each one re-tokenizes and

@@ -102,6 +102,40 @@ class Bm25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withPd.exceptAll(noPd).isEmpty && noPd.exceptAll(withPd).isEmpty)
   }
 
+  test("postings store: append == rebuild (rows, meta scalars, retrieval)") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25store").toString
+    graft.util.Fs.rmrf(dir)
+    val batch1 = docs
+    val batch2 = Seq((10L, "apple grape grape"), (11L, "cherry cherry fig"))
+      .toDF("doc_id", "text")
+    val all = batch1.unionByName(batch2)
+    Bm25.buildPostingsStore(batch1, dir, nBuckets = 2)
+    Bm25.appendPostingsStore(batch2, dir, corpusToken = Some(42L),
+      nBuckets = 2)
+    val (p, (n, avgdl)) = Bm25.readPostingsStore(spark, dir)
+    val direct = Bm25.index(all)
+    assert(p.exceptAll(direct).isEmpty && direct.exceptAll(p).isEmpty,
+      "appended postings diverge from a full rebuild")
+    val (nD, avgD) = Bm25.corpusStats(direct)
+    assert(n === nD && avgdl === avgD, s"meta scalars drifted: " +
+      s"($n, $avgdl) vs ($nD, $avgD)")
+    // store-backed retrieval == in-memory retrieval over the union
+    val q = queries((1L, "apple cherry"))
+    val fromStore = Bm25.topKStore(spark, dir, q, k = 5)
+    val inMem = Bm25.topK(all, q, k = 5)
+    assert(fromStore.exceptAll(inMem).isEmpty &&
+      inMem.exceptAll(fromStore).isEmpty)
+    // token gate: a fresh store must no-op the rebuild
+    assert(Bm25.postingsStoreFresh(spark, dir, Some(42L)))
+    assert(!Bm25.postingsStoreFresh(spark, dir, Some(43L)))
+    // append on an unbuilt store is loud
+    intercept[IllegalStateException] {
+      Bm25.appendPostingsStore(batch2, s"$dir-nope", Some(1L))
+    }
+    graft.util.Fs.rmrf(dir)
+  }
+
   test("scoring plan broadcasts the query side; postings never re-shuffle") {
     val postings = Bm25.index(docs)
     val plan = Bm25.topKIndexed(postings, queries((1L, "apple banana")), k = 5)

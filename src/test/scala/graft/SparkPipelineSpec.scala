@@ -221,7 +221,8 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val table = "/tmp/graft_inc_pipeline_sk"
     val sigDir = "/tmp/graft_inc_pipeline_sk_sigs"
     val sketchDir = "/tmp/graft_inc_pipeline_sk_sketch"
-    Seq(table, sigDir, sketchDir).foreach(rmrf)
+    val postDir = "/tmp/graft_inc_pipeline_sk_postings"
+    Seq(table, sigDir, sketchDir, postDir).foreach(rmrf)
     val sp = spark
     import sp.implicits._
     def enText(seed: Long): String = (0 until 60).map(i =>
@@ -231,12 +232,14 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     graft.jobs.IncrementalPipeline.runBatch(spark,
       docs((1L, enText(1)), (2L, enText(2))),
-      table, sigDir, "b001", sketchDir = sketchDir)
+      table, sigDir, "b001", sketchDir = sketchDir, postingsDir = postDir)
     val hllFiles1 = new java.io.File(s"$sketchDir/hll")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    val postFiles1 = new java.io.File(s"$postDir/postings")
       .listFiles.count(_.getName.endsWith(".parquet"))
     graft.jobs.IncrementalPipeline.runBatch(spark,
       docs((3L, enText(3)), (4L, enText(4))),
-      table, sigDir, "b002", sketchDir = sketchDir)
+      table, sigDir, "b002", sketchDir = sketchDir, postingsDir = postDir)
     // tick 2 APPENDED (files grew), and the store is pinned to the table
     val hllFiles2 = new java.io.File(s"$sketchDir/hll")
       .listFiles.count(_.getName.endsWith(".parquet"))
@@ -261,7 +264,20 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         size(expr("filter(split(lower(text), '\\\\W+'), x -> x != '')"))
           .cast("long").as("dl")), "dl")
     assert(dd.except(ddDirect).isEmpty && ddDirect.except(dd).isEmpty)
-    Seq(table, sigDir, sketchDir).foreach(rmrf)
+    // the BM25 postings store rode the same ladder: tick 2 APPENDED and
+    // store-backed retrieval equals an in-memory index over the table
+    val postFiles2 = new java.io.File(s"$postDir/postings")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(postFiles2 > postFiles1, "postings tick 2 must append")
+    assert(graft.ops.Bm25.postingsStoreFresh(spark, postDir, tok))
+    val q = Seq((1L, enText(1).split(" ").take(4).mkString(" ")))
+      .toDF("query_id", "query_text")
+    val fromStore = graft.ops.Bm25.topKStore(spark, postDir, q, k = 3)
+    val direct = graft.ops.Bm25.topK(
+      TranscriptTable.read(spark, table).select("doc_id", "text"), q, k = 3)
+    assert(fromStore.exceptAll(direct).isEmpty &&
+      direct.exceptAll(fromStore).isEmpty)
+    Seq(table, sigDir, sketchDir, postDir).foreach(rmrf)
   }
 
   test("schema evolution: added columns resolve from manifests, old rows read null") {
