@@ -103,7 +103,11 @@ object IncrementalPipeline {
       if (hasCorpus &&
           graft.ops.Sketches.sketchStoreFresh(spark, sketchDir, corpusToken))
         graft.ops.Sketches.appendSketchStore(
-          survivors.select("doc_id", "text"), sketchDir, newToken)
+          survivors.select("doc_id", "text"), sketchDir, newToken,
+          // post-commit corpus: lets a pre-dd store gain its dd leg on a
+          // WARM tick (warm operation re-pins the token every tick, so
+          // the cold-rebuild backfill alone would never run)
+          ddBackfill = Some(committed.select("doc_id", "text")))
       else
         graft.ops.Sketches.buildSketchStore(
           committed.select("doc_id", "text"), sketchDir)

@@ -60,14 +60,21 @@ object Bm25 {
   def docFreq(postings: DataFrame): DataFrame =
     postings.groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** Exact integer corpus scalars (N docs, Σdl) — null-safe on an empty
+    * postings frame (an all-duplicate tick appends an EMPTY survivor
+    * batch; sum over zero rows is SQL null). */
+  private def rawStats(p: DataFrame): (Long, Long) = {
+    val row = p.agg(countDistinct(col("doc_id")).as("n"),
+      sum(col("tf")).as("sumdl")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
   /** Corpus scalars (N, avgdl) — one full-postings aggregate. At scale
     * these belong in index-build metadata; `topKIndexed` accepts them
     * precomputed so a warm query path touches only its posting lists. */
   def corpusStats(postings: DataFrame): (Long, Double) = {
-    val row = postings.agg(
-      countDistinct(col("doc_id")).as("n"),
-      sum(col("tf")).as("sumdl")).head()
-    (row.getLong(0), row.getLong(1).toDouble / row.getLong(0))
+    val (n, sumDl) = rawStats(postings)
+    (n, if (n == 0) 0.0 else sumDl.toDouble / n)
   }
 
   /** Query-term IN-lists beyond this stop pruning (a parquet filter that
@@ -166,18 +173,23 @@ object Bm25 {
     } catch { case _: Exception => None }
   }
 
+  /** The kind guard keeps a postingsDir pointed at some OTHER store kind
+    * (whose token may legitimately match — every store in a tick re-pins
+    * to the same post-commit table token) from reading as fresh and then
+    * corrupting that store's meta. */
   def postingsStoreFresh(spark: org.apache.spark.sql.SparkSession,
       dir: String, corpusToken: Option[Long]): Boolean =
     corpusToken.exists(t =>
-      readMeta(spark, dir).exists(_.get("token").contains(t.toString)))
+      readMeta(spark, dir).exists(m =>
+        m.get("kind").contains("bm25") && m.get("token").contains(t.toString)))
 
-  /** Exact integer corpus scalars (no double round-trip — the meta
-    * accumulates these additively across appends). */
-  private def rawStats(p: DataFrame): (Long, Long) = {
-    val row = p.agg(countDistinct(col("doc_id")).as("n"),
-      sum(col("tf")).as("sumdl")).head()
-    (row.getLong(0), row.getLong(1))
-  }
+  /** Postings-frame write fanout: ~2M occurrences per output file, capped
+    * at the caller's bucket count and floored at one — a 2-doc tick batch
+    * lands ONE file instead of 32 near-empty ones (file-count growth per
+    * append is then bounded by batch size, not by a constant 32; footers
+    * stay proportional to data). */
+  private def writeBuckets(sumDl: Long, nBuckets: Int): Int =
+    math.max(1L, math.min(nBuckets.toLong, sumDl / 2000000L + 1L)).toInt
 
   def buildPostingsStore(docs: DataFrame, dir: String, nBuckets: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
@@ -186,7 +198,8 @@ object Bm25 {
     if (postingsStoreFresh(spark, dir, token)) return
     val p = index(docs, idCol, textCol).localCheckpoint() // write + stats
     val (n, sumDl) = rawStats(p)
-    p.repartition(nBuckets, col("term")).sortWithinPartitions("term", "doc_id")
+    p.repartition(writeBuckets(sumDl, nBuckets), col("term"))
+      .sortWithinPartitions("term", "doc_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$dir/postings")
     writeMeta(spark, dir, token, n, sumDl)
@@ -200,14 +213,18 @@ object Bm25 {
       corpusToken: Option[Long], nBuckets: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
-    val old = readMeta(spark, dir).getOrElse(
-      throw new IllegalStateException(
-        s"appendPostingsStore on an unbuilt store: $dir"))
+    val old = readMeta(spark, dir)
+      .filter(_.get("kind").contains("bm25"))
+      .getOrElse(throw new IllegalStateException(
+        s"appendPostingsStore on an unbuilt or non-bm25 store: $dir"))
     val p = index(newDocs, idCol, textCol).localCheckpoint()
     val (n, sumDl) = rawStats(p)
-    p.repartition(nBuckets, col("term")).sortWithinPartitions("term", "doc_id")
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$dir/postings")
+    if (n > 0)
+      p.repartition(writeBuckets(sumDl, nBuckets), col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$dir/postings")
+    // an all-duplicate tick appends nothing but still re-pins the token
     writeMeta(spark, dir, corpusToken,
       old("n_docs").toLong + n, old("sum_dl").toLong + sumDl)
   }
@@ -217,11 +234,13 @@ object Bm25 {
     * meta-carried corpus scalars. Zero corpus-sized work. */
   def readPostingsStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, (Long, Double)) = {
-    val meta = readMeta(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no postings store at $dir"))
+    val meta = readMeta(spark, dir)
+      .filter(_.get("kind").contains("bm25"))
+      .getOrElse(throw new IllegalStateException(
+        s"no bm25 postings store at $dir"))
     val n = meta("n_docs").toLong
     (spark.read.parquet(s"$dir/postings"),
-      (n, meta("sum_dl").toLong.toDouble / n))
+      (n, if (n == 0) 0.0 else meta("sum_dl").toLong.toDouble / n))
   }
 
   /** Warm store-backed retrieval: stats from meta, I/O = matched lists. */

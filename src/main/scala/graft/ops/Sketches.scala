@@ -394,25 +394,35 @@ object Sketches {
         .cast("long").as("dl"))
 
   /** O(batch): append the new batch's sketch rows; `corpusToken` is the
-    * post-commit table token (the appendSignatureStore convention). */
+    * post-commit table token (the appendSignatureStore convention).
+    *
+    * dd-leg upgrade path: a store built before the dd leg existed never
+    * goes stale under warm operation (every append re-pins the token), so
+    * the buildSketchStore backfill alone would be unreachable. When dd/
+    * is missing and the caller supplies `ddBackfill` (the POST-COMMIT
+    * corpus — it already contains this batch), the leg is built whole
+    * from it in one shot; without a backfill corpus the leg is SKIPPED —
+    * appending only the batch would create a base-less sketch that
+    * silently undercounts, and a loud path-not-found from readDdStore
+    * beats a wrong quantile. */
   def appendSketchStore(newDocs: DataFrame, dir: String,
-      corpusToken: Option[Long], textCol: String = "text"): Unit = {
+      corpusToken: Option[Long], textCol: String = "text",
+      ddBackfill: Option[DataFrame] = None): Unit = {
     val t = terms(newDocs, textCol).localCheckpoint()
     hllSketch(t, "term").write
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/hll")
     cmsSketch(t, "term").write
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/cms")
-    // only append the dd leg to a store that HAS one — appending the new
-    // batch's doc lengths to a pre-dd store would create a base-less
-    // sketch that silently undercounts; leaving dd/ absent keeps
-    // readDdStore loud (path-not-found) until the next cold rebuild (or
-    // the buildSketchStore backfill) creates the full leg
     val ddPath = new org.apache.hadoop.fs.Path(s"$dir/dd")
     val fs = ddPath.getFileSystem(
       newDocs.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(ddPath))
       ddSketch(docLens(newDocs, textCol), "dl").write
         .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/dd")
+    else ddBackfill.foreach { corpus =>
+      ddSketch(docLens(corpus, textCol), "dl").write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/dd")
+    }
     writeMeta(newDocs, dir, corpusToken)
   }
 
