@@ -1183,6 +1183,41 @@ object SparkEntry {
           k = 10, depth = 10, k1 = 1.5, b = 0.75)
         .orderBy("query_id", "rank")
     }),
+    "x_retrieval_eval" -> ((s, dir) => {
+      // the eval leg of the retrieval loop: recall@10 + reciprocal rank
+      // of the BM25 run against planted qrels (each query's own doc and
+      // its +13 neighbor). The oracle replays the whole chain — the
+      // x_bm25_topk retrieval AND the per-query metrics.
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 50 === 7)
+        .select(col("doc_id").as("query_id"),
+          expr("array_join(slice(filter(split(lower(text), '\\\\W+'), " +
+            "x -> x != ''), 1, 5), ' ')").as("query_text"))
+      val results = graft.ops.Bm25.topK(docs, queries, k = 10,
+        k1 = 1.5, b = 0.75)
+      val qrels = queries.select(col("query_id"),
+          col("query_id").as("doc_id"))
+        .unionByName(queries.select(col("query_id"),
+          ((col("query_id") + 13) % 500).as("doc_id")))
+      graft.ops.RetrievalEval.perQuery(results, qrels, k = 10)
+        .orderBy("query_id")
+    }),
+    "x_retrieval_summary" -> ((s, dir) => {
+      // the one-row MRR / mean-recall report — per-query rows folded in
+      // query_id order, replayed via list_reduce in DuckDB
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 50 === 7)
+        .select(col("doc_id").as("query_id"),
+          expr("array_join(slice(filter(split(lower(text), '\\\\W+'), " +
+            "x -> x != ''), 1, 5), ' ')").as("query_text"))
+      val results = graft.ops.Bm25.topK(docs, queries, k = 10,
+        k1 = 1.5, b = 0.75)
+      val qrels = queries.select(col("query_id"),
+          col("query_id").as("doc_id"))
+        .unionByName(queries.select(col("query_id"),
+          ((col("query_id") + 13) % 500).as("doc_id")))
+      graft.ops.RetrievalEval.summary(results, qrels, k = 10)
+    }),
     "x_bitext_margin" -> ((s, dir) => {
       // margin-based bitext mining (the LASER/CCMatrix recipe): src = the
       // first 100 vectors, tgt = 50 PLANTED twins (ids +1000, the
@@ -3066,6 +3101,125 @@ object SparkEntry {
         |  FROM fused)
         |SELECT query_id, rank, doc_id, rrf_r6, sparse_rank, dense_rank
         |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x_retrieval_eval" ->
+      // the x_bm25_topk chain verbatim, then the eval replay: distinct
+      // qrels, per-query hit count + first relevant rank, guarded rr,
+      // integer-exact recall
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+        |       FROM pos GROUP BY term, doc_id, dl),
+        |stats AS (SELECT count(DISTINCT doc_id)::BIGINT AS n,
+        |                 sum(tf)::BIGINT AS sumdl FROM tf),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |q AS (SELECT doc_id AS query_id, t[1:5] AS qt FROM toks
+        |      WHERE doc_id % 50 = 7),
+        |qterms AS (SELECT DISTINCT query_id, term FROM
+        |  (SELECT query_id, unnest(qt) AS term FROM q)),
+        |contrib AS (
+        |  SELECT qt.query_id, f.doc_id, f.term,
+        |    ln((((s.n::DOUBLE - d.df) + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+        |        + 1.0::DOUBLE)
+        |    * ((f.tf * 2.5::DOUBLE) /
+        |       (f.tf + 1.5::DOUBLE *
+        |         (0.25::DOUBLE + (0.75::DOUBLE * f.dl)
+        |            / (s.sumdl::DOUBLE / s.n)))) AS c
+        |  FROM tf f
+        |  JOIN qterms qt USING (term)
+        |  JOIN df d ON d.term = f.term
+        |  CROSS JOIN stats s),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+        |      (a, x) -> a + x) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, doc_id)::BIGINT AS rank
+        |  FROM scored),
+        |res AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank <= 10),
+        |qr AS (SELECT query_id, query_id AS doc_id FROM q
+        |       UNION SELECT query_id, (query_id + 13) % 500 FROM q),
+        |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qr
+        |         GROUP BY query_id),
+        |hit AS (SELECT r.query_id, count(*)::BIGINT AS hits,
+        |          min(r.rank)::BIGINT AS first_rank
+        |        FROM res r JOIN qr
+        |          ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+        |        GROUP BY r.query_id)
+        |SELECT n.query_id, n.n_rel, coalesce(h.hits, 0)::BIGINT AS hits,
+        |  h.first_rank,
+        |  CASE WHEN h.first_rank IS NULL THEN 0.0::DOUBLE
+        |       ELSE round(1.0::DOUBLE / h.first_rank, 6) END AS rr_r6,
+        |  round(coalesce(h.hits, 0) / n.n_rel, 6) AS recall_r6
+        |FROM nrel n LEFT JOIN hit h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    "x_retrieval_summary" ->
+      // same chain; the means fold the per-query rows in query_id order
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+        |       FROM pos GROUP BY term, doc_id, dl),
+        |stats AS (SELECT count(DISTINCT doc_id)::BIGINT AS n,
+        |                 sum(tf)::BIGINT AS sumdl FROM tf),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |q AS (SELECT doc_id AS query_id, t[1:5] AS qt FROM toks
+        |      WHERE doc_id % 50 = 7),
+        |qterms AS (SELECT DISTINCT query_id, term FROM
+        |  (SELECT query_id, unnest(qt) AS term FROM q)),
+        |contrib AS (
+        |  SELECT qt.query_id, f.doc_id, f.term,
+        |    ln((((s.n::DOUBLE - d.df) + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+        |        + 1.0::DOUBLE)
+        |    * ((f.tf * 2.5::DOUBLE) /
+        |       (f.tf + 1.5::DOUBLE *
+        |         (0.25::DOUBLE + (0.75::DOUBLE * f.dl)
+        |            / (s.sumdl::DOUBLE / s.n)))) AS c
+        |  FROM tf f
+        |  JOIN qterms qt USING (term)
+        |  JOIN df d ON d.term = f.term
+        |  CROSS JOIN stats s),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+        |      (a, x) -> a + x) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, doc_id)::BIGINT AS rank
+        |  FROM scored),
+        |res AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank <= 10),
+        |qr AS (SELECT query_id, query_id AS doc_id FROM q
+        |       UNION SELECT query_id, (query_id + 13) % 500 FROM q),
+        |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qr
+        |         GROUP BY query_id),
+        |hit AS (SELECT r.query_id, count(*)::BIGINT AS hits,
+        |          min(r.rank)::BIGINT AS first_rank
+        |        FROM res r JOIN qr
+        |          ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+        |        GROUP BY r.query_id),
+        |perq AS (
+        |  SELECT n.query_id,
+        |    CASE WHEN h.first_rank IS NULL THEN 0.0::DOUBLE
+        |         ELSE round(1.0::DOUBLE / h.first_rank, 6) END AS rr_r6,
+        |    round(coalesce(h.hits, 0) / n.n_rel, 6) AS recall_r6
+        |  FROM nrel n LEFT JOIN hit h USING (query_id))
+        |SELECT count(*)::BIGINT AS n_queries,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(rr_r6 ORDER BY query_id)), (a, x) -> a + x)
+        |    / count(*), 6) AS mrr_r6,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(recall_r6 ORDER BY query_id)), (a, x) -> a + x)
+        |    / count(*), 6) AS mean_recall_r6
+        |FROM perq""".stripMargin,
     "x_bitext_margin" ->
       // both k-NN directions recomputed (round-6 cosine, doc_id ties),
       // normalizers as rank-ordered left folds over the ROUNDED cosines
