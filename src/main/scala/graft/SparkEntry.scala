@@ -1218,6 +1218,25 @@ object SparkEntry {
           ((col("query_id") + 13) % 500).as("doc_id")))
       graft.ops.RetrievalEval.summary(results, qrels, k = 10)
     }),
+    "x_retrieval_ndcg" -> ((s, dir) => {
+      // graded relevance: nDCG@10 of the BM25 run with grade 2 for the
+      // query's own doc and grade 1 for its +13 neighbor; both the dcg
+      // and ideal-dcg folds (fixed rank / ideal-position order) replayed
+      // in DuckDB
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 50 === 7)
+        .select(col("doc_id").as("query_id"),
+          expr("array_join(slice(filter(split(lower(text), '\\\\W+'), " +
+            "x -> x != ''), 1, 5), ' ')").as("query_text"))
+      val results = graft.ops.Bm25.topK(docs, queries, k = 10,
+        k1 = 1.5, b = 0.75)
+      val qrels = queries.select(col("query_id"),
+          col("query_id").as("doc_id"), lit(2.0).as("grade"))
+        .unionByName(queries.select(col("query_id"),
+          ((col("query_id") + 13) % 500).as("doc_id"), lit(1.0).as("grade")))
+      graft.ops.RetrievalEval.perQueryNdcg(results, qrels, k = 10)
+        .orderBy("query_id")
+    }),
     "x_bitext_margin" -> ((s, dir) => {
       // margin-based bitext mining (the LASER/CCMatrix recipe): src = the
       // first 100 vectors, tgt = 50 PLANTED twins (ids +1000, the
@@ -3220,6 +3239,80 @@ object SparkEntry {
         |      list(recall_r6 ORDER BY query_id)), (a, x) -> a + x)
         |    / count(*), 6) AS mean_recall_r6
         |FROM perq""".stripMargin,
+    "x_retrieval_ndcg" ->
+      // the x_bm25_topk chain, then both nDCG folds replayed: dcg in rank
+      // order, ideal dcg via grade-desc list + a struct-accumulator fold
+      // carrying the 1-based ideal position
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+        |       FROM pos GROUP BY term, doc_id, dl),
+        |stats AS (SELECT count(DISTINCT doc_id)::BIGINT AS n,
+        |                 sum(tf)::BIGINT AS sumdl FROM tf),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |q AS (SELECT doc_id AS query_id, t[1:5] AS qt FROM toks
+        |      WHERE doc_id % 50 = 7),
+        |qterms AS (SELECT DISTINCT query_id, term FROM
+        |  (SELECT query_id, unnest(qt) AS term FROM q)),
+        |contrib AS (
+        |  SELECT qt.query_id, f.doc_id, f.term,
+        |    ln((((s.n::DOUBLE - d.df) + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+        |        + 1.0::DOUBLE)
+        |    * ((f.tf * 2.5::DOUBLE) /
+        |       (f.tf + 1.5::DOUBLE *
+        |         (0.25::DOUBLE + (0.75::DOUBLE * f.dl)
+        |            / (s.sumdl::DOUBLE / s.n)))) AS c
+        |  FROM tf f
+        |  JOIN qterms qt USING (term)
+        |  JOIN df d ON d.term = f.term
+        |  CROSS JOIN stats s),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+        |      (a, x) -> a + x) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, doc_id)::BIGINT AS rank
+        |  FROM scored),
+        |res AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank <= 10),
+        |qrg AS (SELECT query_id, query_id AS doc_id, 2.0::DOUBLE AS grade
+        |        FROM q
+        |        UNION ALL
+        |        SELECT query_id, (query_id + 13) % 500 AS doc_id,
+        |          1.0::DOUBLE AS grade FROM q),
+        |dj AS (SELECT r.query_id, r.rank, g.grade FROM res r
+        |       JOIN qrg g ON g.query_id = r.query_id AND g.doc_id = r.doc_id),
+        |dcg AS (SELECT query_id, list_reduce(list_prepend(0.0::DOUBLE,
+        |          list(grade / (ln(rank + 1.0::DOUBLE) / ln(2.0::DOUBLE))
+        |            ORDER BY rank)),
+        |          (a, x) -> a + x) AS dcg FROM dj GROUP BY query_id),
+        |idl AS (SELECT query_id, list_sort(list(grade), 'DESC')[1:10] AS ideal
+        |        FROM qrg GROUP BY query_id),
+        |-- acc is assigned BEFORE pos: DuckDB's list_reduce rebinds the
+        |-- accumulator's fields as struct_pack assigns them, so a field
+        |-- assigned from its own old value (pos := a.pos + 1) must come
+        |-- AFTER every field that reads the old a.pos
+        |idcg AS (SELECT query_id, list_reduce(
+        |    list_prepend(struct_pack(acc := 0.0::DOUBLE, pos := 0.0::DOUBLE),
+        |      list_transform(ideal,
+        |        g -> struct_pack(acc := g, pos := 0.0::DOUBLE))),
+        |    (a, t) -> struct_pack(
+        |      acc := a.acc + t.acc
+        |        / (ln(a.pos + 2.0::DOUBLE) / ln(2.0::DOUBLE)),
+        |      pos := a.pos + 1.0)).acc AS idcg
+        |  FROM idl)
+        |SELECT i.query_id, round(coalesce(d.dcg, 0.0::DOUBLE), 6) AS dcg_r6,
+        |  round(i.idcg, 6) AS idcg_r6,
+        |  CASE WHEN i.idcg = 0.0 THEN NULL
+        |       ELSE round(coalesce(d.dcg, 0.0::DOUBLE) / i.idcg, 6)
+        |  END AS ndcg_r6
+        |FROM idcg i LEFT JOIN dcg d USING (query_id)
+        |ORDER BY i.query_id""".stripMargin,
     "x_bitext_margin" ->
       // both k-NN directions recomputed (round-6 cosine, doc_id ties),
       // normalizers as rank-ordered left folds over the ROUNDED cosines

@@ -43,6 +43,46 @@ object RetrievalEval {
         round(col("hits") / col("n_rel"), 6).as("recall_r6"))
   }
 
+  /** Per-query nDCG@k `(query_id, dcg_r6, idcg_r6, ndcg_r6)` over graded
+    * qrels `(query_id, doc_id, grade)` (Järvelin & Kekäläinen 2002):
+    * dcg = Σ grade / log2(rank + 1) over retrieved judged docs in rank
+    * order; idcg = the same fold over the query's grades sorted
+    * descending at ideal positions 1..min(k, #judged); ndcg = dcg/idcg.
+    * Both folds run in fixed order over depth-bounded lists (the ln-ulp
+    * tail is absorbed by round-6 — the x_lm_score convention); idcg = 0
+    * cannot occur for a judged query with positive grades, and queries
+    * with no qrels are unscored, matching [[perQuery]]. */
+  def perQueryNdcg(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val res = results.filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id")
+    val rel = qrels.select(col("query_id"), col("doc_id"),
+      col("grade").cast("double").as("grade"))
+    val ln2 = "ln(2.0d)" // spelled the same in both engines' replays
+    val dcg = res.join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("grade"))))
+        .as("gs"))
+      .select(col("query_id"), expr(
+        s"aggregate(gs, 0.0d, (a, x) -> a + x.grade / (ln(x.rank + 1.0d) / $ln2))")
+        .as("dcg"))
+    val idcg = rel.groupBy("query_id")
+      .agg(slice(sort_array(collect_list(col("grade")), asc = false),
+        1, k).as("ideal"))
+      .select(col("query_id"), expr(
+        s"""aggregate(ideal,
+           |  named_struct('pos', 0.0d, 'acc', 0.0d),
+           |  (a, g) -> named_struct('pos', a.pos + 1.0d,
+           |    'acc', a.acc + g / (ln(a.pos + 2.0d) / $ln2)),
+           |  a -> a.acc)""".stripMargin).as("idcg"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .na.fill(0.0, Seq("dcg"))
+      .select(col("query_id"), round(col("dcg"), 6).as("dcg_r6"),
+        round(col("idcg"), 6).as("idcg_r6"),
+        when(col("idcg") === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("dcg") / col("idcg"), 6)).as("ndcg_r6"))
+  }
+
   /** One row `(n_queries, mrr_r6, mean_recall_r6)` — means of the
     * per-query rows, folded in query_id order. */
   def summary(results: DataFrame, qrels: DataFrame, k: Int): DataFrame =

@@ -69,6 +69,31 @@ class RetrievalEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.getDouble(2) === 0.5)      // (0.5 + 1.0 + 0.0) / 3
   }
 
+  test("nDCG matches the hand case (graded, ideal reordering)") {
+    val sp = spark; import sp.implicits._
+    // q1: grades {100 -> 2, 101 -> 1}; retrieved 101 at rank 1, 100 at
+    // rank 3. dcg = 1/log2(2) + 2/log2(4) = 1 + 1 = 2.
+    // idcg = 2/log2(2) + 1/log2(3) = 2 + 0.630930 = 2.630930
+    // ndcg = 2 / 2.6309297.. = 0.760188
+    val results = Seq((1L, 1L, 101L), (1L, 2L, 55L), (1L, 3L, 100L))
+      .toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1L, 100L, 2.0), (1L, 101L, 1.0))
+      .toDF("query_id", "doc_id", "grade")
+    val r = RetrievalEval.perQueryNdcg(results, qrels, k = 10).head
+    assert(r.getDouble(1) === 2.0)
+    assert(r.getDouble(2) === 2.63093)
+    assert(r.getDouble(3) === 0.760188)
+    // perfect ordering scores 1.0
+    val perfect = Seq((1L, 1L, 100L), (1L, 2L, 101L))
+      .toDF("query_id", "rank", "doc_id")
+    assert(RetrievalEval.perQueryNdcg(perfect, qrels, k = 10)
+      .head.getDouble(3) === 1.0)
+    // nothing relevant retrieved: dcg 0, ndcg 0 (idcg positive)
+    val miss = Seq((1L, 1L, 55L)).toDF("query_id", "rank", "doc_id")
+    val m = RetrievalEval.perQueryNdcg(miss, qrels, k = 10).head
+    assert(m.getDouble(1) === 0.0 && m.getDouble(3) === 0.0)
+  }
+
   test("empty qrels yields an explicitly-null summary, not NaN") {
     val sp = spark; import sp.implicits._
     val (results, _) = fixtures
