@@ -66,6 +66,33 @@ class HybridRetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").head.getLong(0) === 9L)
   }
 
+  test("store-backed hybrid: fuse over Bm25.topKStore == in-memory arms") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hybstore").toString
+    graft.util.Fs.rmrf(dir)
+    val docs = Seq(
+      (0L, "apple banana cherry"), (1L, "banana banana fig"),
+      (2L, "cherry durian apple"), (3L, "fig grape apple banana"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0.7f, 0.7f, 0f)), (3L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, "apple banana", Array(1f, 0.2f, 0f)))
+      .toDF("query_id", "query_text", "qv")
+    graft.ops.Bm25.buildPostingsStore(docs, dir, nBuckets = 2)
+    val sparseStore = graft.ops.Bm25.topKStore(spark, dir,
+      queries.select("query_id", "query_text"), k = 3)
+    val dense = graft.ops.HybridRetrieval.denseBruteTopK(emb,
+      queries.select("query_id", "qv"), depth = 3)
+    val fromStore = graft.ops.HybridRetrieval.fuse(sparseStore, dense, k = 3)
+    val inMem = graft.ops.HybridRetrieval.topK(docs, emb, queries,
+      k = 3, depth = 3)
+    assert(fromStore.exceptAll(inMem).isEmpty &&
+      inMem.exceptAll(fromStore).isEmpty)
+    graft.util.Fs.rmrf(dir)
+  }
+
   test("dense arm: broadcast queries, partial top-k, exact ranks") {
     val sp = spark; import sp.implicits._
     // corpus of one-hot-ish vectors; query vector equals vec 2's direction
