@@ -1319,6 +1319,34 @@ object SparkEntry {
         "x_cms_heavy: CMS underestimated a key")
       out
     }),
+    "x_hll_overlap" -> ((s, dir) => {
+      // sketch-based corpus overlap between two OVERLAPPING slices
+      // (doc_id < 300 vs >= 200 — docs 200..299 shared): |A|, |B|, the
+      // merged-union estimate, inclusion-exclusion intersection, Jaccard.
+      // The oracle replays all three estimator chains and the exact
+      // flag-based counts; the 0.05-absolute Jaccard gate runs in-query.
+      val keys = sketchKeys(t(s, dir, "documents")).localCheckpoint()
+      val sa = graft.ops.Sketches.hllSketch(
+        keys.filter(col("doc_id") < 300).select("key"), "key")
+      val sb = graft.ops.Sketches.hllSketch(
+        keys.filter(col("doc_id") >= 200).select("key"), "key")
+      val flags = keys
+        .select(col("key"), (col("doc_id") < 300).as("ina"),
+          (col("doc_id") >= 200).as("inb"))
+        .groupBy("key").agg(max("ina").as("ina"), max("inb").as("inb"))
+        .filter(col("ina") || col("inb"))
+      val exact = flags.agg(count(lit(1)).as("exact_union"),
+        sum(when(col("ina") && col("inb"), 1L).otherwise(0L))
+          .as("exact_inter"))
+      val out = graft.ops.Sketches.hllJaccard(sa, sb)
+        .crossJoin(exact).localCheckpoint()
+      val r = out.head()
+      require(math.abs(r.getDouble(4) -
+          r.getLong(6).toDouble / r.getLong(5)) <= 0.05,
+        s"x_hll_overlap: jaccard ${r.getDouble(4)} vs exact " +
+          s"${r.getLong(6).toDouble / r.getLong(5)}")
+      out
+    }),
     "x_dd_sketch" -> ((s, dir) => {
       // log-linear quantile sketch (DDSketch/HDR-histogram family), the
       // third leg of the mergeable trio: value = token count − 50, the
@@ -3483,6 +3511,78 @@ object SparkEntry {
         |          GROUP BY term)
         |SELECT e.key, e.estimate, t.true_cnt
         |FROM est e JOIN truth t ON t.term = e.key ORDER BY e.key""".stripMargin,
+    "x_hll_overlap" ->
+      // all three estimator chains (A, B, union) replayed over the flagged
+      // distinct keys (duplicates never move HLL registers, so hashing the
+      // distinct set equals hashing the stream), plus inclusion-exclusion,
+      // the guarded Jaccard, and the exact flag counts
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |keys AS (SELECT term || ':' || doc_id AS key, doc_id FROM pos),
+        |fl AS (SELECT key, max(doc_id < 300) AS ina, max(doc_id >= 200) AS inb
+        |       FROM keys GROUP BY key),
+        |ra AS (SELECT md5_number_lower('hll:' || key) >> 52 AS reg,
+        |         md5_number_lower('hll:' || key) & ((1::UBIGINT << 52) - 1) AS w
+        |       FROM fl WHERE ina),
+        |rb AS (SELECT md5_number_lower('hll:' || key) >> 52 AS reg,
+        |         md5_number_lower('hll:' || key) & ((1::UBIGINT << 52) - 1) AS w
+        |       FROM fl WHERE inb),
+        |ru AS (SELECT md5_number_lower('hll:' || key) >> 52 AS reg,
+        |         md5_number_lower('hll:' || key) & ((1::UBIGINT << 52) - 1) AS w
+        |       FROM fl WHERE ina OR inb),
+        |ga AS (SELECT reg, max(CASE WHEN w = 0 THEN 53
+        |    ELSE 52 - list_max(list_transform(generate_series(0, 51),
+        |      b -> CASE WHEN (w & (1::UBIGINT << b)) <> 0 THEN b ELSE -1 END))
+        |    END) AS rho FROM ra GROUP BY reg),
+        |gb AS (SELECT reg, max(CASE WHEN w = 0 THEN 53
+        |    ELSE 52 - list_max(list_transform(generate_series(0, 51),
+        |      b -> CASE WHEN (w & (1::UBIGINT << b)) <> 0 THEN b ELSE -1 END))
+        |    END) AS rho FROM rb GROUP BY reg),
+        |gu AS (SELECT reg, max(CASE WHEN w = 0 THEN 53
+        |    ELSE 52 - list_max(list_transform(generate_series(0, 51),
+        |      b -> CASE WHEN (w & (1::UBIGINT << b)) <> 0 THEN b ELSE -1 END))
+        |    END) AS rho FROM ru GROUP BY reg),
+        |ea AS (SELECT (4096 - count(*))::BIGINT AS z,
+        |    list_reduce(list_prepend((4096 - count(*))::DOUBLE,
+        |      list(power(0.5, rho) ORDER BY reg)), (a, x) -> a + x) AS s
+        |  FROM ga),
+        |eb AS (SELECT (4096 - count(*))::BIGINT AS z,
+        |    list_reduce(list_prepend((4096 - count(*))::DOUBLE,
+        |      list(power(0.5, rho) ORDER BY reg)), (a, x) -> a + x) AS s
+        |  FROM gb),
+        |eu AS (SELECT (4096 - count(*))::BIGINT AS z,
+        |    list_reduce(list_prepend((4096 - count(*))::DOUBLE,
+        |      list(power(0.5, rho) ORDER BY reg)), (a, x) -> a + x) AS s
+        |  FROM gu),
+        |va AS (SELECT CASE WHEN ((0.7213 / (1.0 + 1.079 / 4096.0))
+        |      * 16777216.0 / s) <= 10240.0 AND z > 0
+        |    THEN 4096.0 * ln(4096.0 / z)
+        |    ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0 / s
+        |  END AS e FROM ea),
+        |vb AS (SELECT CASE WHEN ((0.7213 / (1.0 + 1.079 / 4096.0))
+        |      * 16777216.0 / s) <= 10240.0 AND z > 0
+        |    THEN 4096.0 * ln(4096.0 / z)
+        |    ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0 / s
+        |  END AS e FROM eb),
+        |vu AS (SELECT CASE WHEN ((0.7213 / (1.0 + 1.079 / 4096.0))
+        |      * 16777216.0 / s) <= 10240.0 AND z > 0
+        |    THEN 4096.0 * ln(4096.0 / z)
+        |    ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0 / s
+        |  END AS e FROM eu),
+        |ex AS (SELECT count(*)::BIGINT AS exact_union,
+        |    sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END)::BIGINT AS exact_inter
+        |  FROM fl WHERE ina OR inb)
+        |SELECT round(va.e, 6) AS est_a_r6, round(vb.e, 6) AS est_b_r6,
+        |  round(vu.e, 6) AS est_union_r6,
+        |  round(greatest(0.0::DOUBLE, va.e + vb.e - vu.e), 6) AS est_inter_r6,
+        |  CASE WHEN vu.e <= 0.0 THEN NULL
+        |       ELSE round(greatest(0.0::DOUBLE, va.e + vb.e - vu.e) / vu.e, 6)
+        |  END AS jaccard_r6,
+        |  ex.exact_union, ex.exact_inter
+        |FROM va CROSS JOIN vb CROSS JOIN vu CROSS JOIN ex""".stripMargin,
     "x_dd_sketch" ->
       // the global sketch computed directly (the engine emits the merge of
       // two batch sketches): octave = bit length − 1 via printf('%b'),

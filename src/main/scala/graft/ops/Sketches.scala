@@ -89,6 +89,38 @@ object Sketches {
           .otherwise(col("e_raw")).as("estimate"))
   }
 
+  /** Sketch-based corpus overlap — the dataset-merge planning question
+    * ("how much of B is already in A?") answered from two metadata-sized
+    * register tables: |A|, |B| from each sketch, |A∪B| from the register-
+    * wise merge (union of sketches == sketch of the union, exactly), the
+    * intersection by inclusion-exclusion, and the Jaccard ratio. One row
+    * `(est_a_r6, est_b_r6, est_union_r6, est_inter_r6, jaccard_r6)`.
+    * Error: each estimate carries the HLL ~1.04/√m bound; inclusion-
+    * exclusion ADDS the absolute errors, so the intersection estimate is
+    * least reliable when the overlap is small relative to the union —
+    * the x_hll_overlap gate pins the Jaccard within 0.05 absolute. */
+  def hllJaccard(aIn: DataFrame, bIn: DataFrame, p: Int = 12): DataFrame = {
+    // each sketch feeds its own estimate AND the merge (multi-consumer);
+    // both are m-bounded
+    val a = aIn.localCheckpoint()
+    val b = bIn.localCheckpoint()
+    val eA = hllEstimate(a, p).select(col("estimate").as("est_a"))
+    val eB = hllEstimate(b, p).select(col("estimate").as("est_b"))
+    val eU = hllEstimate(hllMerge(Seq(a, b)), p)
+      .select(col("estimate").as("est_union"))
+    eA.crossJoin(eB).crossJoin(eU)
+      .withColumn("est_inter",
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+      .select(
+        round(col("est_a"), 6).as("est_a_r6"),
+        round(col("est_b"), 6).as("est_b_r6"),
+        round(col("est_union"), 6).as("est_union_r6"),
+        round(col("est_inter"), 6).as("est_inter_r6"),
+        when(col("est_union") <= 0.0, lit(null).cast("double"))
+          .otherwise(round(col("est_inter") / col("est_union"), 6))
+          .as("jaccard_r6"))
+  }
+
   // ---------------------------------------------------------------- CMS
 
   /** One md5 digest per occurrence; the depth row columns derive from the

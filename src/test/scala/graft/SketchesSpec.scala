@@ -107,6 +107,19 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est.length === 3 && est.forall(_.getLong(1) === 0L))
   }
 
+  test("HLL: sketch Jaccard — identical ~1, disjoint ~0, half-overlap ~1/3") {
+    def sk(df: org.apache.spark.sql.DataFrame) = Sketches.hllSketch(df, "key")
+    def jac(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Double =
+      Sketches.hllJaccard(sk(a), sk(b)).head.getDouble(4)
+    assert(math.abs(jac(keys(4000), keys(4000)) - 1.0) < 0.05)
+    assert(jac(keys(4000), keys(4000, "other")) < 0.05)
+    // A = k0..k3999, B = k2000..k5999: true jaccard = 2000/6000
+    val sp = spark; import sp.implicits._
+    val b = (2000 until 6000).map(i => s"k$i").toDF("key")
+    assert(math.abs(jac(keys(4000), b) - 1.0 / 3) < 0.07)
+  }
+
   // ---------------------------------------------------------------- DD
 
   private def vals(vs: Seq[Long]) = {
