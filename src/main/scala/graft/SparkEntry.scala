@@ -1388,6 +1388,18 @@ object SparkEntry {
         "x_dd_quantiles: a true rank value fell outside its sketch bucket")
       out
     }),
+    "x_dd_drift" -> ((s, dir) => {
+      // distribution-shift monitoring: quartile deltas of the (shifted)
+      // token count between the two doc_id halves, each side its own
+      // sketch — the whole two-chain join replayed in DuckDB
+      val docs = t(s, dir, "documents")
+      val v = docs.select(col("doc_id"),
+        (size(expr("filter(split(lower(text), '\\\\W+'), x -> x != '')"))
+          .cast("long") - 50).as("v"))
+      val sa = graft.ops.Sketches.ddSketch(v.filter(col("doc_id") < 250), "v")
+      val sb = graft.ops.Sketches.ddSketch(v.filter(col("doc_id") >= 250), "v")
+      graft.ops.Sketches.ddDrift(sa, sb, Seq(0.25, 0.5, 0.75)).orderBy("q")
+    }),
     "x_dd_by_source" -> ((s, dir) => {
       // per-source length quantiles (median + p90 of the token count) from
       // per-key sketches — the mixing/packing planner's view. The sketch
@@ -3641,6 +3653,68 @@ object SparkEntry {
         |      + (2 * ((-2 - bkt) % 32) + 1)
         |        * power(2.0::DOUBLE, (-2 - bkt) // 32 - 6)) END AS est
         |FROM chosen ORDER BY q""".stripMargin,
+    "x_dd_drift" ->
+      // the quantile chain twice (doc_id halves), joined on q, the
+      // deltas of the exact-binary midpoints
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> x <> ''))::BIGINT - 50 AS v
+        |  FROM documents),
+        |a0 AS (SELECT v, abs(v) AS av FROM v WHERE doc_id < 250),
+        |b0 AS (SELECT v, abs(v) AS av FROM v WHERE doc_id >= 250),
+        |ab AS (SELECT CASE WHEN v = 0 THEN -1
+        |    WHEN v > 0 THEN (length(printf('%b', av)) - 1)::BIGINT * 32
+        |      + ((av - (1::BIGINT << (length(printf('%b', av)) - 1))) * 32)
+        |        // (1::BIGINT << (length(printf('%b', av)) - 1))
+        |    ELSE -2 - ((length(printf('%b', av)) - 1)::BIGINT * 32
+        |      + ((av - (1::BIGINT << (length(printf('%b', av)) - 1))) * 32)
+        |        // (1::BIGINT << (length(printf('%b', av)) - 1))) END AS bkt
+        |  FROM a0),
+        |bb AS (SELECT CASE WHEN v = 0 THEN -1
+        |    WHEN v > 0 THEN (length(printf('%b', av)) - 1)::BIGINT * 32
+        |      + ((av - (1::BIGINT << (length(printf('%b', av)) - 1))) * 32)
+        |        // (1::BIGINT << (length(printf('%b', av)) - 1))
+        |    ELSE -2 - ((length(printf('%b', av)) - 1)::BIGINT * 32
+        |      + ((av - (1::BIGINT << (length(printf('%b', av)) - 1))) * 32)
+        |        // (1::BIGINT << (length(printf('%b', av)) - 1))) END AS bkt
+        |  FROM b0),
+        |ska AS (SELECT bkt, count(*)::BIGINT AS cnt FROM ab GROUP BY bkt),
+        |skb AS (SELECT bkt, count(*)::BIGINT AS cnt FROM bb GROUP BY bkt),
+        |cua AS (SELECT bkt, sum(cnt) OVER (ORDER BY bkt)::BIGINT AS cum
+        |        FROM ska),
+        |cub AS (SELECT bkt, sum(cnt) OVER (ORDER BY bkt)::BIGINT AS cum
+        |        FROM skb),
+        |ta AS (SELECT sum(cnt)::BIGINT AS n FROM ska),
+        |tb AS (SELECT sum(cnt)::BIGINT AS n FROM skb),
+        |qs(q) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.75::DOUBLE)),
+        |rka AS (SELECT q, (floor(q * (n - 1)) + 1)::BIGINT AS rank_a
+        |        FROM qs CROSS JOIN ta),
+        |rkb AS (SELECT q, (floor(q * (n - 1)) + 1)::BIGINT AS rank_b
+        |        FROM qs CROSS JOIN tb),
+        |cha AS (SELECT q, rank_a, min(bkt) AS bkt FROM rka
+        |        JOIN cua ON cua.cum >= rka.rank_a GROUP BY q, rank_a),
+        |chb AS (SELECT q, rank_b, min(bkt) AS bkt FROM rkb
+        |        JOIN cub ON cub.cum >= rkb.rank_b GROUP BY q, rank_b),
+        |ea AS (SELECT q, rank_a,
+        |  CASE WHEN bkt = -1 THEN 0.0::DOUBLE
+        |    WHEN bkt >= 0 THEN power(2.0::DOUBLE, bkt // 32)
+        |      + (2 * (bkt % 32) + 1) * power(2.0::DOUBLE, bkt // 32 - 6)
+        |    ELSE -(power(2.0::DOUBLE, (-2 - bkt) // 32)
+        |      + (2 * ((-2 - bkt) % 32) + 1)
+        |        * power(2.0::DOUBLE, (-2 - bkt) // 32 - 6)) END AS est_a
+        |  FROM cha),
+        |eb AS (SELECT q, rank_b,
+        |  CASE WHEN bkt = -1 THEN 0.0::DOUBLE
+        |    WHEN bkt >= 0 THEN power(2.0::DOUBLE, bkt // 32)
+        |      + (2 * (bkt % 32) + 1) * power(2.0::DOUBLE, bkt // 32 - 6)
+        |    ELSE -(power(2.0::DOUBLE, (-2 - bkt) // 32)
+        |      + (2 * ((-2 - bkt) % 32) + 1)
+        |        * power(2.0::DOUBLE, (-2 - bkt) // 32 - 6)) END AS est_b
+        |  FROM chb)
+        |SELECT ea.q, ea.rank_a, ea.est_a, eb.rank_b, eb.est_b,
+        |  round(eb.est_b - ea.est_a, 6) AS delta_r6
+        |FROM ea JOIN eb ON eb.q = ea.q ORDER BY ea.q""".stripMargin,
     "x_dd_by_source" ->
       // the per-key chain replayed: per-source sketch, per-source
       // cumulative counts, nearest-rank, exact-binary midpoints

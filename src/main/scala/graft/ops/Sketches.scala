@@ -311,6 +311,22 @@ object Sketches {
       .select("q", "rank", "bkt", "est")
   }
 
+  /** Distribution drift between two sketches (e.g. last week's corpus vs
+    * this week's, or corpus vs new batch): per-quantile estimates side by
+    * side with their delta — the monitoring readout that says "doc
+    * lengths shifted" without touching either corpus. Returns
+    * `(q, rank_a, est_a, rank_b, est_b, delta_r6)`. */
+  def ddDrift(a: DataFrame, b: DataFrame, qs: Seq[Double],
+      s: Int = 32): DataFrame = {
+    val qa = ddQuantiles(a, qs, s).select(col("q"),
+      col("rank").as("rank_a"), col("est").as("est_a"))
+    val qb = ddQuantiles(b, qs, s).select(col("q"),
+      col("rank").as("rank_b"), col("est").as("est_b"))
+    qa.join(qb, Seq("q"))
+      .withColumn("delta_r6", round(col("est_b") - col("est_a"), 6))
+      .select("q", "rank_a", "est_a", "rank_b", "est_b", "delta_r6")
+  }
+
   /** Per-key sketch rows `(keys…, bkt, cnt)` — bounded per key, so the
     * whole frame is O(#keys × buckets): per-source / per-language length
     * distributions for the mixing and packing planners. */
