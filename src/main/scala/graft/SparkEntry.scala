@@ -81,6 +81,27 @@ object SparkEntry {
     docTerms(docs).select(
       concat(col("term"), lit(":"), col("doc_id")).as("key"), col("doc_id"))
 
+  /** Shared retrieval-eval fixture (x_retrieval_eval / _summary / _ndcg):
+    * queries are the first 5 tokens of every doc_id % 50 == 7 document
+    * (the x_bm25 technique); results are BM25 top-10 at k1=1.5 / b=0.75.
+    * Returns (queries, results). */
+  private def bm25EvalRun(s: SparkSession, dir: String):
+      (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 50 === 7)
+      .select(col("doc_id").as("query_id"),
+        expr("array_join(slice(filter(split(lower(text), '\\\\W+'), " +
+          "x -> x != ''), 1, 5), ' ')").as("query_text"))
+    (queries, graft.ops.Bm25.topK(docs, queries, k = 10, k1 = 1.5, b = 0.75))
+  }
+
+  /** Planted qrels for the fixture: each query's own doc plus its +13
+    * neighbor (disjoint by construction — 13 ≠ 0 mod 500). */
+  private def bm25EvalQrels(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"), col("query_id").as("doc_id"))
+      .unionByName(queries.select(col("query_id"),
+        ((col("query_id") + 13) % 500).as("doc_id")))
+
   /** Contract gate for adaptive ANN probes whose candidate geometry is not
     * SQL-recomputable (k-means centroids over an xxhash64-ordered sample —
     * see x_ann_ivf): asserts the probe returned exactly k rows, in
@@ -1188,52 +1209,25 @@ object SparkEntry {
       // of the BM25 run against planted qrels (each query's own doc and
       // its +13 neighbor). The oracle replays the whole chain — the
       // x_bm25_topk retrieval AND the per-query metrics.
-      val docs = t(s, dir, "documents")
-      val queries = docs.filter(col("doc_id") % 50 === 7)
-        .select(col("doc_id").as("query_id"),
-          expr("array_join(slice(filter(split(lower(text), '\\\\W+'), " +
-            "x -> x != ''), 1, 5), ' ')").as("query_text"))
-      val results = graft.ops.Bm25.topK(docs, queries, k = 10,
-        k1 = 1.5, b = 0.75)
-      val qrels = queries.select(col("query_id"),
-          col("query_id").as("doc_id"))
-        .unionByName(queries.select(col("query_id"),
-          ((col("query_id") + 13) % 500).as("doc_id")))
-      graft.ops.RetrievalEval.perQuery(results, qrels, k = 10)
-        .orderBy("query_id")
+      val (queries, results) = bm25EvalRun(s, dir)
+      graft.ops.RetrievalEval.perQuery(results, bm25EvalQrels(queries),
+        k = 10).orderBy("query_id")
     }),
     "x_retrieval_summary" -> ((s, dir) => {
       // the one-row MRR / mean-recall report — per-query rows folded in
       // query_id order, replayed via list_reduce in DuckDB
-      val docs = t(s, dir, "documents")
-      val queries = docs.filter(col("doc_id") % 50 === 7)
-        .select(col("doc_id").as("query_id"),
-          expr("array_join(slice(filter(split(lower(text), '\\\\W+'), " +
-            "x -> x != ''), 1, 5), ' ')").as("query_text"))
-      val results = graft.ops.Bm25.topK(docs, queries, k = 10,
-        k1 = 1.5, b = 0.75)
-      val qrels = queries.select(col("query_id"),
-          col("query_id").as("doc_id"))
-        .unionByName(queries.select(col("query_id"),
-          ((col("query_id") + 13) % 500).as("doc_id")))
-      graft.ops.RetrievalEval.summary(results, qrels, k = 10)
+      val (queries, results) = bm25EvalRun(s, dir)
+      graft.ops.RetrievalEval.summary(results, bm25EvalQrels(queries),
+        k = 10)
     }),
     "x_retrieval_ndcg" -> ((s, dir) => {
       // graded relevance: nDCG@10 of the BM25 run with grade 2 for the
       // query's own doc and grade 1 for its +13 neighbor; both the dcg
       // and ideal-dcg folds (fixed rank / ideal-position order) replayed
       // in DuckDB
-      val docs = t(s, dir, "documents")
-      val queries = docs.filter(col("doc_id") % 50 === 7)
-        .select(col("doc_id").as("query_id"),
-          expr("array_join(slice(filter(split(lower(text), '\\\\W+'), " +
-            "x -> x != ''), 1, 5), ' ')").as("query_text"))
-      val results = graft.ops.Bm25.topK(docs, queries, k = 10,
-        k1 = 1.5, b = 0.75)
-      val qrels = queries.select(col("query_id"),
-          col("query_id").as("doc_id"), lit(2.0).as("grade"))
-        .unionByName(queries.select(col("query_id"),
-          ((col("query_id") + 13) % 500).as("doc_id"), lit(1.0).as("grade")))
+      val (queries, results) = bm25EvalRun(s, dir)
+      val qrels = bm25EvalQrels(queries).withColumn("grade",
+        when(col("doc_id") === col("query_id"), lit(2.0)).otherwise(lit(1.0)))
       graft.ops.RetrievalEval.perQueryNdcg(results, qrels, k = 10)
         .orderBy("query_id")
     }),
@@ -3712,9 +3706,11 @@ object SparkEntry {
         |      + (2 * ((-2 - bkt) % 32) + 1)
         |        * power(2.0::DOUBLE, (-2 - bkt) // 32 - 6)) END AS est_b
         |  FROM chb)
-        |SELECT ea.q, ea.rank_a, ea.est_a, eb.rank_b, eb.est_b,
+        |SELECT coalesce(ea.q, eb.q) AS q, ea.rank_a, ea.est_a,
+        |  eb.rank_b, eb.est_b,
         |  round(eb.est_b - ea.est_a, 6) AS delta_r6
-        |FROM ea JOIN eb ON eb.q = ea.q ORDER BY ea.q""".stripMargin,
+        |FROM ea FULL JOIN eb ON eb.q = ea.q
+        |ORDER BY coalesce(ea.q, eb.q)""".stripMargin,
     "x_dd_by_source" ->
       // the per-key chain replayed: per-source sketch, per-source
       // cumulative counts, nearest-rank, exact-binary midpoints

@@ -118,7 +118,10 @@ object BloomDedup {
 
   private def fresh(spark: SparkSession, dir: String, token: Option[Long]): Boolean =
     token.exists { t =>
-      try readMeta(spark, dir).get("token").contains(t.toString)
+      // kind-guarded like the other stores: a mis-pointed bloomDir whose
+      // token happens to match must read stale, never fresh
+      try readMeta(spark, dir).get("token").contains(t.toString) &&
+        readMeta(spark, dir).get("kind").contains("bloom")
       catch { case _: Exception => false }
     }
 

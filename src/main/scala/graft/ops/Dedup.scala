@@ -386,7 +386,11 @@ object Dedup {
         val in = fs.open(metaPath)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        txt.linesIterator.contains(s"token=$t")
+        // kind-guarded: a mis-pointed sigDir must read stale, never
+        // append into / overwrite another store whose token matches
+        // (every store in a tick re-pins the same post-commit token)
+        txt.linesIterator.contains(s"token=$t") &&
+          txt.linesIterator.contains("kind=minhash")
       } catch { case _: Exception => false }
     }
   }

@@ -28,8 +28,11 @@ object RetrievalEval {
     * no relevant doc was retrieved (rr = 0 then). */
   def perQuery(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // dedupe BOTH sides: duplicate result rows for one doc (a malformed
+    // run) must not double-count hits and push recall past 1.0 — a doc
+    // scores once, at its best rank
     val res = results.filter(col("rank") <= k)
-      .select("query_id", "rank", "doc_id")
+      .groupBy("query_id", "doc_id").agg(min("rank").as("rank"))
     val rel = qrels.select("query_id", "doc_id").distinct()
     val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
     val hit = res.join(rel, Seq("query_id", "doc_id"))
@@ -54,10 +57,14 @@ object RetrievalEval {
     * with no qrels are unscored, matching [[perQuery]]. */
   def perQueryNdcg(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // same dedup discipline as perQuery: one row per (query, doc) on both
+    // sides — duplicate qrels (a concatenated judgment file) keep the
+    // HIGHEST grade, duplicate results their best rank
     val res = results.filter(col("rank") <= k)
-      .select("query_id", "rank", "doc_id")
-    val rel = qrels.select(col("query_id"), col("doc_id"),
-      col("grade").cast("double").as("grade"))
+      .groupBy("query_id", "doc_id").agg(min("rank").as("rank"))
+    val rel = qrels
+      .groupBy("query_id", "doc_id")
+      .agg(max(col("grade").cast("double")).as("grade"))
     val ln2 = "ln(2.0d)" // spelled the same in both engines' replays
     val dcg = res.join(rel, Seq("query_id", "doc_id"))
       .groupBy("query_id")

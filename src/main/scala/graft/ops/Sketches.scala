@@ -322,7 +322,10 @@ object Sketches {
       col("rank").as("rank_a"), col("est").as("est_a"))
     val qb = ddQuantiles(b, qs, s).select(col("q"),
       col("rank").as("rank_b"), col("est").as("est_b"))
-    qa.join(qb, Seq("q"))
+    // FULL outer: an empty side surfaces as null estimates per quantile
+    // instead of a silently empty report (a drift monitor that says
+    // nothing is worse than one that says "side B had no data")
+    qa.join(qb, Seq("q"), "full_outer")
       .withColumn("delta_r6", round(col("est_b") - col("est_a"), 6))
       .select("q", "rank_a", "est_a", "rank_b", "est_b", "delta_r6")
   }
@@ -403,7 +406,12 @@ object Sketches {
         val in = fs.open(metaPath)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        txt.linesIterator.contains(s"token=$t")
+        // kind-guarded (the Bm25 store convention): every store in a tick
+        // re-pins the SAME post-commit token, so a sketchDir mis-pointed
+        // at another store's directory would otherwise read fresh and
+        // then append sketch parquet into it / overwrite its meta
+        txt.linesIterator.contains(s"token=$t") &&
+          txt.linesIterator.contains("kind=sketches")
       } catch { case _: Exception => false }
     }
   }

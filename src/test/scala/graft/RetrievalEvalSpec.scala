@@ -94,6 +94,25 @@ class RetrievalEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.getDouble(1) === 0.0 && m.getDouble(3) === 0.0)
   }
 
+  test("duplicates dedupe: results at best rank, qrels distinct / max grade") {
+    val sp = spark; import sp.implicits._
+    // doc 100 retrieved twice (ranks 2 and 5) and judged twice — must
+    // score ONCE at rank 2; recall must not exceed 1.0
+    val results = Seq((1L, 1L, 99L), (1L, 2L, 100L), (1L, 5L, 100L))
+      .toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1L, 100L), (1L, 100L)).toDF("query_id", "doc_id")
+    val r = RetrievalEval.perQuery(results, qrels, k = 10).head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((1L, 1L, 2L)))
+    assert(r.getDouble(5) === 1.0)
+    // graded duplicates keep the HIGHEST grade; dup results count once:
+    // dcg = 2/log2(3) = 1.26186, idcg = 2/log2(2) = 2 -> ndcg 0.63093
+    val graded = Seq((1L, 100L, 2.0), (1L, 100L, 1.0))
+      .toDF("query_id", "doc_id", "grade")
+    val n = RetrievalEval.perQueryNdcg(results, graded, k = 10).head
+    assert(n.getDouble(1) === 1.26186 && n.getDouble(2) === 2.0 &&
+      n.getDouble(3) === 0.63093)
+  }
+
   test("empty qrels yields an explicitly-null summary, not NaN") {
     val sp = spark; import sp.implicits._
     val (results, _) = fixtures

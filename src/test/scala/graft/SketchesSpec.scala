@@ -207,6 +207,19 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DD: drift over an empty side reports null estimates, not 0 rows") {
+    val a = Sketches.ddSketch(vals(1L to 100L), "v")
+    val empty = Sketches.ddSketch(vals(Seq.empty[Long]), "v")
+    val d = Sketches.ddDrift(a, empty, Seq(0.5)).collect()
+    assert(d.length === 1)
+    assert(!d(0).isNullAt(2) && d(0).isNullAt(4) && d(0).isNullAt(5),
+      d(0).toString) // est_a present, est_b and delta null
+    // and a real shift reads as a positive median delta
+    val b = Sketches.ddSketch(vals(101L to 200L), "v")
+    val shift = Sketches.ddDrift(a, b, Seq(0.5)).head.getDouble(5)
+    assert(shift > 80.0 && shift < 120.0, shift.toString)
+  }
+
   test("DD: a pre-dd store gains its leg via the append-time backfill") {
     val sp = spark; import sp.implicits._
     val dir = "/tmp/graft_dd_backfill_store"
