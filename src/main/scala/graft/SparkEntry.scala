@@ -141,6 +141,17 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** Run independent Spark actions concurrently (guide §2.6: actions are
+    * only sequential because driver code calls them sequentially — the
+    * table rows' per-batch writes are independent jobs whose tails
+    * back-fill each other's idle executors). Exceptions propagate. */
+  private def inParallel(fs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+  }
+
   /** sfDir like "/root/testdata/sf0.01" -> 0.01 (synth transcript scale). */
   def sfOf(dir: String): Double = {
     val m = java.util.regex.Pattern.compile("sf([0-9.]+)").matcher(dir)
@@ -337,8 +348,9 @@ object SparkEntry {
       val totals = t(s, dir, "events").groupBy("user_id").agg(
         expr("cast(sum(cast(value as decimal(18,6))) as double)").as("user_total"),
         count(lit(1)).as("user_events"))
-      Bucketed.write(ev, "graft_bkt_events", s"$base/ev", Seq("user_id"), 8)
-      Bucketed.write(totals, "graft_bkt_totals", s"$base/tot", Seq("user_id"), 8)
+      inParallel(
+        () => Bucketed.write(ev, "graft_bkt_events", s"$base/ev", Seq("user_id"), 8),
+        () => Bucketed.write(totals, "graft_bkt_totals", s"$base/tot", Seq("user_id"), 8))
       val joined = Bucketed.cojoin(s, "graft_bkt_events", "graft_bkt_totals",
         Seq("user_id"))
       val plan = joined.queryExecution.executedPlan.toString
@@ -409,12 +421,11 @@ object SparkEntry {
       val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_prune_sf${sfOf(dir)}/t"
       graft.util.Fs.rmrf(tbl)
       val ev = t(s, dir, "events")
-      (0 until 4).foreach { b =>
+      inParallel((0 until 4).map(b => () =>
         TranscriptTable.writeBatch(
           ev.filter(pmod(col("event_id"), lit(4)) === b)
             .repartitionByRange(2, col("ts")).sortWithinPartitions("ts"),
-          tbl, f"b$b%03d", statsCols = Seq("ts"))
-      }
+          tbl, f"b$b%03d", statsCols = Seq("ts"))): _*)
       // LocalDateTime bounds: the parquet ts is TIMESTAMP_NTZ (naive
       // micros), so the literal must be NTZ too — an Instant/LTZ bound
       // would shift on non-UTC sessions and mismatch the column type
@@ -442,7 +453,7 @@ object SparkEntry {
       val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_del_sf${sfOf(dir)}/t"
       graft.util.Fs.rmrf(tbl)
       val ev = t(s, dir, "events")
-      (0 until 4).foreach { b =>
+      inParallel((0 until 4).map(b => () => {
         val lo = java.time.LocalDateTime.parse(f"2024-01-${1 + 8 * b}%02dT00:00:00")
         val hi = java.time.LocalDateTime.parse(
           if (b == 3) "2024-02-01T00:00:00" else f"2024-01-${1 + 8 * (b + 1)}%02dT00:00:00")
@@ -450,7 +461,7 @@ object SparkEntry {
           ev.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
             .repartitionByRange(2, col("ts")).sortWithinPartitions("ts"),
           tbl, f"b$b%03d", statsCols = Seq("ts"))
-      }
+      }): _*)
       val lo = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
       val hi = java.time.LocalDateTime.parse("2024-01-13T00:00:00")
       val st = TranscriptTable.deleteRange(s, tbl, "ts", lo, hi, "d004")
@@ -477,14 +488,13 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       val n = ev.count() // event_id is dense 0..n-1 in the driver tables
       val q = n / 4
-      (0 until 4).foreach { b =>
+      inParallel((0 until 4).map(b => () =>
         TranscriptTable.writeBatch(
           ev.filter(col("event_id") >= lit(b * q) &&
               col("event_id") < lit(if (b == 3) n else (b + 1) * q))
             .repartitionByRange(2, col("event_id"))
             .sortWithinPartitions("event_id"),
-          tbl, f"b$b%03d", statsCols = Seq("event_id"))
-      }
+          tbl, f"b$b%03d", statsCols = Seq("event_id"))): _*)
       val upd = ev.filter(col("event_id") >= lit(n / 10) &&
           col("event_id") < lit(n / 10 + n / 50))
         .withColumn("event_type", lit("upd"))
@@ -517,7 +527,7 @@ object SparkEntry {
       val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_upd_sf${sfOf(dir)}/t"
       graft.util.Fs.rmrf(tbl)
       val ev = t(s, dir, "events")
-      (0 until 4).foreach { b =>
+      inParallel((0 until 4).map(b => () => {
         val lo = java.time.LocalDateTime.parse(f"2024-01-${1 + 8 * b}%02dT00:00:00")
         val hi = java.time.LocalDateTime.parse(
           if (b == 3) "2024-02-01T00:00:00" else f"2024-01-${1 + 8 * (b + 1)}%02dT00:00:00")
@@ -525,7 +535,7 @@ object SparkEntry {
           ev.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
             .repartitionByRange(2, col("ts")).sortWithinPartitions("ts"),
           tbl, f"b$b%03d", statsCols = Seq("ts"))
-      }
+      }): _*)
       val lo = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
       val hi = java.time.LocalDateTime.parse("2024-01-13T00:00:00")
       val st = TranscriptTable.updateRange(s, tbl, "ts", lo, hi, "u004",

@@ -42,23 +42,35 @@ object CurateJob {
       textCol: String = "text",
       benchmark: Option[DataFrame] = None,
       decontamN: Int = 13): (DataFrame, CurateStats) = {
-    val nInput = docs.count()
     val scored = docs
       .withColumn("lang_pred", TextAnalysis.langIdUdf(col(textCol)))
       .withColumn("__q", TextAnalysis.qualityUdf(col(textCol)))
       .withColumn("quality_score", col("__q._7"))
       .drop("__q")
       .localCheckpoint() // one evaluation of the scalar stage
-    val langOk = scored.filter(col("lang_pred").isin(keepLangs.toSeq: _*))
-    val nLang = langOk.count()
-    val qualOk = langOk.filter(col("quality_score") >= minQuality)
-    val nQual = qualOk.count()
+    val langCond = col("lang_pred").isin(keepLangs.toSeq: _*)
+    val qualCond = col("quality_score") >= minQuality
+    // audit counts for the whole filter ladder in ONE aggregate over the
+    // materialized scalar stage (guide §1.2: the former one-action-per-
+    // count form paid three jobs for numbers one pass produces; filter
+    // semantics match count(when(cond)) exactly — null conditions drop)
+    val cRow = scored.agg(
+      count(lit(1)).as("n_input"),
+      count(when(langCond, 1)).as("n_lang"),
+      count(when(langCond && qualCond, 1)).as("n_qual")).head()
+    val (nInput, nLang, nQual) = (cRow.getLong(0), cRow.getLong(1), cRow.getLong(2))
+    val qualOk = scored.filter(langCond && qualCond)
+    // decontaminate feeds BOTH the nClean count and exactDedup's two
+    // branches — barrier it so the benchmark-gram joins run once
     val clean = benchmark match {
-      case Some(b) => Dedup.decontaminate(qualOk, b, decontamN, textCol)
+      case Some(b) =>
+        Dedup.decontaminate(qualOk, b, decontamN, textCol).localCheckpoint()
       case None    => qualOk
     }
     val nClean = if (benchmark.isDefined) clean.count() else nQual
-    val exact = Dedup.exactDedup(clean, textCol)
+    // exactDedup output feeds the near-dup signature pass, its text
+    // re-join AND the final anti-join — same multi-consumer barrier rule
+    val exact = Dedup.exactDedup(clean, textCol).localCheckpoint()
     val nExact = exact.count()
     val near = Dedup.nearDedup(exact, nearThreshold, textCol)
     val curated = near
@@ -68,11 +80,11 @@ object CurateJob {
       .drop("__t")
       .withColumn("fingerprint", HashExprs.fingerprint64(col(textCol)))
       .localCheckpoint()
-    val nCurated = curated.count()
-    // sum() is SQL NULL on an empty frame (everything filtered/deduped away)
-    val totalTokens = curated
-      .agg(coalesce(sum(col("ws_tokens").cast("long")), lit(0L)))
-      .head.getLong(0)
+    // count + token total in one aggregate over the materialized frame;
+    // sum() is SQL NULL on an empty frame (everything filtered away)
+    val tRow = curated.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("ws_tokens").cast("long")), lit(0L)).as("t")).head()
+    val (nCurated, totalTokens) = (tRow.getLong(0), tRow.getLong(1))
     (curated,
       CurateStats(nInput, nLang, nQual, nClean, nExact, nCurated, totalTokens))
   }
@@ -107,20 +119,22 @@ object CurateJob {
     val (batchCurated, batchStats) =
       curate(newDocs, keepLangs, minQuality, nearThreshold, textCol,
         benchmark, decontamN)
-    val afterExact = bloomDir match {
+    // barrier: the count below AND nearDedupAgainst's base checkpoint both
+    // consume this frame — unbarriered, the exact/Bloom pass re-runs once
+    val afterExact = (bloomDir match {
       case Some(d) => graft.ops.BloomDedup.dedupAgainst(batchCurated, d, textCol)
       case None    => Dedup.exactDedupAgainst(batchCurated, corpus, textCol)
-    }
+    }).localCheckpoint()
     val nExact = afterExact.count()
     // exactFallback off: the explicit exact pass above already covers
     // capped-bucket byte-identical matches
     val survivors = Dedup.nearDedupAgainst(afterExact, corpus, nearThreshold,
         textCol, corpusSigs = corpusSigs, exactFallback = false)
       .localCheckpoint()
-    val n = survivors.count()
-    val totalTokens = survivors
-      .agg(coalesce(sum(col("ws_tokens").cast("long")), lit(0L)))
-      .head.getLong(0)
-    (survivors, IncCurateStats(batchStats, nExact, n, totalTokens))
+    // count + token total in one aggregate (the curate() convention)
+    val tRow = survivors.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("ws_tokens").cast("long")), lit(0L)).as("t")).head()
+    (survivors,
+      IncCurateStats(batchStats, nExact, tRow.getLong(0), tRow.getLong(1)))
   }
 }

@@ -168,6 +168,19 @@ object Dedup {
     * Output: (doc_id, cluster_id = min doc_id of its component), one row
     * per doc appearing in >= 1 pair. Oracle: DuckDB recursive-CTE
     * transitive closure over the exact all-pairs ground truth. */
+  /** Pair sets at or under this size are clustered driver-side (bounded
+    * union-find over collected (long, long) edges — ≤ ~64 MB at the cap)
+    * instead of through the iterative join loop: the loop costs 4+ Spark
+    * actions PER ROUND (measured ~1.5 s on the driver bench for a
+    * 3-round converge over a few dozen pairs), while the collect path is
+    * one action + exact single-pass union-find. The pair frame is the
+    * DECISION table, not the corpus — the guide §8 proxy rule — and near
+    * -dup pair counts are a tiny fraction of corpus size, so even 100 TB
+    * corpora commonly fit; beyond the cap the logarithmic label-
+    * propagation loop below takes over unchanged. Both paths emit the
+    * identical (doc_id, cluster_id = min component member) rows. */
+  private val MaxDriverPairs = 2000000L
+
   def duplicateClusters(docs: DataFrame, threshold: Double = 0.8,
       textCol: String = "text", maxIter: Int = 25): DataFrame = {
     // barrier the pair pipeline BEFORE the union: both union branches (and
@@ -176,6 +189,8 @@ object Dedup {
     val pairs = minhashPairs(docs, threshold, textCol)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
+    val nPairs = pairs.count() // reads the materialized checkpoint only
+    if (nPairs <= MaxDriverPairs) return driverClusters(docs.sparkSession, pairs)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
@@ -214,6 +229,38 @@ object Dedup {
       it += 1
     }
     labels
+  }
+
+  /** Exact connected components over a bounded collected pair set:
+    * union-find with path compression, roots kept at the component's
+    * minimum doc_id (union-by-min), so the emitted labels equal the
+    * iterative path's fixpoint by construction. */
+  private def driverClusters(spark: org.apache.spark.sql.SparkSession,
+      pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path-compress as we walk
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = p; p = gp
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val d = it.next(); out += ((d, find(d))) }
+    out.toSeq.toDF("doc_id", "cluster_id")
   }
 
   /** "No silent caps" diagnostic: the (band, bucket, count) rows that

@@ -58,19 +58,29 @@ object NgramLm {
     val ctx = model.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx"))
     val (bg, cx) =
       if (broadcastModel) (F.broadcast(model), F.broadcast(ctx)) else (model, ctx)
+    // position-ordered left fold as a RUNNING window (the Bm25 scoring
+    // form — r8): WindowExec adds frame rows one by one in sort order, so
+    // the running sum's fp64 value is BIT-IDENTICAL to the former
+    // sort_array(collect_list)+aggregate fold (pos is unique per doc;
+    // 0.0 + lp == lp), without materializing a per-doc struct array or
+    // running the interpreted fold lambda. The last row per doc (rn ==
+    // cnt) carries the full fold and the token count.
+    import org.apache.spark.sql.expressions.Window
+    val wf = Window.partitionBy("doc_id").orderBy("pos")
     positions(docs, textCol)
       .join(bg, Seq("w1", "w2"), "left")
       .join(cx, Seq("w1"), "left")
       .withColumn("lp", log(
         (coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
           (coalesce(col("ctx"), lit(0L)) + lit(vocab)).cast("double")))
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("pos"), col("lp"))).as("_ts"))
-      .withColumn("n_tokens", size(col("_ts")).cast("long"))
-      .withColumn("mean_nll",
-        -expr("aggregate(transform(sort_array(_ts), t -> t.lp), 0D, (a, x) -> a + x)")
-          / col("n_tokens"))
-      .drop("_ts")
+      .withColumn("_sum", F.sum(col("lp")).over(
+        wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_rn", row_number().over(wf))
+      .withColumn("_cnt", count(lit(1)).over(
+        wf.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("_rn") === col("_cnt"))
+      .select(col("doc_id"), col("_cnt").cast("long").as("n_tokens"),
+        (-col("_sum") / col("_cnt").cast("long")).as("mean_nll"))
   }
 
   /** In-corpus scoring convenience: train on `docs`, score `docs`. V is
