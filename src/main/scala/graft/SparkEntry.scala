@@ -138,18 +138,31 @@ object SparkEntry {
     brute.zipWithIndex.toSeq
       .map { case ((id, cos), i) => (id, i + 1, r6(cos)) }
       .toDF("vec_id", "rank", "cosine_r6")
-      .orderBy("rank")
+      .orderedBy("rank")
   }
 
   /** Run independent Spark actions concurrently (guide §2.6: actions are
     * only sequential because driver code calls them sequentially — the
     * table rows' per-batch writes are independent jobs whose tails
     * back-fill each other's idle executors). Exceptions propagate. */
-  private def inParallel(fs: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+  private def inParallel(fs: (() => Unit)*): Unit = graft.util.Par.run(fs: _*)
+
+  /** Total-order OUTPUT sort without `orderBy`'s range-partitioner pass
+    * (guide §2.4 — r8): `orderBy` samples its child to pick range bounds,
+    * which EXECUTES the query's whole uncached lineage a second time —
+    * measured at ~2x on the heavy rows (x_bm25_topk 4.0 s -> 2.8 s,
+    * x_embed_neardup_exhaustive 3.4 s -> 1.4 s, identical rows out). Every
+    * declared query's final sort is presentation order over a bounded
+    * result (the checker lexsorts anyway), so a single-partition
+    * sortWithinPartitions gives the identical total order with one plain
+    * exchange and no sampling. Only OUTPUT sorts use this; semantic sorts
+    * (orderBy+limit top-k, window specs) keep their native forms. */
+  private implicit class OrderedOutput(df: DataFrame) {
+    def orderedBy(c: String, cs: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(c, cs: _*)
+    def orderedBy(c: org.apache.spark.sql.Column,
+        cs: org.apache.spark.sql.Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions((c +: cs): _*)
   }
 
   /** sfDir like "/root/testdata/sf0.01" -> 0.01 (synth transcript scale). */
@@ -223,18 +236,18 @@ object SparkEntry {
       // pairs must be EXACTLY those with true 3-gram Jaccard >= 0.7.
       Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.7)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy("doc_a", "doc_b")),
+        .orderedBy("doc_a", "doc_b")),
     "x_dedup_clusters" -> ((s, dir) =>
       // pairs -> connected components (hash-min label propagation); keeper
       // per component = min doc_id. Oracled by a DuckDB recursive-CTE
       // transitive closure over the exact pair set.
       Dedup.duplicateClusters(t(s, dir, "documents"), threshold = 0.7)
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "x_dedup_near" -> ((s, dir) =>
       // the end-user dedup: corpus minus non-keeper cluster members
       Dedup.nearDedup(t(s, dir, "documents"), threshold = 0.7)
         .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "x_dedup_incremental" -> ((s, dir) => {
       // incremental ingestion: docs >= 250 are "the new batch", docs < 250
       // the existing corpus; survivors = new docs with no corpus near-dup
@@ -243,7 +256,7 @@ object SparkEntry {
       Dedup.nearDedupAgainst(d.filter(col("doc_id") >= 250),
           d.filter(col("doc_id") < 250), threshold = 0.7)
         .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_bloom_dedup" -> ((s, dir) => {
       // the Bloom-gated EXACT incremental dedup (Dolma-style): corpus
@@ -263,7 +276,7 @@ object SparkEntry {
       graft.ops.BloomDedup.buildBloom(corpus, bdir, shards = 8)
       graft.ops.BloomDedup.dedupAgainst(batch, bdir)
         .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_decontaminate" -> ((s, dir) => {
       // benchmark decontamination (r6): docs >= 250 play the eval set —
@@ -274,7 +287,7 @@ object SparkEntry {
       Dedup.decontaminate(d.filter(col("doc_id") < 250),
           d.filter(col("doc_id") >= 250), n = 5)
         .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_contamination_audit" -> ((s, dir) => {
       // the per-doc audit frame behind x_decontaminate: (doc_id, number
@@ -283,11 +296,11 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Dedup.contaminatedDocs(d.filter(col("doc_id") < 250),
           d.filter(col("doc_id") >= 250), n = 5)
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_repetition_stats" -> ((s, dir) =>
       // Gopher-family repetition/diversity numerators, integer-exact
-      TextAnalysis.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")),
+      TextAnalysis.repetitionStats(t(s, dir, "documents")).orderedBy("doc_id")),
     "x_gopher_audit" -> ((s, dir) => {
       // Gopher quality rules (Rae et al. 2021): every rule's INTEGER
       // numerators + cross-multiplied verdicts — no floating point
@@ -296,7 +309,7 @@ object SparkEntry {
       graft.ops.GopherFilters.audit(
           t(s, dir, "documents").select("doc_id", "text"), minWords = 30)
         .drop("text")
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_gopher_filter" -> ((s, dir) => {
       // minStops=1: the synthetic word-soup vocabulary carries at most
@@ -306,7 +319,7 @@ object SparkEntry {
           t(s, dir, "documents").select("doc_id", "lang", "text"),
           minWords = 30, minStops = 1)
         .select("doc_id", "lang")
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_url_domains" -> ((s, dir) => {
       // the real PSL matcher over 16 planted suffix families (wildcards,
@@ -315,7 +328,7 @@ object SparkEntry {
       graft.ops.UrlFilter.withDomain(urlCorpus(t(s, dir, "documents")))
         .select(col("doc_id"), col("url"),
           coalesce(col("domain"), lit("(none)")).as("domain"))
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_url_blocklist" -> ((s, dir) => {
       // UT1-style blocklist filtering: domains of doc_id % 7 == 0 docs
@@ -330,7 +343,7 @@ object SparkEntry {
       graft.ops.UrlFilter.filterBlocklist(corpus, blocked)
         .select(col("doc_id"),
           coalesce(col("domain"), lit("(none)")).as("domain"))
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_bucketed_join" -> ((s, dir) => {
       // Write-once / join-many bucketing: events and per-user totals land
@@ -360,7 +373,7 @@ object SparkEntry {
         "bucketed co-located join must not shuffle:\n" + plan.take(2000))
       joined.select(col("event_id"), col("user_id"),
           col("user_total"), col("user_events"))
-        .orderBy("event_id")
+        .orderedBy("event_id")
     }),
     "x_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights (Xie et al. 2023): raw = docs < 400,
@@ -374,7 +387,7 @@ object SparkEntry {
         d.filter(col("doc_id") < 400), nBuckets = 4096)
       graft.ops.Dsir.logWeights(d.filter(col("doc_id") < 400), model)
         .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight_r6"))
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_dsir_sample" -> ((s, dir) => {
       // the composed selector: Gumbel top-100 resampling with seeded
@@ -384,7 +397,7 @@ object SparkEntry {
       graft.ops.Dsir.select(d.filter(col("doc_id") >= 400),
           d.filter(col("doc_id") < 400), k = 100, nBuckets = 4096,
           salt = "dsir")
-        .orderBy(col("sample_key_r6").desc, col("doc_id"))
+        .orderedBy(col("sample_key_r6").desc, col("doc_id"))
     }),
     "x_substr_spans" -> ((s, dir) =>
       // exact-substring dedup (Lee et al. 2021) span finder at match
@@ -397,7 +410,7 @@ object SparkEntry {
       SubstringDedup.duplicateSpans(t(s, dir, "documents"), n = 10)
         .select(col("doc_id"), col("start_tok").cast("long").as("start_tok"),
           col("end_tok").cast("long").as("end_tok"), col("n_windows"))
-        .orderBy("doc_id", "start_tok")),
+        .orderedBy("doc_id", "start_tok")),
     "x_substr_dedup" -> ((s, dir) =>
       // the cut: EVERY occurrence of every duplicated span removed from
       // the token stream — no keeper copy, the paper's ExactSubstr
@@ -406,7 +419,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text_dedup"),
           col("n_tok_before").cast("long").as("n_tok_before"),
           col("n_tok_after").cast("long").as("n_tok_after"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "x_table_prune" -> ((s, dir) => {
       // Iceberg-model data skipping driven end-to-end: events land in a
       // transcript table as 4 batches, each range-clustered on ts with
@@ -438,7 +451,7 @@ object SparkEntry {
         .select(col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"),
           col("event_type"), col("value"))
-        .orderBy("event_id")
+        .orderedBy("event_id")
     }),
     "x_table_delete" -> ((s, dir) => {
       // Row-level DELETE under copy-on-write with manifest-bounds pruning:
@@ -471,7 +484,7 @@ object SparkEntry {
         .select(col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"),
           col("event_type"), col("value"))
-        .orderBy("event_id")
+        .orderedBy("event_id")
     }),
     "x_table_merge" -> ((s, dir) => {
       // MERGE (keyed upsert) under copy-on-write: events land as 4
@@ -512,7 +525,7 @@ object SparkEntry {
         .select(col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"),
           col("event_type"), col("value"))
-        .orderBy("event_id")
+        .orderedBy("event_id")
     }),
     "x_table_update" -> ((s, dir) => {
       // Row-level UPDATE under copy-on-write (the in-place redaction
@@ -551,7 +564,7 @@ object SparkEntry {
         .select(col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"),
           col("event_type"), col("value"))
-        .orderBy("event_id")
+        .orderedBy("event_id")
     }),
     "x_line_dedup" -> ((s, dir) => {
       // CCNet/RefinedWeb line-level boilerplate pass. The synthetic
@@ -572,7 +585,7 @@ object SparkEntry {
       graft.ops.LineDedup.dedupLines(base, minCount = 2, idCol = "page_id")
         .select(col("page_id"), md5(col("text_clean")).as("clean_md5"),
           col("n_lines_before"), col("n_lines_after"))
-        .orderBy("page_id")
+        .orderedBy("page_id")
     }),
     "x_nb_model" -> ((s, dir) =>
       // the fastText-style quality-classifier family, trainable half: a
@@ -582,7 +595,7 @@ object SparkEntry {
       // planted-input technique): parity labels + class-marker suffixes
       // appended to the real texts; the split is doc_id % 5.
       graft.ops.NbClassifier.train(nbTrainSplit(t(s, dir, "documents")))
-        .orderBy("label", "tok")),
+        .orderedBy("label", "tok")),
     "x_nb_classify" -> ((s, dir) => {
       // held-out prediction: train on doc_id % 5 != 0, classify the rest.
       // Markers separate the classes, the 120-token word-soup body is
@@ -593,12 +606,12 @@ object SparkEntry {
       graft.ops.NbClassifier.predict(labeled.filter(col("doc_id") % 5 =!= 0), test)
         .join(test.select(col("doc_id"), col("label").as("true_label")), Seq("doc_id"))
         .select(col("doc_id"), col("pred"), col("true_label"), col("ll_r6"))
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_lm_bigrams" -> ((s, dir) =>
       // the CCNet-family LM as a DataFrame: bigram counts with a <s>
       // start sentinel, one map-side-combined shuffle — integer-exact
-      graft.ops.NgramLm.train(t(s, dir, "documents")).orderBy("w1", "w2")),
+      graft.ops.NgramLm.train(t(s, dir, "documents")).orderedBy("w1", "w2")),
     "x_lm_score" -> ((s, dir) =>
       // per-doc mean negative log-likelihood under the in-corpus add-one
       // bigram model. Probabilities are single int/int-derived divisions
@@ -609,7 +622,7 @@ object SparkEntry {
       graft.ops.NgramLm.scoreInCorpus(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"),
           round(col("mean_nll"), 6).as("mean_nll_r6"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "x_pii_redact" -> ((s, dir) => {
       // PII scrubbing (emails / IPv4 / phones -> typed placeholders) driven
       // over a deterministically DERIVED contact card: the driver tables
@@ -633,7 +646,7 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
           col("n_ipv4").cast("long").as("n_ipv4"),
           col("n_phones").cast("long").as("n_phones"), col("text"))
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_c4_filter" -> ((s, dir) => {
       // C4 line/document heuristics over documents re-chunked into
@@ -667,7 +680,7 @@ object SparkEntry {
             .cast("int"))
         .select("doc_id", "n_lines", "n_kept_lines", "n_dropped_no_punct",
           "n_dropped_short", "n_js_lines", "has_lorem", "has_brace", "kept", "text_clean")
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_dedup_simhash" -> ((s, dir) =>
       // production FNV-1a kernel, fully oracled (r6): the oracle recomputes
@@ -678,7 +691,7 @@ object SparkEntry {
       // is 26 on the driver data vs the 1000 cap); the capped path keeps
       // its own local tests.
       Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)
-        .orderBy("doc_a", "doc_b")),
+        .orderedBy("doc_a", "doc_b")),
     "x_simhash_pairs" -> ((s, dir) =>
       // driver-verifiable simhash contract: the SAME pigeonhole blocking +
       // hamming pairing as x_dedup_simhash, with the token hash swapped to
@@ -690,7 +703,7 @@ object SparkEntry {
       // force local test).
       Dedup.simhashPairs(t(s, dir, "documents").filter(col("doc_id") < 1000),
           maxDist = 3, hashFn = c => Dedup.simhashMd5Udf(c))
-        .orderBy("doc_a", "doc_b")),
+        .orderedBy("doc_a", "doc_b")),
     "x_ann_brute" -> ((s, dir) => {
       // oracle-checkable form: integer rank + 6-decimal cosine (engines
       // differ by ~1 ulp in fp64 accumulation; rank gaps are >=8e-6 on this
@@ -709,7 +722,7 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, q, 50)
         .withColumn("rank", row_number().over(w))
         .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
-        .orderBy("rank")
+        .orderedBy("rank")
     }),
     "x_ann_lsh" -> ((s, dir) => {
       // the ADAPTIVE probe, fully oracled (r6): the oracle recomputes the
@@ -730,7 +743,7 @@ object SparkEntry {
       Similarity.lshTopK(emb, q, 50)
         .withColumn("rank", row_number().over(w))
         .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
-        .orderBy("rank")
+        .orderedBy("rank")
     }),
     "x_ann_ivf" -> ((s, dir) => {
       // The adaptive IVF probe's id set depends on k-means centroids
@@ -765,7 +778,7 @@ object SparkEntry {
       Similarity.lshTopK(emb, q, 50, nBits = 4, probeHamming = 4)
         .withColumn("rank", row_number().over(w))
         .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
-        .orderBy("rank")
+        .orderedBy("rank")
     }),
     "x_ann_ivf_exhaustive" -> ((s, dir) => {
       // same invariant for IVF: probing all nCells cells == brute force
@@ -778,7 +791,7 @@ object SparkEntry {
       Similarity.ivfTopK(emb, q, 50, nCells = 16, nProbe = 16)
         .withColumn("rank", row_number().over(w))
         .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
-        .orderBy("rank")
+        .orderedBy("rank")
     }),
     "x_ann_index_build" -> ((s, dir) => {
       // the explicit index-build job (one pass + partitioned write). Sorts
@@ -808,7 +821,7 @@ object SparkEntry {
       AnnIndex.probeLsh(s, idx, q, 50)
         .withColumn("rank", row_number().over(w))
         .select(col("vec_id"), col("rank"), round(col("cosine"), 6).as("cosine_r6"))
-        .orderBy("rank")
+        .orderedBy("rank")
     }),
     "x_ann_ivf_build" -> ((s, dir) => {
       // the persisted IVF twin of x_ann_index_build: k-means centroids +
@@ -884,7 +897,7 @@ object SparkEntry {
       Similarity.cosinePairs(e.unionByName(planted), threshold = 0.95, nBits = 8)
         .select(col("vec_a"), col("vec_b"),
           round(col("cosine"), 6).as("cosine_r6"))
-        .orderBy("vec_a", "vec_b")
+        .orderedBy("vec_a", "vec_b")
     }),
     "x_embed_neardup_exhaustive" -> ((s, dir) => {
       // exhaustive (all-pairs) embedding near-dup at a threshold the
@@ -901,12 +914,21 @@ object SparkEntry {
       // codegen'd CosineSim in the O(n^2) hot loop (bit-parity with the
       // HOF/UDF kernels is pinned): the zip_with/aggregate form is NOT
       // whole-stage-codegen'd and cost 146 s at sf0.1 (2M pairs x ~73 us
-      // interpreted) — measured in the round-5 sweep, 60x off
+      // interpreted) — measured in the round-5 sweep, 60x off.
+      // r8: pre-filter on the RAW cosine before round() — Spark's round()
+      // allocates a BigDecimal per row, and running it on all 2M pairs was
+      // over a third of the row's time; every x with round(x,6) >= 0.3
+      // satisfies x >= 0.2999995, so the 0.2999994 pre-filter (safety
+      // margin far above the double-repr error) drops ~99% of pairs while
+      // the exact rounded filter below still makes the decision — the
+      // emitted pair set is unchanged.
       a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        .withColumn("_cos", Similarity.cosineSimExpr(col("emb_a"), col("emb_b")))
+        .filter(col("_cos") >= 0.2999994)
         .select(col("vec_a"), col("vec_b"),
-          round(Similarity.cosineSimExpr(col("emb_a"), col("emb_b")), 6).as("cosine_r6"))
+          round(col("_cos"), 6).as("cosine_r6"))
         .filter(col("cosine_r6") >= 0.3)
-        .orderBy("vec_a", "vec_b")
+        .orderedBy("vec_a", "vec_b")
     }),
     "x_semdedup" -> ((s, dir) => {
       // SemDeDup (cluster-then-compare semantic dedup) under the planted-
@@ -923,7 +945,7 @@ object SparkEntry {
       graft.ops.SemDedup.semDedupPairs(e.unionByName(planted), tau = 0.95, nCells = 8)
         .select(col("vec_a"), col("vec_b"),
           round(col("cosine"), 6).as("cosine_r6"))
-        .orderBy("vec_a", "vec_b")
+        .orderedBy("vec_a", "vec_b")
     }),
     "x_semdedup_multiassign" -> ((s, dir) => {
       // the boundary-safe production form of x_semdedup: nAssign=2 joins
@@ -941,7 +963,7 @@ object SparkEntry {
           nCells = 8, nAssign = 2)
         .select(col("vec_a"), col("vec_b"),
           round(col("cosine"), 6).as("cosine_r6"))
-        .orderBy("vec_a", "vec_b")
+        .orderedBy("vec_a", "vec_b")
     }),
     "x_pq_topk" -> ((s, dir) => {
       // product-quantized ANN (Pq.scala): encode once (m one-byte codes
@@ -973,7 +995,7 @@ object SparkEntry {
       a.join(b, Seq("vec_a"))
         .select(col("vec_a"), col("vec_b"),
           round(Similarity.cosineColumn(col("emb_a"), col("emb_b")), 6).as("cosine_r6"))
-        .orderBy("vec_a")
+        .orderedBy("vec_a")
     }),
     "x_jaccard_pairs" -> ((s, dir) => {
       // exact 3-gram Jaccard over consecutive doc pairs: linear-size,
@@ -989,7 +1011,7 @@ object SparkEntry {
           col("js._1").as("g_a"), col("js._2").as("g_b"),
           col("js._3").as("g_inter"), col("js._4").as("g_union"),
           col("js._5").as("jaccard"))
-        .orderBy("doc_a")
+        .orderedBy("doc_a")
     }),
     "x_neardup_recall" -> ((s, dir) => {
       // end-to-end MinHash LSH recall oracle: over a contiguous id range
@@ -1003,7 +1025,7 @@ object SparkEntry {
       val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
       Dedup.minhashPairs(d, threshold = 0.7)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .orderedBy("doc_a", "doc_b")
     }),
     "x_quality_counts" -> ((s, dir) =>
       // integer-exact quality signals with a DuckDB oracle (the double
@@ -1014,7 +1036,7 @@ object SparkEntry {
           col("qc._1").as("n_tokens"), col("qc._2").as("n_stopwords"),
           col("qc._3").as("n_punct"), col("qc._4").as("n_digit"),
           col("qc._5").as("n_upper"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "x_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"))),
     "x_pr_curve" -> ((s, dir) => {
@@ -1027,7 +1049,7 @@ object SparkEntry {
         .filter(col("qc._1") > 0)
         .select((col("qc._2").cast("double") / col("qc._1")).as("score"),
           (col("lang") === "en").cast("long").as("y"))
-      graft.ops.ThresholdSweep.prCurve(scored, "score", "y").orderBy("bin")
+      graft.ops.ThresholdSweep.prCurve(scored, "score", "y").orderedBy("bin")
     }),
     "x_roc_auc" -> ((s, dir) => {
       // the one-number summary of the same sweep: ROC-AUC by trapezoid in
@@ -1052,7 +1074,7 @@ object SparkEntry {
         .select(col("doc_id"),
           format_string("%016x",
             graft.ops.HashExprs.fingerprint64(col("text"))).as("fp_hex"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "x_text_stats" -> ((s, dir) =>
       // the oracled projection of x_text_analysis: every double is the
       // SAME IEEE expression tree in both engines (int/int divisions,
@@ -1069,7 +1091,7 @@ object SparkEntry {
           round(col("upper_ratio"), 6).as("upper_ratio_r6"),
           round(col("quality_score"), 6).as("quality_score_r6"),
           col("ws_tokens"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "x_langid_pred" -> ((s, dir) =>
       // per-doc language-ID prediction with a DuckDB oracle replicating the
       // heuristic's Latin path exactly (stopword-hit argmax with the
@@ -1078,7 +1100,7 @@ object SparkEntry {
       t(s, dir, "documents")
         .withColumn("lang_pred", TextAnalysis.langIdUdf(col("text")))
         .select(col("doc_id"), col("lang_pred"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "x_langid_eval" -> ((s, dir) => {
       // predicted-vs-labeled language confusion (labels in this harness
       // table are synthetic; the query shape is the real evaluation op)
@@ -1086,7 +1108,7 @@ object SparkEntry {
       d.withColumn("lang_pred", TextAnalysis.langIdUdf(col("text")))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "lang_pred")
+        .orderedBy("lang", "lang_pred")
     }),
     "x_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.synthMedia(s, 2000))),
@@ -1103,7 +1125,7 @@ object SparkEntry {
       val modelPath =
         s"${System.getProperty("java.io.tmpdir")}/graft_bpe_sf${sfOf(dir)}.model"
       val model = graft.ops.Bpe.trainCached(docs, modelPath, nMerges = 256)
-      graft.ops.Bpe.tokenCounts(docs, model).orderBy("doc_id")
+      graft.ops.Bpe.tokenCounts(docs, model).orderedBy("doc_id")
     }),
     "x_curate" -> ((s, dir) => {
       // END-TO-END curation oracle: the flagship training-data workflow
@@ -1121,7 +1143,7 @@ object SparkEntry {
         keepLangs = Set("en"), minQuality = 0.3, nearThreshold = 0.8,
         benchmark = Some(d.filter(col("doc_id") >= 250)), decontamN = 5)
       curated.select(col("doc_id"), col("lang_pred"), col("ws_tokens"))
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_curate_incremental" -> ((s, dir) => {
       // the ONGOING-pipeline flagship: the batch (doc_id >= 250) runs the
@@ -1134,7 +1156,7 @@ object SparkEntry {
         d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
         keepLangs = Set("en"), minQuality = 0.3, nearThreshold = 0.8)
       survivors.select(col("doc_id"), col("lang_pred"), col("ws_tokens"))
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_split_assign" -> ((s, dir) =>
       // reproducible train/val/test split by salted md5 hash bucket —
@@ -1143,7 +1165,7 @@ object SparkEntry {
       graft.ops.Sampling.assignSplits(t(s, dir, "documents"),
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "graft")
         .select(col("doc_id"), col("split"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "x_json_props" -> ((s, dir) => {
       // semi-structured extraction: the events.props JSON column parsed
       // with a TYPED schema (from_json — codegen'd, no UDF), the
@@ -1158,7 +1180,7 @@ object SparkEntry {
         .filter(col("k") % 10 < 5)
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"))
-        .orderBy("k_mod")
+        .orderedBy("k_mod")
     }),
     "x_split_leakfree" -> ((s, dir) =>
       // leakage-free splits: the split hash runs on the near-dup
@@ -1170,14 +1192,14 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "graft",
           threshold = 0.7)
         .select(col("doc_id"), col("rep_id"), col("split"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "x_bm25_postings" -> ((s, dir) =>
       // the inverted-index build: postings (term, doc_id, tf, dl) over a
       // doc_id-bounded sub-corpus — integer-exact, fully recomputed in
       // DuckDB from the same \W+ tokenization
       graft.ops.Bm25.index(
           t(s, dir, "documents").filter(col("doc_id") < 50))
-        .orderBy("term", "doc_id")),
+        .orderedBy("term", "doc_id")),
     "x_bm25_topk" -> ((s, dir) => {
       // BM25 top-10 retrieval (k1=1.5, b=0.75 — exact-binary literals so
       // constant folding is engine-neutral): queries are the first 5
@@ -1192,7 +1214,7 @@ object SparkEntry {
           expr("array_join(slice(filter(split(lower(text), '\\\\W+'), " +
             "x -> x != ''), 1, 5), ' ')").as("query_text"))
       graft.ops.Bm25.topK(docs, queries, k = 10, k1 = 1.5, b = 0.75)
-        .orderBy("query_id", "rank")
+        .orderedBy("query_id", "rank")
     }),
     "x_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 top-10 (sparse) + exact dense top-10,
@@ -1212,7 +1234,7 @@ object SparkEntry {
           col("embedding").as("qv")), "query_id")
       graft.ops.HybridRetrieval.topK(docs, emb, queries,
           k = 10, depth = 10, k1 = 1.5, b = 0.75)
-        .orderBy("query_id", "rank")
+        .orderedBy("query_id", "rank")
     }),
     "x_retrieval_eval" -> ((s, dir) => {
       // the eval leg of the retrieval loop: recall@10 + reciprocal rank
@@ -1221,7 +1243,7 @@ object SparkEntry {
       // x_bm25_topk retrieval AND the per-query metrics.
       val (queries, results) = bm25EvalRun(s, dir)
       graft.ops.RetrievalEval.perQuery(results, bm25EvalQrels(queries),
-        k = 10).orderBy("query_id")
+        k = 10).orderedBy("query_id")
     }),
     "x_retrieval_summary" -> ((s, dir) => {
       // the one-row MRR / mean-recall report — per-query rows folded in
@@ -1239,7 +1261,7 @@ object SparkEntry {
       val qrels = bm25EvalQrels(queries).withColumn("grade",
         when(col("doc_id") === col("query_id"), lit(2.0)).otherwise(lit(1.0)))
       graft.ops.RetrievalEval.perQueryNdcg(results, qrels, k = 10)
-        .orderBy("query_id")
+        .orderedBy("query_id")
     }),
     "x_bitext_margin" -> ((s, dir) => {
       // margin-based bitext mining (the LASER/CCMatrix recipe): src = the
@@ -1255,7 +1277,7 @@ object SparkEntry {
         .unionByName(
           emb.filter(col("vec_id") >= 250).select("vec_id", "embedding"))
       graft.ops.BitextMining.mine(src, tgt, k = 4, minMargin = 1.05)
-        .orderBy("src_id")
+        .orderedBy("src_id")
     }),
     "x_chunk_windows" -> ((s, dir) =>
       // RAG-style token chunking (size 40, overlap 10, right-aligned last
@@ -1263,7 +1285,7 @@ object SparkEntry {
       // rejoined chunk text — recomputed in DuckDB with the same integer
       // arithmetic and list slicing
       graft.ops.Chunking.chunk(t(s, dir, "documents"), size = 40, overlap = 10)
-        .orderBy("doc_id", "chunk_id")),
+        .orderedBy("doc_id", "chunk_id")),
     "x_hll_registers" -> ((s, dir) => {
       // HyperLogLog registers for the distinct (term, doc) keys, computed
       // as the MERGE of two batch sketches (doc_id halves). The oracle
@@ -1273,7 +1295,7 @@ object SparkEntry {
       graft.ops.Sketches.hllMerge(Seq(
         graft.ops.Sketches.hllSketch(keys.filter(col("doc_id") < 250), "key"),
         graft.ops.Sketches.hllSketch(keys.filter(col("doc_id") >= 250), "key")))
-        .orderBy("reg")
+        .orderedBy("reg")
     }),
     "x_hll_estimate" -> ((s, dir) => {
       // the estimator over the merged sketch, next to the exact distinct
@@ -1303,7 +1325,7 @@ object SparkEntry {
         graft.ops.Sketches.cmsSketch(occ.filter(col("doc_id") < 250), "term"),
         graft.ops.Sketches.cmsSketch(occ.filter(col("doc_id") >= 250), "term")))
         .select(col("row").as("r"), col("col").as("c"), col("cnt"))
-        .orderBy("r", "c")
+        .orderedBy("r", "c")
     }),
     "x_cms_heavy" -> ((s, dir) => {
       // point estimates for every distinct term vs the true counts; the
@@ -1317,7 +1339,7 @@ object SparkEntry {
       val out = graft.ops.Sketches.cmsEstimate(sketch, truth.select("term"), "term")
         .join(truth, col("key") === col("term"))
         .select(col("key"), col("estimate"), col("true_cnt"))
-        .orderBy("key")
+        .orderedBy("key")
         .localCheckpoint()
       require(out.filter(col("estimate") < col("true_cnt")).isEmpty,
         "x_cms_heavy: CMS underestimated a key")
@@ -1366,7 +1388,7 @@ object SparkEntry {
       graft.ops.Sketches.ddMerge(Seq(
         graft.ops.Sketches.ddSketch(v.filter(col("doc_id") < 250), "v"),
         graft.ops.Sketches.ddSketch(v.filter(col("doc_id") >= 250), "v")))
-        .orderBy("bkt")
+        .orderedBy("bkt")
     }),
     "x_dd_quantiles" -> ((s, dir) => {
       // quantile extraction replayed end-to-end in DuckDB: cumulative
@@ -1382,7 +1404,7 @@ object SparkEntry {
           .cast("long") - 50).as("v"))
       val sketch = graft.ops.Sketches.ddSketch(v, "v")
       val out = graft.ops.Sketches.ddQuantiles(sketch,
-        Seq(0.01, 0.25, 0.5, 0.75, 0.99)).orderBy("q").localCheckpoint()
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99)).orderedBy("q").localCheckpoint()
       val w = Window.partitionBy(pmod(col("v"), lit(1))).orderBy("v")
       val ranked = v.withColumn("r", row_number().over(w).cast("long"))
       val gate = graft.ops.Sketches.ddBucketOf(
@@ -1402,7 +1424,7 @@ object SparkEntry {
           .cast("long") - 50).as("v"))
       val sa = graft.ops.Sketches.ddSketch(v.filter(col("doc_id") < 250), "v")
       val sb = graft.ops.Sketches.ddSketch(v.filter(col("doc_id") >= 250), "v")
-      graft.ops.Sketches.ddDrift(sa, sb, Seq(0.25, 0.5, 0.75)).orderBy("q")
+      graft.ops.Sketches.ddDrift(sa, sb, Seq(0.25, 0.5, 0.75)).orderedBy("q")
     }),
     "x_dd_by_source" -> ((s, dir) => {
       // per-source length quantiles (median + p90 of the token count) from
@@ -1416,7 +1438,7 @@ object SparkEntry {
           .cast("long").as("dl"))
       val sk = graft.ops.Sketches.ddSketchByKey(v, Seq("source"), "dl")
       graft.ops.Sketches.ddQuantilesByKey(sk, Seq("source"), Seq(0.5, 0.9))
-        .orderBy("source", "q")
+        .orderedBy("source", "q")
     }),
     "x_token_budget" -> ((s, dir) =>
       // pretraining-mix selection: per-language token budgets filled by a
@@ -1429,7 +1451,7 @@ object SparkEntry {
             "es" -> 8000L),
           salt = "mix")
         .select(col("doc_id"), col("lang"), col("ws_tokens"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "x_token_budget_bucketed" -> ((s, dir) =>
       // the skew-proof two-pass form a 100 TB run uses (per-(stratum,
       // hash-range) windows + tiny carry-in offsets — no giant stratum
@@ -1442,7 +1464,7 @@ object SparkEntry {
             "es" -> 8000L),
           salt = "mix")
         .select(col("doc_id"), col("lang"), col("ws_tokens"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "x_temperature_mix" -> ((s, dir) => {
       // temperature-weighted domain mixing (the size^alpha pretraining
       // recipe): budgets derived from stratum counts with integer-exact
@@ -1459,7 +1481,7 @@ object SparkEntry {
           alpha = 0.5, salt = "mixt", precomputed = budgets)
         .select(col("doc_id"), col("lang"))
         .withColumn("budget", budgetExpr)
-        .orderBy("doc_id")
+        .orderedBy("doc_id")
     }),
     "x_seq_pack" -> ((s, dir) =>
       // sequence packing for LM training: concat-and-chunk placement table
@@ -1471,12 +1493,12 @@ object SparkEntry {
           t(s, dir, "documents").withColumn("ws_tokens",
             graft.ops.WsTokenCount.ws_token_count(col("text"))),
           capacity = 512L, salt = "pack", ranges = 8)
-        .orderBy("doc_id", "seq_id")),
+        .orderedBy("doc_id", "seq_id")),
     "x_token_count_native" -> ((s, dir) =>
       // native codegen'd Catalyst expression (no UDF boxing)
       t(s, dir, "documents").select(col("doc_id"),
         graft.ops.WsTokenCount.ws_token_count(col("text")).as("ws_tokens"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
 
     // ---------------- relational queries with DuckDB oracles ---------------
     "q1_pricing" -> ((s, dir) =>
@@ -1486,13 +1508,13 @@ object SparkEntry {
           expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)").as("sum_qty"),
           expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").as("sum_price"),
           count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .orderedBy("l_returnflag", "l_linestatus")),
     "q2_order_priority" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("sum_total"))
-        .orderBy("o_orderpriority")),
+        .orderedBy("o_orderpriority")),
     "q3_cust_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -1500,7 +1522,7 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           countDistinct(col("o_custkey")).as("n_customers"))
-        .orderBy("c_mktsegment")
+        .orderedBy("c_mktsegment")
     }),
     "q4_top_event_per_user" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1510,36 +1532,36 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_id"), col("event_type"))
-        .orderBy("user_id")
+        .orderedBy("user_id")
     }),
     "q5_events_by_type" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           expr("sum(cast(floor(value * 1000) as bigint))").as("value_milli_sum"))
-        .orderBy("event_type")),
+        .orderedBy("event_type")),
     "q6_dedup_exact" -> ((s, dir) =>
-      Dedup.exactGroups(t(s, dir, "documents")).orderBy("content_md5")),
+      Dedup.exactGroups(t(s, dir, "documents")).orderedBy("content_md5")),
     "q7_doc_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           length(col("text")).cast("long").as("n_chars_actual"),
           (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
             .cast("long").as("ws_tokens_approx"))
-        .orderBy("doc_id")),
+        .orderedBy("doc_id")),
     "q8_docs_by_lang" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           expr("sum(cast(n_chars as bigint))").as("total_chars"))
-        .orderBy("lang")),
+        .orderedBy("lang")),
     "q9_emb_labels" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val d = t(s, dir, "documents")
       e.join(d, e("vec_id") === d("doc_id"), "inner")
         .groupBy(col("label"), col("lang"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("label", "lang")
+        .orderedBy("label", "lang")
     }),
     "q10_supplier_nation" -> ((s, dir) => {
       val su = t(s, dir, "supplier")
@@ -1547,19 +1569,19 @@ object SparkEntry {
       su.join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_suppliers"))
-        .orderBy("n_name")
+        .orderedBy("n_name")
     }),
     "q11_part_brands" -> ((s, dir) =>
       t(s, dir, "part")
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_parts"),
           expr("cast(sum(cast(p_size as bigint)) as bigint)").as("total_size"))
-        .orderBy("p_brand")),
+        .orderedBy("p_brand")),
     "q12_monthly_orders" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
         .agg(count(lit(1)).as("n_orders"))
-        .orderBy("order_month")),
+        .orderedBy("order_month")),
     "q13_sessionize" -> ((s, dir) => {
       // session = run of a user's events with gaps <= 30 min (window lag)
       import org.apache.spark.sql.expressions.Window
@@ -1572,7 +1594,7 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(sum(col("is_start")).cast("long").as("n_sessions"),
           count(lit(1)).as("n_events"))
-        .orderBy("user_id")
+        .orderedBy("user_id")
     }),
     "q20_pivot" -> ((s, dir) =>
       // PIVOT for a KNOWN vocabulary, written as conditional aggregates:
@@ -1592,7 +1614,7 @@ object SparkEntry {
           count(when(col("event_type") === "purchase", 1)).as("purchase"),
           count(when(col("event_type") === "signup", 1)).as("signup"),
           count(when(col("event_type") === "view", 1)).as("view"))
-        .orderBy("user_id")),
+        .orderedBy("user_id")),
     "q21_set_ops" -> ((s, dir) => {
       // set difference as a relational operator: customers with no URGENT
       // order (left ANTI join against a filtered build side — the oracled
@@ -1606,7 +1628,7 @@ object SparkEntry {
         .filter(col("o_orderpriority") === "1-URGENT")
       c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
-        .orderBy("c_custkey")
+        .orderedBy("c_custkey")
     }),
     "x_asof_join" -> ((s, dir) => {
       // as-of join over the events stream: each even event matched to the
@@ -1625,7 +1647,7 @@ object SparkEntry {
           date_trunc("hour", col("ts")))
         .select(col("event_id"),
           coalesce(col("matched_event_id"), lit(-1L)).as("matched_event_id"))
-        .orderBy("event_id")
+        .orderedBy("event_id")
     }),
     "q17_rollup" -> ((s, dir) =>
       // grouping sets: per-(lang, size-class) subtotals + per-lang + grand
@@ -1641,7 +1663,7 @@ object SparkEntry {
         .select(coalesce(col("lang"), lit("ALL")).as("lang_g"),
           coalesce(col("size_class"), lit("ALL")).as("size_g"),
           col("n_docs"), col("total_chars"))
-        .orderBy("lang_g", "size_g")),
+        .orderedBy("lang_g", "size_g")),
     "q18_doc_percentiles" -> ((s, dir) =>
       // ordered-set aggregates: exact interpolated percentiles of document
       // length per language. Spark's percentile() and DuckDB's
@@ -1654,7 +1676,7 @@ object SparkEntry {
           expr("percentile(n_chars, 0.9)").as("p90_chars"),
           expr("cast(min(n_chars) as bigint)").as("min_chars"),
           expr("cast(max(n_chars) as bigint)").as("max_chars"))
-        .orderBy("lang")),
+        .orderedBy("lang")),
     "q14_top_customers" -> ((s, dir) =>
       t(s, dir, "customer")
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -1688,7 +1710,7 @@ object SparkEntry {
         .withColumn("vm_last_hour",
           sum(expr("cast(floor(value * 1000) as bigint)")).over(w).cast("long"))
         .select(col("event_id"), col("n_last_hour"), col("vm_last_hour"))
-        .orderBy("event_id")
+        .orderedBy("event_id")
     }),
     "q16_event_deltas" -> ((s, dir) => {
       // lag-based per-event value delta, fixed-point, summed by type
@@ -1701,7 +1723,7 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("delta")).cast("long").as("delta_sum"))
-        .orderBy("event_type")
+        .orderedBy("event_type")
     }))
 
   /** Brute-force top-50 rank form over the embeddings table — the oracle

@@ -52,9 +52,11 @@ object BitextMining {
       minMargin: Double = 1.05): DataFrame = {
     // each NN frame has two consumers (best-match filter + normalizer
     // fold); the barrier keeps the arms' corpus-sized work single-run
-    // (the multi-consumer rule). Both frames are #queries × k bounded.
-    val srcNN = srcNNIn.localCheckpoint()
-    val tgtNN = tgtNNIn.localCheckpoint()
+    // (the multi-consumer rule). Both frames are #queries × k bounded,
+    // and the two arms are independent — barrier them concurrently
+    // (guide §2.6 — r8).
+    val (srcNN, tgtNN) = graft.util.Par.eval2(
+      srcNNIn.localCheckpoint(), tgtNNIn.localCheckpoint())
     val fwd = srcNN.filter(col("rank") === 1L)
       .select(col("query_id").as("src_id"), col("doc_id").as("tgt_id"),
         col("cosine_r6").as("cos_r6"))

@@ -330,15 +330,17 @@ object Dedup {
     // base is read by THREE downstream consumers (signature pass, text
     // re-join, final anti-join); unbarriered, the exact-fallback anti-join
     // (an O(corpus) md5+distinct pass) would re-run per consumer — the
-    // same defect class as the round-1 minhash barrier (review finding)
-    val base =
+    // same defect class as the round-1 minhash barrier (review finding).
+    // The base and corpus-signature barriers are INDEPENDENT jobs, so they
+    // run concurrently (guide §2.6 — r8).
+    val (base, sigCor) = graft.util.Par.eval2(
       (if (exactFallback) exactDedupAgainst(incoming, corpus, textCol)
-       else incoming).localCheckpoint()
+       else incoming).localCheckpoint(),
+      corpusSigs.getOrElse(
+        corpus.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
+          .localCheckpoint()))
     val sigInc = base.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
       .localCheckpoint()
-    val sigCor = corpusSigs.getOrElse(
-      corpus.select(col("doc_id"), minhashUdf(col(textCol)).as("sig"))
-        .localCheckpoint())
     def banded(sigs: DataFrame, idAs: String) = sigs
       .select(col("doc_id").as(idAs),
         posexplode(bandHashesUdf(col("sig"))).as(Seq("band", "bucket")))
