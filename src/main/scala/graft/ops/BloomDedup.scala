@@ -119,10 +119,13 @@ object BloomDedup {
   private def fresh(spark: SparkSession, dir: String, token: Option[Long]): Boolean =
     token.exists { t =>
       // kind-guarded like the other stores: a mis-pointed bloomDir whose
-      // token happens to match must read stale, never fresh
-      try readMeta(spark, dir).get("token").contains(t.toString) &&
-        readMeta(spark, dir).get("kind").contains("bloom")
-      catch { case _: Exception => false }
+      // token happens to match must read stale, never fresh. One meta
+      // read, both keys tested on it (r7 advice: the double readMeta made
+      // two filesystem round-trips per tick freshness check).
+      try {
+        val m = readMeta(spark, dir)
+        m.get("token").contains(t.toString) && m.get("kind").contains("bloom")
+      } catch { case _: Exception => false }
     }
 
   /** True when the committed filter covers exactly the corpus with this

@@ -32,12 +32,26 @@ object ThresholdSweep {
   private def binned(df: DataFrame, scoreCol: String, labelCol: String,
       nBins: Int): DataFrame = {
     val spark = df.sparkSession
+    // r7 advice: a null label must not count as a negative (the former
+    // count(*) − sum form did) and a null/NaN score must not silently
+    // skew the curve. Handled WITHOUT a Filter node: a filter on the
+    // derived score column gets pushed below the projection that computes
+    // it and re-evaluates the (often UDF-derived) expression per predicate
+    // (guide §4.4 duplication — measured +0.4 s on x_pr_curve when this
+    // was a plain filter). Instead a NaN score maps to a null bin inside
+    // the same projection, null-bin groups fall out of the left range
+    // join, and count(_y) (null-skipping) replaces count(*) so null
+    // labels vanish from both pos and neg. On clean labeled slices —
+    // every oracle row — all of this is a no-op.
     val counts = df.select(
-        greatest(least(floor(col(scoreCol) * nBins), lit(nBins - 1)), lit(0))
+        when(isnan(col(scoreCol)), lit(null))
+          .otherwise(greatest(least(floor(col(scoreCol) * nBins),
+            lit(nBins - 1)), lit(0)))
           .cast("long").as("bin"),
         col(labelCol).cast("long").as("_y"))
       .groupBy("bin")
-      .agg(sum("_y").as("pos"), (count(lit(1)) - sum("_y")).as("neg"))
+      .agg(coalesce(sum("_y"), lit(0L)).as("pos"),
+        (count(col("_y")) - coalesce(sum("_y"), lit(0L))).as("neg"))
     spark.range(0, nBins).select(col("id").as("bin"))
       .join(counts, Seq("bin"), "left")
       .na.fill(0L, Seq("pos", "neg"))
