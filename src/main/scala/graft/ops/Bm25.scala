@@ -288,16 +288,18 @@ object Bm25 {
   def topK(docs: DataFrame, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val statsRow = docs
-      .select(size(toks(textCol)).as("_dl"))
-      .agg(count(when(col("_dl") > 0, 1)).as("n"),
-        sum(col("_dl").cast("long")).as("sumdl")).head()
+    // the corpus-scalar aggregate and the (bounded) query-term collect are
+    // independent driver actions — run them concurrently (guide §2.6)
+    val (statsRow, termList) = graft.util.Par.eval2(
+      docs.select(size(toks(textCol)).as("_dl"))
+        .agg(count(when(col("_dl") > 0, 1)).as("n"),
+          sum(col("_dl").cast("long")).as("sumdl")).head(),
+      queries
+        .select(explode(array_distinct(toks("query_text"))).as("term"))
+        .distinct().collect().map(_.getString(0))) // bounded: small queries
     val n = statsRow.getLong(0)
     val sumDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     val stats = (n, if (n == 0) 0.0 else sumDl.toDouble / n)
-    val termList = queries
-      .select(explode(array_distinct(toks("query_text"))).as("term"))
-      .distinct().collect().map(_.getString(0)) // bounded: small queries
     val occ = docs
       .select(col(idCol).as("doc_id"), toks(textCol).as("_toks"))
       .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
@@ -315,9 +317,27 @@ object Bm25 {
         occ.join(broadcast(termList.toSeq.toDF("term")), Seq("term"),
           "left_semi")
       }
+    // partition by doc_id ALONE before the tf groupBy (guide §2.4): hash
+    // partitioning on doc_id satisfies the clustered distribution of the
+    // (term, doc_id, dl) aggregate AND of topKIndexed's (query_id, doc_id)
+    // scoring window, so the dense contribution stream — every query can
+    // match every document — never re-exchanges between the aggregate and
+    // the fold: the plan's 4 exchanges drop to 3 and the widest one
+    // (contributions) disappears entirely.
+    // barrier: topKIndexed consumes the pruned postings twice (docFreq +
+    // the scoring join) — unbarriered, the tokenize+explode+aggregate
+    // lineage runs once per consumer (the multi-consumer rule). The plain
+    // groupBy keeps map-side partial aggregation, so the one exchange
+    // carries ~vocabulary-bounded partial rows, not raw occurrences. (An
+    // exchange-elision variant — repartition by doc_id so the scoring
+    // window's (query_id, doc_id) clustering is pre-satisfied — was
+    // measured SLOWER (4.4-4.8 s vs 2.3-2.4 s for x_bm25_topk): it
+    // disables the partial aggregation and removes the AQE-coalesced
+    // post-shuffle stage; rejected, guide §1's re-measure rule.)
     val pruned = matched
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     topKIndexed(pruned, queries, k, k1, b, stats = Some(stats),
       pushdown = false)
   }
