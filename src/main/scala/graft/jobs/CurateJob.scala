@@ -50,29 +50,38 @@ object CurateJob {
       .localCheckpoint() // one evaluation of the scalar stage
     val langCond = col("lang_pred").isin(keepLangs.toSeq: _*)
     val qualCond = col("quality_score") >= minQuality
+    val qualOk = scored.filter(langCond && qualCond)
     // audit counts for the whole filter ladder in ONE aggregate over the
     // materialized scalar stage (guide §1.2: the former one-action-per-
     // count form paid three jobs for numbers one pass produces; filter
-    // semantics match count(when(cond)) exactly — null conditions drop)
-    val cRow = scored.agg(
-      count(lit(1)).as("n_input"),
-      count(when(langCond, 1)).as("n_lang"),
-      count(when(langCond && qualCond, 1)).as("n_qual")).head()
+    // semantics match count(when(cond)) exactly — null conditions drop).
+    // The aggregate is independent of the decontaminate barrier — the two
+    // actions run concurrently (guide §2.6).
+    val (cRow, clean) = graft.util.Par.eval2(
+      scored.agg(
+        count(lit(1)).as("n_input"),
+        count(when(langCond, 1)).as("n_lang"),
+        count(when(langCond && qualCond, 1)).as("n_qual")).head(),
+      // decontaminate feeds BOTH the nClean count and exactDedup's two
+      // branches — barrier it so the benchmark-gram joins run once
+      benchmark match {
+        case Some(b) =>
+          Dedup.decontaminate(qualOk, b, decontamN, textCol).localCheckpoint()
+        case None    => qualOk
+      })
     val (nInput, nLang, nQual) = (cRow.getLong(0), cRow.getLong(1), cRow.getLong(2))
-    val qualOk = scored.filter(langCond && qualCond)
-    // decontaminate feeds BOTH the nClean count and exactDedup's two
-    // branches — barrier it so the benchmark-gram joins run once
-    val clean = benchmark match {
-      case Some(b) =>
-        Dedup.decontaminate(qualOk, b, decontamN, textCol).localCheckpoint()
-      case None    => qualOk
-    }
-    val nClean = if (benchmark.isDefined) clean.count() else nQual
     // exactDedup output feeds the near-dup signature pass, its text
-    // re-join AND the final anti-join — same multi-consumer barrier rule
-    val exact = Dedup.exactDedup(clean, textCol).localCheckpoint()
-    val nExact = exact.count()
-    val near = Dedup.nearDedup(exact, nearThreshold, textCol)
+    // re-join AND the final anti-join — same multi-consumer barrier rule;
+    // the nClean count reads the already-materialized clean frame, so it
+    // overlaps the exact barrier for free
+    val (nClean, exact) = graft.util.Par.eval2(
+      if (benchmark.isDefined) clean.count() else nQual,
+      Dedup.exactDedup(clean, textCol).localCheckpoint())
+    // the nExact count reads the materialized exact frame; the near-dup
+    // pipeline's own first barriers (signature pass) are independent of it
+    val (nExact, near) = graft.util.Par.eval2(
+      exact.count(),
+      Dedup.nearDedup(exact, nearThreshold, textCol))
     val curated = near
       .withColumn("__t", TextAnalysis.tokenCountsUdf(col(textCol)))
       .withColumn("ws_tokens", col("__t._1"))
@@ -125,12 +134,15 @@ object CurateJob {
       case Some(d) => graft.ops.BloomDedup.dedupAgainst(batchCurated, d, textCol)
       case None    => Dedup.exactDedupAgainst(batchCurated, corpus, textCol)
     }).localCheckpoint()
-    val nExact = afterExact.count()
+    // the count reads the materialized frame; the cross-corpus near-dedup
+    // barriers are independent of it — overlap them (guide §2.6).
     // exactFallback off: the explicit exact pass above already covers
     // capped-bucket byte-identical matches
-    val survivors = Dedup.nearDedupAgainst(afterExact, corpus, nearThreshold,
-        textCol, corpusSigs = corpusSigs, exactFallback = false)
-      .localCheckpoint()
+    val (nExact, survivors) = graft.util.Par.eval2(
+      afterExact.count(),
+      Dedup.nearDedupAgainst(afterExact, corpus, nearThreshold,
+          textCol, corpusSigs = corpusSigs, exactFallback = false)
+        .localCheckpoint())
     // count + token total in one aggregate (the curate() convention)
     val tRow = survivors.agg(count(lit(1)).as("n"),
       coalesce(sum(col("ws_tokens").cast("long")), lit(0L)).as("t")).head()

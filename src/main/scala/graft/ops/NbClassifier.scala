@@ -62,6 +62,12 @@ object NbClassifier {
       nDocsTrain: Long, vocab: Long, textCol: String = "text"): DataFrame = {
     val pr = F.broadcast(priorTbl
       .withColumn("prior_ll", log(col("n_docs").cast("double") / nDocsTrain.toDouble)))
+    // fold note (r8): a seeded running-window form (prior as a pos=-1 row,
+    // the Bm25/NgramLm rewrite) was built, oracle-verified identical, and
+    // REVERTED on measurement — here the per-(doc, label) groups are few
+    // and the label crossJoin doubles the window's exchange+sort input, so
+    // the collect_list fold measured 0.3 s faster on the driver bench
+    // (guide §1's re-measure rule).
     val terms = tokens(docs, textCol)
       .crossJoin(pr.select(col("label"), col("n_tok")))
       .join(F.broadcast(model), Seq("label", "tok"), "left")
