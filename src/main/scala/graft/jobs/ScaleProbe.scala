@@ -1050,6 +1050,62 @@ object ScaleProbe {
       }
     }
 
+    // BM25 under ZIPF term skew (r8, VERDICT ask): the 7b probes used a
+    // uniform vocabulary; real corpora are zipfian, and the postings
+    // layout's hot row groups (stopword terms with df ≈ N) are the
+    // untested shape. Token ranks are drawn log-uniformly (≈ zipf s=1)
+    // over a 50k vocabulary, so rank-1..5 terms appear in ~every doc
+    // while the tail is sparse. Measured per query class: a STOPWORD
+    // query (top-5 ranks) vs a DISCRIMINATIVE query (mid/tail ranks),
+    // each with the IN-filter pushdown on and off, plus each class's
+    // per-term df and candidate volume — the honest basis for the
+    // "is a df-cap warranted" call.
+    if (sections("bm25zipf")) {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val n = nDocs
+      val vocab = 50000
+      val dl = 120
+      val docs = spark.range(0L, n, 1L, cpus.toInt)
+        .select(col("id").as("doc_id"),
+          expr(s"""array_join(transform(sequence(1, $dl),
+            i -> concat('t', cast(exp(ln(cast($vocab as double)) *
+              ((pmod(xxhash64(id * $dl + i), 1000000) + 1) / 1000000.0d))
+              as int))), ' ')""").as("text"))
+        .localCheckpoint()
+      val pDir = s"$tmp/graft_scaleprobe_bm25zipf_$n"
+      rmrf(pDir)
+      val (_, tIdx) = time {
+        graft.ops.Bm25.index(docs)
+          .repartition(cpus.toInt, col("term")).sortWithinPartitions("term")
+          .write.mode("overwrite").parquet(pDir)
+      }
+      val postings = spark.read.parquet(pDir)
+      val stats = Some(graft.ops.Bm25.corpusStats(postings))
+      def q(name: String, terms: Seq[String]): Unit = {
+        val queries = spark.range(1).select(lit(7L).as("query_id"),
+          lit(terms.mkString(" ")).as("query_text"))
+        val dfs = postings.filter(col("term").isin(terms: _*))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val cand = terms.map(t => dfs.getOrElse(t, 0L)).sum
+        val (rk, tQ) = time(graft.ops.Bm25.topKIndexed(
+          postings, queries, k = 10, stats = stats).count())
+        val (_, tQFull) = time(graft.ops.Bm25.topKIndexed(
+          postings, queries, k = 10, stats = stats, pushdown = false).count())
+        out(s"bm25zipf_${name}_dfs") = terms.map(t => dfs.getOrElse(t, 0L)).mkString(",")
+        out(s"bm25zipf_${name}_candidates") = cand
+        out(s"bm25zipf_${name}_rows") = rk
+        out(s"bm25zipf_${name}_pruned_sec") = tQ
+        out(s"bm25zipf_${name}_fullscan_sec") = tQFull
+        mark(s"bm25zipf_$name", tQ + tQFull)
+      }
+      out("bm25zipf_docs") = n
+      out("bm25zipf_index_sec") = tIdx
+      q("stopword", Seq("t1", "t2", "t3", "t4", "t5"))
+      q("discriminative", Seq("t9731", "t18251", "t27779", "t36643", "t45007"))
+      q("mixed", Seq("t1", "t2", "t9731", "t27779", "t45007"))
+    }
+
     // BM25 postings store: O(batch) append vs full rebuild, with the
     // retrieval-equality require (appended store == rebuilt store on the
     // same queries — the meta scalars accumulate additively, so a drift
