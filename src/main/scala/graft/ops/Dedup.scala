@@ -181,8 +181,12 @@ object Dedup {
     * identical (doc_id, cluster_id = min component member) rows. */
   private val MaxDriverPairs = 2000000L
 
+  /** `maxDriverPairs` overrides the fast-path cap — tests force the
+    * iterative path with 0 (DedupClustersPathSpec pins both paths equal);
+    * production callers use the default. */
   def duplicateClusters(docs: DataFrame, threshold: Double = 0.8,
-      textCol: String = "text", maxIter: Int = 25): DataFrame = {
+      textCol: String = "text", maxIter: Int = 25,
+      maxDriverPairs: Long = MaxDriverPairs): DataFrame = {
     // barrier the pair pipeline BEFORE the union: both union branches (and
     // everything downstream) must read the computed pair set, not re-run
     // the LSH join + exact verification per branch
@@ -190,7 +194,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val nPairs = pairs.count() // reads the materialized checkpoint only
-    if (nPairs <= MaxDriverPairs) return driverClusters(docs.sparkSession, pairs)
+    if (nPairs <= maxDriverPairs) return driverClusters(docs.sparkSession, pairs)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()

@@ -179,6 +179,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters == (1L to 10L).map(_ -> 1L).toMap, s"got $clusters")
   }
 
+  test("duplicate clusters: driver union-find fast path equals the iterative loop") {
+    // r8: pair sets <= MaxDriverPairs collect to a driver union-find; the
+    // label-propagation loop remains the >cap path. Force the loop with
+    // maxDriverPairs = 0 on the same chain+pair corpus and pin equality,
+    // so neither path can drift silently.
+    val base = sentence(51, 76).split(" ")
+    val docs = docsDf((0 until 10).map(i =>
+      ((i + 1).toLong, base.slice(4 * i, 4 * i + 40).mkString(" "))) ++
+      Seq((20L, sentence(901, 60)), (21L, sentence(901, 60))))
+    val fast = Dedup.duplicateClusters(docs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val loop = Dedup.duplicateClusters(docs, threshold = 0.7,
+        maxDriverPairs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == loop, s"fast $fast vs loop $loop")
+    assert(fast ==
+      ((1L to 10L).map(_ -> 1L) ++ Seq(20L -> 20L, 21L -> 20L)).toMap,
+      s"got $fast")
+  }
+
   test("cluster invariants on a generated corpus: keeper is a member, min, stable") {
     // 40 docs in 8 planted groups of near-identical text + 10 singletons
     val docs = docsDf((1L to 50L).map { i =>
