@@ -392,6 +392,15 @@ object AnnIndex {
     * cell — so the at-scale sliver contract is unchanged. */
   private val IvfCandidateMargin = 32.0
 
+  /** The adaptive probed-cell count: enough cells that the EXPECTED
+    * candidate count reaches IvfCandidateMargin·k under a uniform-cell
+    * estimate. Package-visible so AnnIndexSpec pins the sf0.1 regression
+    * shape (n=2000, nCells=16, k=50 must probe >= 12 cells — the 6k margin
+    * probed 3 and sat at 0.36 recall vs the 0.7 gate floor). */
+  private[graft] def adaptiveNProbe(nCells: Int, nRows: Long, k: Int): Int =
+    math.min(nCells.toLong, math.max(1L,
+      math.ceil(IvfCandidateMargin * k * nCells / nRows).toLong)).toInt
+
   /** `nProbe < 0` (default) sizes the probed cell count from the committed
     * row count (expected candidates >= [[IvfCandidateMargin]]·k). */
   def probeIvf(spark: SparkSession, dir: String, query: Array[Float], k: Int,
@@ -401,8 +410,7 @@ object AnnIndex {
     if (meta.nRows == 0L) return emptyProbe(spark, "ivf_cell")
     val nCells = meta.param
     val np = if (nProbe > 0) nProbe
-             else math.min(nCells.toLong, math.max(1L,
-               math.ceil(IvfCandidateMargin * k * nCells / meta.nRows).toLong)).toInt
+             else adaptiveNProbe(nCells, meta.nRows, k)
     val centers = meta.centroids
     val qd = query.map(_.toDouble)
     val probeCells = centers.indices.sortBy { c =>
@@ -615,8 +623,7 @@ object AnnIndex {
       nProbe: Int): Option[Seq[String] => DataFrame] = {
     val nCells = meta.param
     val np = if (nProbe > 0) nProbe
-             else math.min(nCells.toLong, math.max(1L,
-               math.ceil(IvfCandidateMargin * k * nCells / meta.nRows).toLong)).toInt
+             else adaptiveNProbe(nCells, meta.nRows, k)
     val centers = meta.centroids
     val qd = query.map(_.toDouble)
     val probeCells = centers.indices.sortBy { c =>

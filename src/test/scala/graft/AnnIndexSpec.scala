@@ -312,6 +312,17 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex == brute, "exhaustive+full-refine ivfpq must equal brute force")
   }
 
+  test("adaptive nProbe margin covers the sf0.1 bench shape (r8 regression pin)") {
+    // the 6k candidate margin probed 3/16 cells at (n=2000, k=50) and sat
+    // at 0.36 recall vs the 0.7 gate floor — the driver bench rows threw
+    // silently through r7. 12+ cells measured 0.88-0.90; pin the formula.
+    assert(graft.ops.AnnIndex.adaptiveNProbe(16, 2000L, 50) >= 12)
+    // the at-scale sliver contract: a big table still probes one cell
+    assert(graft.ops.AnnIndex.adaptiveNProbe(16, 1000000000L, 50) == 1)
+    // small tables saturate to every cell (the sf0.001/0.01 behavior)
+    assert(graft.ops.AnnIndex.adaptiveNProbe(16, 500L, 50) == 16)
+  }
+
   test("ivfpq: adaptive probe fills k with a recall floor") {
     val dir = s"$tmp/ivfpq_ad"
     AnnIndex.buildIvfPq(emb, dir, nCells = 16, m = 16, kCodes = 64)
